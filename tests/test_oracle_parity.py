@@ -1,0 +1,35 @@
+"""Driver-mirroring correctness gate: every query with a declared
+oracle must match DuckDB bit-for-bit (the driver hashes values, so
+"close" is not good enough). Runs at sf0.001 for speed; set
+SPARK_TSDB_TEST_SF=/root/testdata/sf0.01 to mirror the driver exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+from timeseriesdb_spark.registry import ORACLES, QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    """Non-SQL-expressible ops: smoke-run, require a stable schema and
+    a materializable result (the driver's weaker check)."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,222 @@
+"""Scalar + grouped aggregation operators.
+
+Reference surface: the `query` module's whole-buffer COUNT/MIN/MAX/
+SUM/AVG folds (database/src/query.rs:41-173), the per-segment
+`AggStats {max,min,sum,count}` maintained at put and merged at query
+time (database/src/buffer_pool.rs:757-790, 1467-1469), the
+max-with-qualifying-positions kernels (`byte_fixed_max`,
+database/src/compress/split_double.rs:4323-4421), and the distinct
+estimate (database/src/predict/cr_predictor.rs:35-52).
+
+Spark mapping: plain `agg` — Tungsten's partial/final hash aggregation
+IS AggStats-merge, map-side combine included, so a whole-table agg at
+100 TB moves one row per partition over the shuffle, not data. The
+summary/rollup table (q_summary_*) materializes AggStats explicitly per
+(signal, day) so coarse dashboards aggregate ~1e6 rollup rows instead
+of rescanning 1e11 raw rows — the same motivation as the reference's
+per-segment stats cache.
+
+argmax: two scans (global max → equality filter), the max broadcast
+back as a 1-row join; never a sort, never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.operators.common import dsum, dsum_sql
+from timeseriesdb_spark.tables import load_table
+
+
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT over the signal store (query.rs:41-62)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.count("value").alias("cnt"))
+
+
+def q_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM over the signal store (query.rs:129-150; byte_sum
+    split_double.rs:3060-3146)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(dsum("value", "sum_value"))
+
+
+def q_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN (query.rs:65-127)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.min("value").alias("min_value"))
+
+
+def q_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX (query.rs:65-127; byte_fixed_max split_double.rs:4323)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.max("value").alias("max_value"))
+
+
+def q_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG = SUM/COUNT (query.rs:152-173). round(6) because float avg
+    is not bit-deterministic across partitionings."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal AggStats{count,min,max,sum} (buffer_pool.rs:757-790).
+    One shuffle on signal_id; partial agg does the heavy lifting."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("value").alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum("value", "sum_value"),
+    )
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows attaining the global max — the reference's max-with-bitmap
+    kernels return qualifying positions, not just the value
+    (split_double.rs:4323-4421 counts all qualifying positions).
+
+    Plan: scan→1-row max, broadcast-join back, scan→filter. Two scans
+    beat any sort at scale; ties are all retained, matching bitmap
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("max_value"))
+    return (
+        ev.join(F.broadcast(mx), ev.value == mx.max_value)
+        .select("event_id", "user_id", "value")
+    )
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-value count (est_dict_cr, cr_predictor.rs:35-52
+    sizes dictionaries with a HashSet). At 100 TB prefer
+    approx_count_distinct (HLL, no expand shuffle) — exact here because
+    the driver's oracle is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("value").alias("distinct_values"))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram (plot/data_hist.rs:1-40): fixed-width buckets,
+    group-count. Bucket id as BIGINT in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggStats rollup per (signal, day) — the summary-table builder
+    (SURVEY.md §4 item 1). At scale this is a materialized table
+    refreshed incrementally; here it is computed inline."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("value").alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("dsum"),
+    )
+
+
+def q_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (signal, day) AggStats summary table itself."""
+    return _rollup(spark, sf_dir).select(
+        "user_id",
+        "day",
+        "cnt",
+        "min_value",
+        "max_value",
+        F.col("dsum").cast("double").alias("sum_value"),
+    )
+
+
+def q_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggStats::merge associativity (buffer_pool.rs:770-790): per-signal
+    totals computed by MERGING day-level rollups. The oracle computes the
+    same totals DIRECTLY from raw events — hash-equality of the two is
+    the merge-correctness property the reference asserts in unit tests."""
+    roll = _rollup(spark, sf_dir)
+    return roll.groupBy("user_id").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.sum("dsum").cast("double").alias("sum_value"),
+    )
+
+
+def q_top_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 signals by total value: agg then global top-k. Spark's
+    TakeOrderedAndProject moves only k rows per partition to the driver
+    stage — no full sort at scale. Decimal sum ⇒ deterministic order;
+    user_id tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("dsum")
+    )
+    return (
+        agg.orderBy(F.col("dsum").desc(), F.col("user_id"))
+        .limit(10)
+        .select("user_id", F.col("dsum").cast("double").alias("sum_value"))
+    )
+
+
+QUERIES = {
+    "q_count": q_count,
+    "q_sum": q_sum,
+    "q_min": q_min,
+    "q_max": q_max,
+    "q_avg": q_avg,
+    "q_agg_stats": q_agg_stats,
+    "q_argmax": q_argmax,
+    "q_distinct_count": q_distinct_count,
+    "q_histogram": q_histogram,
+    "q_summary_rollup": q_summary_rollup,
+    "q_summary_merge": q_summary_merge,
+    "q_top_signals": q_top_signals,
+}
+
+_SUM_V = dsum_sql("value", "sum_value")
+
+ORACLES = {
+    "q_count": "SELECT count(value) AS cnt FROM events",
+    "q_sum": f"SELECT {_SUM_V} FROM events",
+    "q_min": "SELECT min(value) AS min_value FROM events",
+    "q_max": "SELECT max(value) AS max_value FROM events",
+    "q_avg": "SELECT round(avg(value), 6) AS avg_value FROM events",
+    "q_agg_stats": f"""
+        SELECT user_id, count(value) AS cnt, min(value) AS min_value,
+               max(value) AS max_value, {_SUM_V}
+        FROM events GROUP BY user_id
+    """,
+    "q_argmax": """
+        SELECT event_id, user_id, value FROM events
+        WHERE value = (SELECT max(value) FROM events)
+    """,
+    "q_distinct_count": "SELECT count(DISTINCT value) AS distinct_values FROM events",
+    "q_histogram": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+    "q_summary_rollup": f"""
+        SELECT user_id, date_trunc('day', ts) AS day, count(value) AS cnt,
+               min(value) AS min_value, max(value) AS max_value, {_SUM_V}
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+    "q_summary_merge": f"""
+        SELECT user_id, count(value) AS cnt, min(value) AS min_value,
+               max(value) AS max_value, {_SUM_V}
+        FROM events GROUP BY user_id
+    """,
+    "q_top_signals": """
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY user_id
+        ORDER BY SUM(CAST(value AS DECIMAL(38,6))) DESC, user_id
+        LIMIT 10
+    """,
+}

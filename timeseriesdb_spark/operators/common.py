@@ -1,0 +1,37 @@
+"""Shared expression helpers.
+
+Cross-engine determinism discipline (the driver hash-compares our Spark
+results against DuckDB running the oracle SQL): floating-point SUMs are
+order-dependent, and Spark's partial/final aggregation gives no
+accumulation-order guarantee. So every SUM of a double measure goes
+through DECIMAL(38,6): the per-row double→decimal rounding is exact and
+identical in both engines (a double's decimal expansion essentially
+never lands on a 5e-7 tie), decimal addition is associative integer
+math, and the final decimal→double cast is the same round-to-nearest in
+both. Result: bit-exact sums regardless of partitioning — which also
+means results are stable across cluster sizes, a correctness property
+the reference gets for free from single-threaded folds (query.rs:129-173)
+and we must engineer.
+
+MIN/MAX/COUNT are order-independent already and stay native doubles.
+AVG is emitted as round(avg, 6): the value is not bit-deterministic but
+its error is ~1e-13 relative, vastly inside the rounding grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Order-independent, engine-exact sum of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    """The DuckDB-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"

@@ -1,0 +1,149 @@
+"""Window functions & time-series transforms (SQL-expressible subset).
+
+Reference surface (SURVEY.md §2.4-2.5): the Influx `max_groupby`
+tumbling ROW-COUNT windowed max (window = 240·7 rows, range [500w,600w);
+benchmark/influx_bench/mod.rs:11-191, kernels gorilla.rs:363,
+buff_simd.rs:2863), PAA chunked means (segment.rs:516-555), RRD
+every-k-th sampling (compress/rrd_sample.rs:20-60), and last-N
+(SegmentIter::get_last_n, segment.rs:268-271).
+
+The reference windows by ROW POSITION within a signal (data arrives
+time-ordered; segments are count-based — lib.rs:337). We reconstruct
+the position deterministically as row_number() over (ts, event_id)
+per signal (FIXTURES.md determinism note), then bucket by
+floor(pos/window). Also provided: the time-based tumbling variant
+(q_window_max_time) — the idiomatic Spark form that at 100 TB aligns
+with (day) partition pruning so each window's state stays within one
+time partition.
+
+Scale note: every window below partitions by signal_id — state is
+per-signal and the single shuffle is on the natural key. No global
+ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+WINDOW_ROWS = 16   # scaled-down influx window (ref 1680 rows at full size)
+PAA_CHUNK = 8      # PAA chunk size (ref sweeps 4-64)
+RRD_K = 7          # keep every k-th row
+LAST_N = 5         # last-N per signal
+
+
+def _with_pos(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.withColumn("pos", F.row_number().over(w) - F.lit(1))
+
+
+def q_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influx max_groupby: per-signal tumbling row-count windows, max
+    per window (influx_bench/mod.rs:33-38)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _with_pos(ev)
+        .groupBy(
+            "user_id",
+            F.floor(F.col("pos") / F.lit(WINDOW_ROWS)).alias("win"),
+        )
+        .agg(F.max("value").alias("win_max"))
+    )
+
+
+def q_window_max_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based tumbling windowed max — the idiomatic Spark twin of
+    q_window_max (window(ts, '1 day') per signal). Emits the window
+    start as a column for a stable schema."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 day").alias("w"))
+        .agg(F.max("value").alias("win_max"))
+        .select("user_id", F.col("w.start").alias("win_start"), "win_max")
+    )
+
+
+def q_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA: mean of each fixed-size chunk per signal
+    (paa_compress, segment.rs:516-555). Chunk means via the same
+    row-position bucketing; decimal mean = sum/count computed exactly
+    then rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _with_pos(ev)
+        .groupBy(
+            "user_id",
+            F.floor(F.col("pos") / F.lit(PAA_CHUNK)).alias("chunk"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("chunk_avg"))
+    )
+
+
+def q_rrd_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRD-style aging: keep every k-th row per signal
+    (compress/rrd_sample.rs:20-60)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _with_pos(ev)
+        .filter(F.col("pos") % RRD_K == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+def q_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last N rows per signal (get_last_n, segment.rs:268-271)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LAST_N)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+QUERIES = {
+    "q_window_max": q_window_max,
+    "q_window_max_time": q_window_max_time,
+    "q_paa": q_paa,
+    "q_rrd_sample": q_rrd_sample,
+    "q_last_n": q_last_n,
+}
+
+_POS = """
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS pos
+    FROM events
+"""
+
+ORACLES = {
+    "q_window_max": f"""
+        SELECT user_id, CAST(floor(pos / {WINDOW_ROWS}.0) AS BIGINT) AS win,
+               max(value) AS win_max
+        FROM ({_POS}) GROUP BY 1, 2
+    """,
+    "q_window_max_time": """
+        SELECT user_id, date_trunc('day', ts) AS win_start, max(value) AS win_max
+        FROM events GROUP BY 1, 2
+    """,
+    "q_paa": f"""
+        SELECT user_id, CAST(floor(pos / {PAA_CHUNK}.0) AS BIGINT) AS chunk,
+               round(avg(value), 6) AS chunk_avg
+        FROM ({_POS}) GROUP BY 1, 2
+    """,
+    "q_rrd_sample": f"""
+        SELECT user_id, event_id, ts, value
+        FROM ({_POS}) WHERE pos % {RRD_K} = 0
+    """,
+    "q_last_n": f"""
+        SELECT user_id, event_id, ts, value FROM (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn <= {LAST_N}
+    """,
+}

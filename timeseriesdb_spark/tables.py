@@ -1,0 +1,62 @@
+"""Table loading for the driver's TPC-H-ish star schema + streams.
+
+`events(event_id, ts, user_id, event_type, value, props)` plays the
+reference's signal-store role: ``user_id`` is the SignalId
+(future_signal.rs:26), ``(ts, event_id)`` gives the deterministic
+per-signal total order the reference gets implicitly from arrival order
+(segment.rs:65-76), and ``value`` is the f64 measurement.
+
+At 100 TB the events table would be written partitioned by
+(days(ts)) with signal-bucketed files so per-signal window operators
+shuffle within, not across, time partitions; the loaders below read
+whatever layout the directory has, so the same query code applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, transparently handling nanosecond timestamps.
+
+    The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+    Spark's Parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos
+    as raw int64 (legacy nanosAsLong conf, set unconditionally so the
+    driver's own session works too) and rebuild a microsecond
+    timestamp — lossless here (the generator writes µs-precision
+    values; DuckDB likewise surfaces the column as µs TIMESTAMP, so
+    the oracle sees identical values)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name in _NS_TS_COLUMNS and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+# Columns known to be nanosecond timestamps in the driver's parquet.
+_NS_TS_COLUMNS = {"ts"}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
