@@ -1,0 +1,305 @@
+"""Deduplication operators over `documents` — the core LLM-pipeline
+surface (BASELINE.json north star): exact hash-dedup, word-shingle
+Jaccard, MinHash+LSH banding, and SimHash fingerprints.
+
+Scale design (the whole point at 100 TB):
+- exact dedup: one hash-groupBy — Spark's partial agg dedups map-side.
+- n-gram Jaccard: documents → exploded DISTINCT (doc, shingle) pairs;
+  candidate generation is a shingle-key equi-join (shuffle on shingle,
+  the classic inverted-index join), never an O(n²) crossJoin. Hot
+  shingles are the skew risk → AQE skew-join handles it; production
+  would also drop top-frequency shingles (stop-shingles).
+- MinHash+LSH: k=16 signatures; band hashing (4 bands × 4 rows) turns
+  near-dup search into an equi-join on band keys — pairs only form
+  within a bucket, which is what makes 100 TB feasible.
+- SimHash: one grouped aggregation per document; Hamming-close
+  fingerprints can then be blocked on fingerprint prefixes.
+
+Engine parity: every hash is md5 (identical hex in Spark/DuckDB), so
+even MinHash/LSH/SimHash are fully oracle-checked — no "trust me"
+rows-only paths. The oracle SQL is generated from the same Python
+constants that build the DataFrame plan, so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+SHINGLE_K = 3            # words per shingle
+JACCARD_THRESHOLD = 0.2  # report pairs at/above this similarity
+MINHASH_K = 16           # signature length
+LSH_BANDS = 4            # bands × rows_per_band == MINHASH_K
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def _shingles(doc: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, shingle) word-k-shingles. slice+transform keeps
+    it JVM-side; explode is the only row expansion."""
+    words = F.split(F.col("text"), " ")
+    # sequence(0, n) with n<0 would generate a DESCENDING sequence in
+    # Spark — guard short docs to an empty shingle set instead.
+    sh = F.when(
+        F.size(words) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - F.lit(SHINGLE_K)),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        doc.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents
+        )
+    ) WHERE shingle IS NOT NULL
+"""
+# NOTE: lead-based trigram == slice-based trigram for K=3; keep in sync
+# with SHINGLE_K.
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the min doc_id per
+    group (the canonical survivor), report group size."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-shingle Jaccard near-dup pairs via inverted-index join:
+    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. Integer
+    counts → the ratio is engine-exact before the final round."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def _sig_cols():
+    """(column_name, seed_prefix) per MinHash permutation."""
+    return [(f"s{i:02d}", f"{i}:") for i in range(MINHASH_K)]
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(name)
+        for name, seed in _sig_cols()
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{seed}' || shingle)) AS {name}" for name, seed in _sig_cols()
+    )
+    + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=16 MinHash signature matrix itself (one row per doc)."""
+    return _minhash(spark, sf_dir)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 of 4 band keys, scored by
+    estimated Jaccard (fraction of equal signature components). The
+    band join is the scale path — pairs never form across buckets."""
+    sig = _minhash(spark, sf_dir)
+    names = [n for n, _ in _sig_cols()]
+    bands = sig.select(
+        "doc_id",
+        *names,
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{b}:"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *names[b * LSH_ROWS : (b + 1) * LSH_ROWS]
+                            )
+                        ),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = sum(
+        F.when(F.col(f"a.{n}") == F.col(f"b.{n}"), 1).otherwise(0) for n in names
+    ) / F.lit(float(MINHASH_K))
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 32  # one bit per md5 hex nibble (high bit of the nibble)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per distinct word, bit j is the
+    high bit of the j-th hex nibble of md5(word); the document bit is
+    the majority vote. Emitted as a 32-char '01' string (engine-safe:
+    no 64-bit unsigned arithmetic needed)."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    hexset = "89abcdef"  # nibble high-bit set ⇔ hex char in this set
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*list(hexset)), 1).otherwise(0)
+        ).alias(f"c{j:02d}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(F.count("*").alias("n_w"), *bit_sums)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"c{j:02d}") * 2 >= F.col("n_w"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash": q_simhash,
+}
+
+_NAMES = [n for n, _ in _sig_cols()]
+_BAND_KEYS_SQL = ", ".join(
+    "'b{b}:' || md5({concat}) AS band_{b}".format(
+        b=b,
+        concat=" || '|' || ".join(_NAMES[b * LSH_ROWS : (b + 1) * LSH_ROWS]),
+    )
+    for b in range(LSH_BANDS)
+)
+_EST_SQL = (
+    "("
+    + " + ".join(f"CASE WHEN a.{n} = b.{n} THEN 1 ELSE 0 END" for n in _NAMES)
+    + f") / {float(MINHASH_K)}"
+)
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT md5(text) AS content_hash, count(*) AS n_copies,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+              >= {JACCARD_THRESHOLD}
+    """,
+    "q_minhash_signatures": _MINHASH_SQL,
+    "q_minhash_lsh_pairs": f"""
+        WITH sig AS ({_MINHASH_SQL}),
+        bands AS (SELECT *, {_BAND_KEYS_SQL} FROM sig),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round({_EST_SQL}, 6) AS est_jaccard
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+                  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM pairs
+    """,
+    "q_simhash": (
+        "WITH words AS (SELECT DISTINCT doc_id, w FROM ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+        ") WHERE length(w) > 0), "
+        "h AS (SELECT doc_id, md5(w) AS h FROM words), "
+        "agg AS (SELECT doc_id, count(*) AS n_w, "
+        + ", ".join(
+            f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS c{j:02d}".format(
+                j=j
+            )
+            for j in range(SIMHASH_BITS)
+        )
+        + " FROM h GROUP BY doc_id) "
+        "SELECT doc_id, "
+        + " || ".join(
+            f"CASE WHEN c{j:02d} * 2 >= n_w THEN '1' ELSE '0' END"
+            for j in range(SIMHASH_BITS)
+        )
+        + " AS simhash FROM agg"
+    ),
+}

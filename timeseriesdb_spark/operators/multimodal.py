@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed in Arrow batches via
+mapInPandas.
+
+The decode step is STUBBED (this container has no image/audio libs —
+see `decode_image`); everything Spark-side is real and tested: the
+schema contract, the binary payload handling, the batch shape, and the
+partition behavior. Swapping the stub for PIL/libav is a one-function
+change that does not alter the plan.
+
+Scale notes: mapInPandas streams Arrow record batches — constant
+memory per task regardless of table size; binary payloads never pass
+through the driver; feature extraction parallelism == partition count.
+At 100 TB the payloads would live in the parquet as binary chunks
+(or object-store pointers) exactly like this.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+REAL_DECODE = False  # flip when PIL/soundfile are available
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Decode an image payload → (width, height, format).
+
+    STUB: the container has no imaging libraries. The deterministic
+    fake below derives plausible metadata from the payload hash so the
+    full pipeline (schema, batching, partitioning) is exercised; the
+    real implementation is a drop-in:
+
+        from PIL import Image; im = Image.open(io.BytesIO(payload))
+        return im.width, im.height, im.format
+    """
+    if REAL_DECODE:
+        raise NotImplementedError("install PIL and implement real decode")
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, ["png", "jpeg", "webp"][h[2] % 3]
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal metadata pipeline: a binary payload column
+    (synthesized from documents.text — at 100 TB this is the stored
+    image bytes), decoded per Arrow batch into typed metadata."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    # Capture the decode logic by value (self-contained closure): a
+    # reference to the module-level decode_image would require this
+    # package on the executor PYTHONPATH.
+    real_decode = REAL_DECODE
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_image(payload: bytes) -> tuple[int, int, str]:
+            if real_decode:
+                raise NotImplementedError("install PIL and implement real decode")
+            h = hashlib.sha256(payload).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192, ["png", "jpeg", "webp"][h[2] % 3]
+
+        for pdf in batches:
+            metas = [decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "format": [m[2] for m in metas],
+                }
+            )
+
+    return doc.mapInPandas(
+        extract,
+        "doc_id bigint, n_bytes bigint, width bigint, height bigint, format string",
+    )
+
+
+QUERIES = {"q_multimodal_meta": q_multimodal_meta}
+ORACLES: dict[str, str] = {}  # stubbed decode → rows-only check

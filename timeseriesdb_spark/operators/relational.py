@@ -1,0 +1,129 @@
+"""Relational analytics over the star schema — the query shapes a
+TSBS/TPC-style workload adds around the signal store: multi-way joins
+with broadcast dimensions, grouped pricing summaries, and the
+majority-value/outlier profile (database/src/outlier/mod.rs:90-216).
+
+Scale design: fact tables (lineitem/orders/events) are never
+broadcast; dimensions always are. The pricing summary is the classic
+partial-agg showcase: 4 output groups regardless of input size, so
+the shuffle carries one row per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.operators.common import dsum, dsum_sql
+from timeseriesdb_spark.tables import load_table
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (the largest
+    fact): grouped sums/avgs/counts. Decimal-routed sums keep the
+    result bit-stable at any parallelism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation: lineitem ⋈ orders ⋈ customer ⋈
+    nation. orders/customer/nation are broadcast (dimension-sized);
+    only lineitem streams. At real scale orders would be a shuffle
+    join on l_orderkey — Catalyst/AQE picks per stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for orders with at least one lineitem —
+    an EXISTS/semi-join shape (TPC-H Q4 skeleton)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_outlier_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-value / outlier profile (outlier/mod.rs:90-216): value
+    histogram over a low-cardinality column with the majority share —
+    the workload the reference's sparse codec optimizes; Parquet
+    dictionary pages own it here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_quantity").alias("qty")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = li.count()  # scalar; computed once, folded as a literal
+    return counts.select(
+        "qty", "cnt", F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share")
+    )
+
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_order_priority": q_order_priority,
+    "q_outlier_majority": q_outlier_majority,
+}
+
+ORACLES = {
+    "q_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql("l_quantity", "sum_qty")},
+               {dsum_sql("l_extendedprice", "sum_base_price")},
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_revenue_by_nation": f"""
+        SELECT n_name,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+        GROUP BY o_orderpriority
+    """,
+    "q_outlier_majority": """
+        SELECT l_quantity AS qty, count(*) AS cnt,
+               round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lineitem), 6)
+                   AS share
+        FROM lineitem GROUP BY l_quantity
+    """,
+}

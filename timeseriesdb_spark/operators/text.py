@@ -1,0 +1,187 @@
+"""Text-analysis operators for LLM training-data pipelines, over the
+`documents(doc_id, text, lang, source, n_chars)` table.
+
+These extend the reference's surface (BASELINE.json north star): at
+100 TB the documents table is the web-crawl corpus and every operator
+below is a single narrow scan + projection — no shuffle except the
+grouped stats — so they pipeline with dedup/similarity in one pass.
+
+Engine-parity discipline: everything is built from length/replace/
+md5/lower/simple-regex primitives that evaluate identically in Spark
+(JVM, codegen) and DuckDB (the oracle), so results hash-match without
+any Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+# language → marker stopword (padded occurrences counted in ' text ')
+LANG_MARKERS = [
+    ("en", " the "),
+    ("fr", " le "),
+    ("de", " der "),
+    ("es", " el "),
+    ("zh", "的"),
+]
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    """# of occurrences of `marker` = (len - len(remove(marker)))/len(marker).
+    Pure string arithmetic → identical in both engines."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+    ) / F.lit(len(marker))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document. The BPE-ish
+    proxy `n_subwords` assumes ~4 chars/token (ceil(len/4)) — the
+    standard budget heuristic when no tokenizer is available."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("bigint")
+    return doc.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars_txt"),
+        n_tokens.alias("n_tokens"),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("bigint").alias("n_subwords"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: count per-language marker
+    stopwords, argmax with a fixed priority order. Deterministic and
+    engine-exact (string arithmetic only); at scale this is a scan."""
+    doc = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {lang: _occurrences(padded, m) for lang, m in LANG_MARKERS}
+    # CASE: first language (in declared order) whose score hits the max
+    mx = F.greatest(*[scores[lang] for lang, _ in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when((scores[lang] == mx) & (mx > 0), F.lit(lang)).otherwise(pred)
+    return doc.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, mean word length, alpha ratio,
+    space ratio → one [0,1] score. All ratios are double arithmetic in
+    a fixed expression order, rounded once at the end."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t).cast("double")
+    n_spaces = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast(
+        "double"
+    )
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    n_words = n_spaces + F.lit(1.0)
+    mean_word_len = (n - n_spaces) / n_words
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = n_alpha / n
+    space_ratio = n_spaces / n
+    score = (
+        F.lit(0.4) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.2) * space_ratio
+    )
+    return doc.select(
+        "doc_id",
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text — the canonical-form hash used as the exact-dedup key."""
+    doc = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return doc.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats (the grouped scan every curation
+    dashboard needs): doc count, total chars, mean doc length."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+QUERIES = {
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_fingerprint": q_fingerprint,
+    "q_text_stats": q_text_stats,
+}
+
+_OCC = "CAST((length({p}) - length(replace({p}, '{m}', ''))) / {ml} AS BIGINT)"
+
+
+def _occ_sql(marker: str) -> str:
+    p = "(' ' || text || ' ')"
+    return f"((length({p}) - length(replace({p}, '{marker}', ''))) / {len(marker)})"
+
+
+_SCORES = {lang: _occ_sql(m) for lang, m in LANG_MARKERS}
+_MX = "greatest(" + ", ".join(_SCORES.values()) + ")"
+_PRED = "CASE "
+for _lang, _ in LANG_MARKERS:
+    _PRED += f"WHEN {_MX} > 0 AND {_SCORES[_lang]} = {_MX} THEN '{_lang}' "
+_PRED += "ELSE 'und' END"
+
+ORACLES = {
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_txt,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords
+        FROM documents
+    """,
+    "q_lang_id": (
+        "SELECT doc_id, lang, "
+        + ", ".join(
+            f"CAST({_SCORES[lang]} AS BIGINT) AS score_{lang}"
+            for lang, _ in LANG_MARKERS
+        )
+        + f", {_PRED} AS pred_lang FROM documents"
+    ),
+    "q_quality_score": """
+        SELECT doc_id,
+            round((length(text) - (length(text) - length(replace(text,' ',''))))
+                  / ((length(text) - length(replace(text,' ',''))) + 1.0), 6)
+                AS mean_word_len,
+            round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+            round(0.4 * least(length(text) / 500.0, 1.0)
+                + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE))
+                + 0.2 * ((length(text) - length(replace(text,' ','')))
+                         / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+        FROM documents
+    """,
+    "q_fingerprint": r"""
+        SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "q_text_stats": """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               round(avg(length(text)), 6) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+}

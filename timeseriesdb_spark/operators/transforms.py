@@ -1,0 +1,117 @@
+"""Lossy time-series transforms — the genuinely non-SQL operators
+(SURVEY.md §2.5): truncated-Fourier reconstruction (segment.rs:304-373,
+692-851), PLA/LTTB downsampling (compress/pla_lttb.rs:24-110). These
+run as grouped-map pandas UDFs (applyInPandas): one Arrow batch per
+signal, numpy inside, no row-at-a-time Python.
+
+Scale notes: state is per-signal (the reference's unit of compression),
+so the shuffle key is signal_id and skew equals signal skew; at 100 TB
+you'd bound group size by (signal_id, day) exactly like the reference
+bounds segments to 1000 rows. Outputs are deterministic given the
+per-signal row order (sorted inside the UDF on (ts, event_id)), but
+float FFT results are not SQL-expressible → driver rows-only checks;
+pytest pins numerical properties instead (round-trip error bounds, the
+reference's own test strategy — segment.rs:882-906 compare_vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+FFT_RATIO = 0.1    # keep top ratio·n/2 coefficients (ref ratio sweep 0.01-0.5)
+LTTB_RATIO = 0.1   # downsample to ratio·n points
+
+
+def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-FFT reconstruction per signal: rfft, keep the
+    largest-magnitude ratio·n/2 coefficients, irfft back — the
+    reference's Fourier compress/decompress round trip
+    (segment.rs:304-373). Emits (user_id, pos, value, recon)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def recon(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        coeffs = np.fft.rfft(x)
+        keep = max(1, int(len(coeffs) * FFT_RATIO))
+        idx = np.argsort(np.abs(coeffs))[:-keep]
+        coeffs[idx] = 0
+        y = np.fft.irfft(coeffs, n=n)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "pos": np.arange(n, dtype=np.int64),
+                "value": x,
+                "recon": y,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        recon, "user_id bigint, pos bigint, value double, recon double"
+    )
+
+
+def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling to ratio·n points per signal — the reference's
+    PLA aging level (recoding_daemon.rs progressive degradation).
+
+    NOTE: the LTTB kernel is defined INSIDE the UDF on purpose — a
+    module-level helper would be cloudpickled by reference and require
+    this package on the executor PYTHONPATH; self-contained closures
+    ship by value and run on any cluster."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        def lttb(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+            """Largest-Triangle-Three-Buckets kept-point indices
+            (pla_lttb.rs:24-110 semantics: endpoints kept, one point
+            per bucket maximizing triangle area with the previous kept
+            point and the next bucket's centroid)."""
+            n = len(x)
+            if n_out >= n or n_out < 3:
+                return np.arange(n)
+            kept = [0]
+            bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            for i in range(n_out - 2):
+                lo, hi = bounds[i], bounds[i + 1]
+                nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                ax, ay = x[kept[-1]], y[kept[-1]]
+                seg = slice(lo, max(hi, lo + 1))
+                areas = np.abs((ax - cx) * (y[seg] - ay) - (ax - x[seg]) * (cy - ay))
+                kept.append(lo + int(np.argmax(areas)))
+            kept.append(n - 1)
+            return np.array(sorted(set(kept)), dtype=np.int64)
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        n_out = max(3, int(n * LTTB_RATIO))
+        xs = np.arange(n, dtype=np.float64)
+        keep = lttb(xs, pdf["value"].to_numpy(dtype=np.float64), n_out)
+        out = pdf.iloc[keep]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "event_id": out["event_id"],
+                "ts": out["ts"],
+                "value": out["value"],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        downsample, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+
+
+QUERIES = {
+    "q_fft_recon": q_fft_recon,
+    "q_pla_lttb": q_pla_lttb,
+}
+
+ORACLES: dict[str, str] = {}  # non-SQL-expressible → rows-only checks

@@ -15,12 +15,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 from timeseriesdb_spark.operators import (
     aggregates,
+    dedup,
     filters,
     joins,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    transforms,
     windows,
 )
 
-_MODULES = [aggregates, filters, joins, windows]
+_MODULES = [
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    transforms,
+    windows,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
