@@ -1,0 +1,91 @@
+"""Streaming ingestion parity tests (SURVEY.md §2.8/§3.1).
+
+The reference's pipeline is stream → count-chunked segments → buffer →
+daemon persists (future_signal.rs:121-218, compression_daemon.rs:51-161).
+Here: file stream → watermarked windowed stats → foreachBatch Parquet.
+We verify the streamed result equals the equivalent batch aggregation —
+the incremental/state-store path must agree with the full rescan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.streaming import ingest
+from timeseriesdb_spark.tables import load_table
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+
+    # Stage events into a source directory in several files — the file
+    # stream discovers them across micro-batches (maxFilesPerTrigger=4).
+    # load_table normalizes the driver's nanosecond timestamps to µs.
+    load_table(spark, SF_DIR, "events").repartition(8).write.parquet(src)
+
+    stream = ingest.read_event_stream(spark, src)
+    q = ingest.ingest_to_parquet(
+        ingest.windowed_stats(stream, window="1 hour", watermark="2 hours"),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["user_id", "win_start"])
+        .reset_index(drop=True)
+    )
+
+    batch = spark.read.parquet(src)
+    exp = (
+        batch.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("win_start"),
+            "cnt",
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "win_start"])
+        .reset_index(drop=True)
+    )
+
+    # Append-mode semantics: every EMITTED window must match the batch
+    # result exactly; the only windows allowed to be absent are the
+    # unclosed tail still held in state (within the watermark horizon of
+    # the max event time) when the availableNow stream drains.
+    merged = got.merge(
+        exp, on=["user_id", "win_start"], how="left", suffixes=("", "_exp")
+    )
+    for c in ["cnt", "min_value", "max_value", "sum_value"]:
+        pd.testing.assert_series_equal(
+            merged[c], merged[f"{c}_exp"].rename(c), check_exact=True
+        )
+    missing = exp.merge(got[["user_id", "win_start"]], how="left", indicator=True)
+    missing = missing[missing["_merge"] == "left_only"]
+    horizon = exp["win_start"].max() - pd.Timedelta(hours=6)
+    assert (missing["win_start"] >= horizon).all(), (
+        f"non-tail windows missing from stream output:\n{missing.head()}"
+    )
+
+
+def test_rate_stream_schema(spark):
+    df = ingest.rate_signal_stream(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]

@@ -1,0 +1,111 @@
+"""Structured Streaming ingestion — the Spark-native form of the
+reference's ingestion pipeline (SURVEY.md §3.1):
+
+reference                                   → here
+BufferedSignal::poll chunks stream→segments → readStream micro-batches
+  (future_signal.rs:121-218)
+Arc<Mutex<SegmentBuffer>> shared buffer     → state store / sink files
+compression daemon drains >10%-full buffer  → foreachBatch append to
+  (compression_daemon.rs:51-79)               partitioned Parquet
+count-based tumbling segmentation           → event-time tumbling
+  (split_decider, lib.rs:337)                 window (+ count-window
+                                              emulation in windows.py)
+no late-data handling (arrival order)       → withWatermark (real
+  (segment.rs:84 time_lapse unused)           late-data semantics)
+
+At 100 TB/day the same topology holds: Kafka source → watermark →
+windowed pre-agg → foreachBatch appends to a (day)-partitioned table,
+and the rollup (aggregates._rollup) is maintained incrementally by
+the same stream instead of a batch rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-based event stream (the CSV/file client analog,
+    client.rs:241-254): new files in source_dir are discovered per
+    micro-batch. Swap format for 'kafka' in production; the plan
+    downstream is identical."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)  # backpressure (exceed_batch analog)
+        .parquet(source_dir)
+    )
+
+
+def rate_signal_stream(spark: SparkSession, signals: int = 8, rows_per_sec: int = 1000) -> DataFrame:
+    """Synthetic generator client (client.rs:258-343 normal/uniform
+    generators): rate source + deterministic value mixing."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % signals).alias("user_id"),
+        F.lit("gen").alias("event_type"),
+        (F.sin(F.col("value").cast("double")) * 50 + 50).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+def windowed_stats(stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling per-signal stats — the streaming AggStats
+    (buffer_pool.rs:757: maintained incrementally at put; here the
+    state store owns it)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", window).alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", F.col("w.start").alias("win_start"), "cnt",
+                "min_value", "max_value", "sum_value")
+    )
+
+
+def ingest_to_parquet(
+    stream_stats: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch append to partitioned Parquet — the compression
+    daemon's persist path (fm_write, compression_daemon.rs:124-140).
+    availableNow trigger drains all pending input then stops (used by
+    tests; production uses processingTime)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_stats.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
