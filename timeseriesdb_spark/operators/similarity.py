@@ -76,23 +76,44 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
-    All-pairs here (500 vecs); the LSH variant below is the 100 TB
-    path. The pair join is id-ordered to emit each pair once."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("norm").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("norm").alias("nb")
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a",
-        "vec_b",
-        F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias(
-            "cos_sim"
-        ),
-    )
-    return pairs.where(F.col("cos_sim") >= NEARDUP_COS)
+
+    Blocked GEMM, not a pair join: each Arrow batch of the scan is one
+    numpy matmul against a broadcast normalized corpus matrix — the
+    O(n²·d) flops run in BLAS instead of millions of interpreted
+    array lambdas. The broadcast side is the "dictionary" pattern
+    (client.rs:346 read_dict → broadcast); when the corpus outgrows
+    one broadcast, the same kernel runs per corpus block (union over
+    B-chunks) or switches to the LSH bucket-join path
+    (q_ann_lsh / q_minhash_lsh_pairs) — that is the 100 TB answer;
+    exact all-pairs is inherently quadratic."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.toPandas()
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def gen(batches):
+        bids, bmat, bnorms = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            amat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            anorms = np.sqrt((amat * amat).sum(axis=1))
+            aids = batch["vec_id"].to_numpy(dtype=np.int64)
+            # dot-then-divide, matching the oracle's round(dot/(na*nb), 4)
+            sims = np.round((amat @ bmat.T) / np.outer(anorms, bnorms), 4)
+            keep = (sims >= NEARDUP_COS) & (aids[:, None] < bids[None, :])
+            ai, bi = np.nonzero(keep)
+            if len(ai):
+                yield pd.DataFrame(
+                    {"vec_a": aids[ai], "vec_b": bids[bi], "cos_sim": sims[ai, bi]}
+                )
+
+    return emb.mapInPandas(gen, schema="vec_a bigint, vec_b bigint, cos_sim double")
 
 
 def _srp_planes() -> list[list[float]]:
@@ -136,32 +157,43 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distance rounded to 4dp; ties broken by train vec_id — the
     reference's scan order makes its tie-break implicit; ours is
     explicit and deterministic."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    test = emb.filter(F.col("vec_id") % TEST_MOD == 0).select(
-        F.col("vec_id").alias("test_id"),
-        F.col("label").alias("true_label"),
-        F.col("e").alias("te"),
-    )
-    train = emb.filter(F.col("vec_id") % TEST_MOD != 0).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("label").alias("pred_label"),
-        F.col("e").alias("re"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("te"), F.col("re"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
-    w = Window.partitionBy("test_id").orderBy("dist2", "train_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    train = emb.filter(F.col("vec_id") % TEST_MOD != 0).toPandas()
+    tids = train["vec_id"].to_numpy(dtype=np.int64)
+    tlabels = train["label"].to_numpy(dtype=np.int64)
+    tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    # broadcast train matrix (the reference slurps the train CSV whole,
+    # knn/main.rs:11-64; here it is the broadcast dictionary side)
+    bc = spark.sparkContext.broadcast((tids, tlabels, tmat))
+
+    def gen(batches):
+        ids, labels, mat = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = []
+            for _, row in batch.iterrows():
+                a = np.asarray(row["embedding"], dtype=np.float64)
+                diff = mat - a[None, :]
+                d2 = np.round((diff * diff).sum(axis=1), 4)
+                # argmin with the explicit (dist2, train_id) tie-break
+                best = np.lexsort((ids, d2))[0]
+                out.append(
+                    (int(row["vec_id"]), int(row["label"]), int(labels[best]), d2[best])
+                )
+            yield pd.DataFrame(
+                out, columns=["test_id", "true_label", "pred_label", "dist2"]
+            )
+
     return (
-        test.join(F.broadcast(train))
-        .select("test_id", "true_label", "pred_label", "train_id",
-                F.round(d2, 4).alias("dist2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("test_id", "true_label", "pred_label", "dist2")
+        emb.filter(F.col("vec_id") % TEST_MOD == 0)
+        .mapInPandas(
+            gen,
+            schema="test_id bigint, true_label bigint, pred_label bigint, dist2 double",
+        )
     )
 
 
