@@ -1,0 +1,105 @@
+"""Scale-contract tests: assert the physical plans have the properties
+that matter at 100 TB (SURVEY.md §4). A green run here means predicate
+pushdown, column pruning, broadcast joins, and codegen are actually in
+the plans — not just intended.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.plans import checks
+from timeseriesdb_spark.registry import QUERIES
+from timeseriesdb_spark.tables import load_table
+
+
+def test_range_filter_pushdown(spark):
+    df = QUERIES["q_range_filter"](spark, SF_DIR)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "value" in pushed, f"value predicate not pushed: {pushed!r}"
+
+
+def test_range_new_pushes_both_predicates(spark):
+    df = QUERIES["q_range_new"](spark, SF_DIR)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "user_id" in pushed and "value" in pushed
+
+
+def test_count_prunes_columns(spark):
+    df = QUERIES["q_count"](spark, SF_DIR)
+    cols = checks.read_schema(df)
+    assert len(cols) <= 1, f"count() should read at most one column, got {cols}"
+
+
+def test_projection_reads_only_needed_columns(spark):
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    cols = set(checks.read_schema(ev))
+    assert cols == {"user_id", "value"}, cols
+
+
+def test_semi_join_broadcasts_dim_side(spark):
+    df = QUERIES["q_low_fuel"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df), "dim side should broadcast"
+
+
+def test_last_loc_single_shuffle(spark):
+    # semi-join (broadcast) + window rank → exactly one shuffle (by key)
+    df = QUERIES["q_last_loc"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df)
+    assert checks.exchange_count(df) <= 1, checks.formatted_plan(df)
+
+
+def test_scalar_aggs_single_pass(spark):
+    # partial+final agg (map-side combine before the one shuffle) —
+    # the AggStats merge pattern (buffer_pool.rs:757-790) for free
+    df = QUERIES["q_agg_stats"](spark, SF_DIR)
+    assert checks.exchange_count(df) <= 1
+    plan = checks.formatted_plan(df)
+    assert "partial_" in plan, plan
+
+
+def test_asof_join_is_single_shuffle(spark):
+    # the union-merge as-of must not range-join: one exchange for the
+    # per-user window, no nested-loop join anywhere
+    df = QUERIES["q_asof_join"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_window_max_pushes_nothing_python(spark):
+    # flagship query: pure JVM (no Python eval nodes in the plan)
+    df = QUERIES["q_window_max"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+
+
+def test_delta_zigzag_stays_jvm(spark):
+    df = QUERIES["q_delta_zigzag"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan
+    assert checks.exchange_count(df) <= 1
+
+
+def test_store_partition_pruning(spark, tmp_path):
+    from timeseriesdb_spark.sources import store
+
+    path = str(tmp_path / "signal_store")
+    ev = load_table(spark, SF_DIR, "events")
+    store.write_signal_store(ev, path)
+
+    scan = store.read_signal_store(spark, path).filter(
+        (F.col("event_date") == "2024-01-05") & (F.col("user_id") == 3)
+    )
+    plan = checks.formatted_plan(scan)
+    # date predicate prunes partitions (shows in PartitionFilters),
+    # signal predicate reaches PushedFilters (file stats prune)
+    assert "event_date" in plan
+    pushed = " ".join(checks.pushed_filters(scan))
+    assert "user_id" in pushed
+    # correctness of the pruned read
+    n_direct = ev.filter(
+        (F.to_date("ts") == "2024-01-05") & (F.col("user_id") == 3)
+    ).count()
+    assert scan.count() == n_direct

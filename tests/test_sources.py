@@ -1,0 +1,66 @@
+"""Source-client tests (SURVEY.md §2.1): CSV file client round-trip,
+scaled-int iterator, deterministic generators, dictionary reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from timeseriesdb_spark.sources import clients
+
+
+def test_csv_file_client_roundtrip(spark, tmp_path):
+    p = tmp_path / "sig.csv"
+    p.write_text("id,value\n1,1.5\n2,-2.25\n3,0.125\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("value", DoubleType())]
+    )
+    df = clients.csv_file_client(spark, str(p), schema, skip_header=True)
+    rows = sorted((r.id, r.value) for r in df.collect())
+    assert rows == [(1, 1.5), (2, -2.25), (3, 0.125)]
+
+
+def test_csv_custom_delimiter(spark, tmp_path):
+    p = tmp_path / "sig.tsv"
+    p.write_text("1\t1.5\n2\t2.5\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("value", DoubleType())]
+    )
+    df = clients.csv_file_client(spark, str(p), schema, delimiter="\t")
+    assert df.count() == 2
+
+
+def test_scaled_int_client(spark, tmp_path):
+    p = tmp_path / "vals.csv"
+    p.write_text("1.2345\n-0.5\n2.0\n")
+    df = clients.scaled_int_client(spark, str(p), p=3)
+    got = sorted(r.scaled for r in df.collect())
+    # floor semantics: 1.2345→1234, -0.5→-500, 2.0→2000
+    assert got == [-500, 1234, 2000]
+
+
+def test_generator_deterministic_across_partitioning(spark):
+    a = clients.generator_client(spark, "normal", n_rows=1000, seed=7)
+    b = clients.generator_client(spark, "normal", n_rows=1000, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_generator_uniform_bounds(spark):
+    df = clients.generator_client(spark, "uniform", n_rows=1000, lo=10.0, hi=20.0)
+    from pyspark.sql import functions as F
+
+    row = df.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    assert 10.0 <= row.lo and row.hi < 20.0
+
+
+def test_read_dict(spark, tmp_path):
+    p = tmp_path / "dict.tsv"
+    p.write_text("1.0\t2.0\t3.0\n4.0\t5.0\t6.0\n")
+    df = clients.read_dict(spark, str(p))
+    feats = [r.features for r in df.orderBy("row_id").collect()]
+    assert feats == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]

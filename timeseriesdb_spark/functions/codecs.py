@@ -1,0 +1,125 @@
+"""Scalar codec kernels (SURVEY.md §2.7) re-expressed as Spark column
+expressions — the reference's encoder *preprocessing* math, which is
+the query-visible part of its codecs:
+
+- scaled-int quantization (client.rs:187-229 scaled file iterators;
+  PrecisionBound methods/prec_double.rs:36-82): value → ⌊value·10^p⌋.
+- delta + zigzag (sprintz_double_encoder / unzigzag,
+  methods/bit_packing.rs:14-330): per-signal first difference, then
+  the sign-fold n → 2n / -2n-1 that makes small magnitudes small
+  unsigned ints.
+- delta-of-delta on timestamps (the Gorilla timestamp path,
+  methods/gorilla_encoder.rs:10-314): second difference of epoch-µs.
+
+The bit-plane packing itself belongs to Parquet (DELTA_BINARY_PACKED /
+BYTE_STREAM_SPLIT do the reference's job declaratively — SURVEY.md
+§1.5); what we keep queryable is the arithmetic, because analyses like
+"how compressible is this signal" are delta-domain aggregations.
+
+All kernels are pure built-in expressions (whole-stage codegen, no
+Python); the per-signal lag is one window over (user_id ORDER BY ts,
+event_id) — a single shuffle on the signal key, linear at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+SCALE_P = 3  # 10^3 — the reference's scl=1000 setting (tsbs/mod.rs:25)
+
+
+def scaled_int(col: Column, p: int = SCALE_P) -> Column:
+    """Float → scaled integer at 10^p (floor, not round: Spark's cast
+    truncates toward zero while DuckDB's rounds — floor() first makes
+    both engines agree; see also BASELINE gotchas)."""
+    return F.floor(col * F.lit(float(10**p))).cast("long")
+
+
+def zigzag(col: Column) -> Column:
+    """Sign-fold to non-negative: n ≥ 0 → 2n, n < 0 → -2n-1
+    (bit_packing.rs zigzag). Arithmetic form — identical in any engine,
+    no reliance on shift/XOR signedness."""
+    return F.when(col >= 0, col * 2).otherwise(-col * 2 - 1)
+
+
+def _signal_window() -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def q_delta_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal delta + zigzag of the scaled value — the sprintz
+    encode domain. First row per signal carries the scaled value itself
+    (the codec's stored header value), matching a lag default of 0."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _signal_window()
+    v = scaled_int(F.col("value"))
+    delta = v - F.lag(v, 1, 0).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        v.alias("scaled"),
+        zigzag(delta).alias("zz_delta"),
+    )
+
+
+def q_ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-of-delta of event timestamps per signal (Gorilla's
+    timestamp codec): dod ≈ 0 for regularly sampled signals, which is
+    exactly what makes them compressible. Emitted per event with the
+    first/second rows carrying 0 defaults (the codec header)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _signal_window()
+    us = F.unix_micros(F.col("ts"))
+    d1 = us - F.lag(us, 1, 0).over(w)
+    # lag of a derived column: compute in two layers so the window is
+    # applied to a materialized expression (and the SQL mirrors it)
+    inner = ev.select("user_id", "event_id", "ts", d1.alias("d1"))
+    w2 = _signal_window()
+    return inner.select(
+        "user_id",
+        "event_id",
+        (F.col("d1") - F.lag("d1", 1, 0).over(w2)).alias("dod"),
+    )
+
+
+QUERIES = {
+    "q_delta_zigzag": q_delta_zigzag,
+    "q_ts_delta": q_ts_delta,
+}
+
+ORACLES = {
+    "q_delta_zigzag": f"""
+        WITH scaled AS (
+            SELECT user_id, event_id, ts,
+                   CAST(floor(value * {float(10 ** SCALE_P)}) AS BIGINT) AS scaled
+            FROM events
+        ), d AS (
+            SELECT user_id, event_id, scaled,
+                   scaled - lag(scaled, 1, 0) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS delta
+            FROM scaled
+        )
+        SELECT user_id, event_id, scaled,
+               CASE WHEN delta >= 0 THEN delta * 2
+                    ELSE -delta * 2 - 1 END AS zz_delta
+        FROM d
+    """,
+    "q_ts_delta": """
+        WITH us AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) AS us FROM events
+        ), d1 AS (
+            SELECT user_id, event_id, ts,
+                   us - lag(us, 1, 0) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS d1
+            FROM us
+        )
+        SELECT user_id, event_id,
+               d1 - lag(d1, 1, 0) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dod
+        FROM d1
+    """,
+}

@@ -92,12 +92,56 @@ def q_range_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "value")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'purchase' event, the latest 'view' event of
+    the same user at-or-before its timestamp. The reference only
+    *approximates* as-of via its backward-scan-first-match pattern
+    (tsbs/mod.rs:29-48); this is the true ordered semantics.
+
+    Scale shape: the union-merge pattern — tag both sides, one shuffle
+    on user_id, a running `last(ignorenulls)` over (ts, side) order.
+    No range join, no per-row probe: cost is one sort per key bucket,
+    which survives 100× scale (an AS OF range-join would explode)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    sides = ev.filter(F.col("event_type").isin("view", "purchase")).withColumn(
+        "side", F.when(F.col("event_type") == "view", 0).otherwise(1)
+    )
+    # views sort before purchases at equal ts → `>=` (inclusive) as-of
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("side") == 0
+    return (
+        sides.withColumn(
+            "view_ts", F.last(F.when(is_view, F.col("ts")), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "view_value",
+            F.last(F.when(is_view, F.col("value")), ignorenulls=True).over(w),
+        )
+        .filter((F.col("side") == 1) & F.col("view_value").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            "view_ts",
+            "view_value",
+        )
+    )
+
+
 QUERIES = {
     "q_last_per_key": q_last_per_key,
     "q_last_loc": q_last_loc,
     "q_low_fuel": q_low_fuel,
     "q_high_load": q_high_load,
     "q_range_new": q_range_new,
+    "q_asof_join": q_asof_join,
 }
 
 _TRUCKS_SQL = "(SELECT c_custkey FROM customer WHERE c_nationkey < 5)"
@@ -130,5 +174,15 @@ ORACLES = {
     "q_range_new": f"""
         SELECT event_id, user_id, value FROM events
         WHERE user_id < {PRED_JOIN_MAX_ID} AND value > {HIGH_LOAD_PRED}
+    """,
+    # DuckDB's native ASOF JOIN pins the exact inclusive (>=) semantics
+    # our union-merge window implements.
+    "q_asof_join": """
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value, v.ts AS view_ts,
+               v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
 }

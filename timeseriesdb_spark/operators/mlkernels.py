@@ -1,0 +1,165 @@
+"""Kernel-based analytics (SURVEY.md §2.9): GRAIL-style kernel
+embedding (kernel.rs:22-240) and LCCE cross-correlation
+(lcce.rs:15-100), re-expressed Spark-first.
+
+Shape of both: a small per-run DICTIONARY of landmark series
+(dict_pre_process, kernel.rs:104-130 — the reference samples dictionary
+rows from the dataset) is computed once and broadcast; every signal is
+then processed independently in a grouped-map pandas UDF (one Arrow
+batch per signal, numpy/FFT inside). That is exactly the 100 TB
+topology: tiny O(K²) eigen work on the driver, embarrassingly parallel
+O(n·K·L log L) on executors, one shuffle on the signal key.
+
+Both emit float results of FFT pipelines → not SQL-expressible; the
+driver records rows-only checks and pytest pins numerical properties
+(self-correlation = 1, embedding dimension/energy — the reference's own
+loose-oracle strategy, segment.rs:882-906).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+DICT_K = 8       # dictionary (landmark) series: the K lowest signal ids
+GRAIL_GAMMA = 1.0
+EMBED_DIM = 4    # keep top eigen-dimensions (rank truncation)
+
+
+def _kernels():
+    """Kernel math built in a factory: the returned closures have no
+    module-level references, so a pandas UDF capturing them is
+    cloudpickled BY VALUE and runs on executors that don't have this
+    package installed (same rule as transforms.py's inline LTTB)."""
+
+    def znorm(x: np.ndarray) -> np.ndarray:
+        s = x.std()
+        return (x - x.mean()) / (s if s > 0 else 1.0)
+
+    def ncc_max(x: np.ndarray, y: np.ndarray) -> tuple[float, int]:
+        """Max normalized cross-correlation over all shifts (SINK/NCCc
+        core, lcce.rs NCCC): FFT cross-correlation, normalized by the
+        product of L2 norms. Returns (coefficient, best_lag)."""
+        n = len(x) + len(y) - 1
+        nfft = 1 << (n - 1).bit_length()
+        full = np.fft.irfft(
+            np.fft.rfft(x, nfft) * np.conj(np.fft.rfft(y, nfft)), nfft
+        )
+        # circular layout: positive lags 0..len(x)-1 at the front,
+        # negative lags -(len(y)-1)..-1 at the tail — stitch to lag order
+        neg = full[nfft - (len(y) - 1):] if len(y) > 1 else full[:0]
+        cc = np.concatenate([neg, full[: len(x)]])
+        denom = np.linalg.norm(x) * np.linalg.norm(y)
+        if denom == 0:
+            return 0.0, 0
+        k = int(np.argmax(cc))
+        return float(cc[k] / denom), k - (len(y) - 1)
+
+    return znorm, ncc_max
+
+
+_znorm, _ncc_max = _kernels()  # driver-side / test aliases
+
+
+def _dictionary(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
+    """Z-normalized landmark series for the K lowest signal ids —
+    driver-side collect of K series only (the dictionary is small by
+    construction; the corpus never moves)."""
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.filter(F.col("user_id") < DICT_K)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    return [
+        _znorm(g["value"].to_numpy(dtype=np.float64))
+        for _, g in pdf.groupby("user_id", sort=True)
+    ]
+
+
+def q_grail_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAIL embedding (kernel.rs run_v0:78-101): SINK kernel values
+    of each signal against the dictionary, projected through the
+    dictionary kernel matrix's truncated eigendecomposition. Emits
+    (user_id, dim, coeff) — a k-dim feature vector per signal usable
+    for downstream classification/clustering."""
+    dict_series = _dictionary(spark, sf_dir)
+    K = len(dict_series)
+
+    # SINK kernel: exp(gamma · max-NCC). Dictionary kernel matrix +
+    # eigenbasis computed once, driver-side (K×K).
+    W = np.empty((K, K))
+    for i in range(K):
+        for j in range(K):
+            W[i, j] = np.exp(GRAIL_GAMMA * _ncc_max(dict_series[i], dict_series[j])[0])
+    W = (W + W.T) / 2.0
+    vals, vecs = np.linalg.eigh(W)
+    order = np.argsort(vals)[::-1][:EMBED_DIM]
+    lam, U = np.maximum(vals[order], 1e-12), vecs[:, order]
+    proj = U / np.sqrt(lam)  # K × EMBED_DIM
+
+    bc = spark.sparkContext.broadcast((dict_series, proj))
+    znorm, ncc_max = _kernels()  # closure-local, ships by value
+    gamma = GRAIL_GAMMA
+
+    def embed(pdf: pd.DataFrame) -> pd.DataFrame:
+        dseries, pmat = bc.value
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = znorm(pdf["value"].to_numpy(dtype=np.float64))
+        kvec = np.array(
+            [np.exp(gamma * ncc_max(x, d)[0]) for d in dseries]
+        )
+        emb = kvec @ pmat
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "dim": np.arange(len(emb), dtype=np.int64),
+                "coeff": emb,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        embed, "user_id bigint, dim bigint, coeff double"
+    )
+
+
+def q_lcce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCCE (lcce.rs:15-100): max normalized cross-correlation of every
+    signal against every dictionary row. Emits
+    (user_id, dict_id, nccc, best_lag)."""
+    dict_series = _dictionary(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(dict_series)
+    znorm, ncc_max = _kernels()  # closure-local, ships by value
+
+    def correlate(pdf: pd.DataFrame) -> pd.DataFrame:
+        dseries = bc.value
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = znorm(pdf["value"].to_numpy(dtype=np.float64))
+        uid = int(pdf["user_id"].iloc[0])
+        rows = []
+        for j, d in enumerate(dseries):
+            c, lag = ncc_max(x, d)
+            rows.append((uid, j, c, lag))
+        return pd.DataFrame(
+            rows, columns=["user_id", "dict_id", "nccc", "best_lag"]
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        correlate, "user_id bigint, dict_id bigint, nccc double, best_lag bigint"
+    )
+
+
+QUERIES = {
+    "q_grail_embed": q_grail_embed,
+    "q_lcce": q_lcce,
+}
+
+ORACLES: dict[str, str] = {}  # FFT pipelines → rows-only checks

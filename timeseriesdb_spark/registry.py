@@ -13,11 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from timeseriesdb_spark.functions import codecs
 from timeseriesdb_spark.operators import (
     aggregates,
     dedup,
     filters,
     joins,
+    mlkernels,
     multimodal,
     relational,
     similarity,
@@ -27,10 +29,12 @@ from timeseriesdb_spark.operators import (
 )
 
 _MODULES = [
+    codecs,
     aggregates,
     dedup,
     filters,
     joins,
+    mlkernels,
     multimodal,
     relational,
     similarity,
