@@ -37,7 +37,10 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 def _shingles(doc: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, shingle) word-k-shingles. slice+transform keeps
-    it JVM-side; explode is the only row expansion."""
+    it JVM-side; explode is the only row expansion. Dedup happens
+    map-side via array_distinct BEFORE the explode — (doc_id, shingle)
+    distinctness is per-document, so a global distinct() shuffle would
+    move every shingle row for nothing."""
     words = F.split(F.col("text"), " ")
     # sequence(0, n) with n<0 would generate a DESCENDING sequence in
     # Spark — guard short docs to an empty shingle set instead.
@@ -48,11 +51,9 @@ def _shingles(doc: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        doc.select("doc_id", F.explode(sh).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
-    )
+    return doc.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).where(F.length("shingle") > 0)
 
 
 _SHINGLES_SQL = f"""
@@ -87,13 +88,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-shingle Jaccard near-dup pairs via inverted-index join:
     |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. Integer
     counts → the ratio is engine-exact before the final round."""
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    # Repartition on the join key: (1) pins the inverted-index join to
+    # a shuffle join — Catalyst's size estimate would otherwise
+    # BROADCAST the exploded shingle set, which dies at corpus scale;
+    # (2) both self-join sides share one ReusedExchange, so the
+    # text is scanned and shingled exactly once.
+    sh = _shingles(load_table(spark, sf_dir, "documents")).repartition("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -117,16 +124,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+SLICES_PER_MD5 = 4  # 4 × 8 hex chars (32 bits) per digest
+
+
 def _sig_cols():
-    """(column_name, seed_prefix) per MinHash permutation."""
-    return [(f"s{i:02d}", f"{i}:") for i in range(MINHASH_K)]
+    """(column_name, seed_prefix, hex_offset) per MinHash lane.
+
+    One md5 yields FOUR 32-bit lanes (hex slices) instead of one —
+    hashing is the dominant cost of MinHash at corpus scale, and
+    k/4 digests per shingle give the same k independent-enough
+    permutations (one-permutation-hashing style slicing). 32-bit
+    lanes are ample for min-wise estimation; the oracle SQL mirrors
+    the construction exactly."""
+    return [
+        (f"s{i:02d}", f"{i // SLICES_PER_MD5}:", (i % SLICES_PER_MD5) * 8 + 1)
+        for i in range(MINHASH_K)
+    ]
 
 
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(load_table(spark, sf_dir, "documents"))
+    digests = {
+        seed: F.md5(F.concat(F.lit(seed), F.col("shingle")))
+        for _, seed, _ in _sig_cols()
+    }
     aggs = [
-        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(name)
-        for name, seed in _sig_cols()
+        F.min(F.substring(digests[seed], off, 8)).alias(name)
+        for name, seed, off in _sig_cols()
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -134,7 +158,8 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SQL = (
     "SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{seed}' || shingle)) AS {name}" for name, seed in _sig_cols()
+        f"min(substr(md5('{seed}' || shingle), {off}, 8)) AS {name}"
+        for name, seed, off in _sig_cols()
     )
     + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 )
@@ -150,7 +175,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard (fraction of equal signature components). The
     band join is the scale path — pairs never form across buckets."""
     sig = _minhash(spark, sf_dir)
-    names = [n for n, _ in _sig_cols()]
+    names = [n for n, _, _ in _sig_cols()]
     bands = sig.select(
         "doc_id",
         *names,
@@ -229,7 +254,7 @@ QUERIES = {
     "q_simhash": q_simhash,
 }
 
-_NAMES = [n for n, _ in _sig_cols()]
+_NAMES = [n for n, _, _ in _sig_cols()]
 _BAND_KEYS_SQL = ", ".join(
     "'b{b}:' || md5({concat}) AS band_{b}".format(
         b=b,

@@ -50,9 +50,13 @@ def read_schema(df: DataFrame) -> list[str]:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges only (broadcast exchanges are free-ish)."""
+    """Shuffle exchanges only (broadcast exchanges are free-ish).
+    Counts the numbered '(N) Exchange' operator sections of the
+    formatted plan — the partitioning detail sits on a separate
+    Arguments: line, so matching 'Exchange hashpartitioning' inline
+    would (silently) count nothing."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
