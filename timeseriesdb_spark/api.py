@@ -1,0 +1,186 @@
+"""User-facing engine facade — the reference's database lifecycle
+(configure → ingest signals → query) as one object, so a TimeSeriesDB
+user can switch without learning the internals:
+
+reference                                  → SignalEngine
+run_single_test ingestion (lib.rs:485-921) → ingest()/ingest_stream()
+buffer.run_query count/sum/min/max/avg     → agg()
+  (query.rs:41-173)
+range/equal filters (split_double.rs:4230) → range_query()
+SegmentIter::get_last_n (segment.rs:268)   → last_n()
+influx max_groupby (influx_bench/mod.rs)   → window_max()
+AggStats summary (buffer_pool.rs:757)      → build_rollup()/rollup_agg()
+recoding daemon downsampling               → downsample() (PAA rollup)
+
+Storage is the date-partitioned, signal-clustered Parquet layout of
+sources/store.py; every method returns a lazy DataFrame (composable,
+optimizer-visible) — nothing collects on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.operators.common import dsum
+from timeseriesdb_spark.sources import store
+
+_AGGS = {
+    "count": lambda c: F.count(c).alias("count"),
+    "min": lambda c: F.min(c).alias("min"),
+    "max": lambda c: F.max(c).alias("max"),
+    "sum": lambda c: dsum(c, "sum"),
+    "avg": lambda c: F.round(F.avg(c), 6).alias("avg"),
+}
+
+
+class SignalEngine:
+    """A signal store at `path` + query surface over it."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---- ingestion -----------------------------------------------------
+
+    def ingest(self, events: DataFrame, mode: str = "append") -> None:
+        """Batch ingest (the reference's file-client path). Expects
+        (user_id, ts, value, ...) columns; layout per sources/store."""
+        store.write_signal_store(events, self.path, mode=mode)
+
+    def ingest_stream(self, stream: DataFrame, checkpoint: str):
+        """Streaming ingest (BufferedSignal path): foreachBatch append
+        through the same partitioned writer — batch and stream land in
+        one layout."""
+
+        def write_batch(batch_df: DataFrame, _bid: int) -> None:
+            store.write_signal_store(batch_df, self.path, mode="append")
+
+        return (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # ---- scans ---------------------------------------------------------
+
+    def events(self) -> DataFrame:
+        return store.read_signal_store(self.spark, self.path)
+
+    def _scoped(self, signals=None, t0=None, t1=None) -> DataFrame:
+        """Signal/time scoping — predicates are plain conjunctions so
+        partition pruning (event_date) and file skipping (user_id
+        min/max) both engage; see test_plans."""
+        df = self.events()
+        if signals is not None:
+            df = df.filter(F.col("user_id").isin(list(signals)))
+        if t0 is not None:
+            df = df.filter(F.col("ts") >= F.lit(t0))
+        if t1 is not None:
+            df = df.filter(F.col("ts") < F.lit(t1))
+        return df
+
+    # ---- queries (the reference's operator surface) --------------------
+
+    def agg(self, which: str, signals=None, t0=None, t1=None) -> DataFrame:
+        """Per-signal scalar aggregate (query.rs:41-173)."""
+        if which not in _AGGS:
+            raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+        return (
+            self._scoped(signals, t0, t1)
+            .groupBy("user_id")
+            .agg(_AGGS[which]("value"))
+        )
+
+    def range_query(
+        self, lo=None, hi=None, signals=None, t0=None, t1=None
+    ) -> DataFrame:
+        """value-range filter (range/equal filter surface, §2.2)."""
+        df = self._scoped(signals, t0, t1)
+        if lo is not None:
+            df = df.filter(F.col("value") > F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col("value") < F.lit(hi))
+        return df.select("user_id", "ts", "event_id", "value")
+
+    def last_n(self, n: int, signals=None) -> DataFrame:
+        """Newest n rows per signal (SegmentIter::get_last_n)."""
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            self._scoped(signals)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn")
+        )
+
+    def window_max(self, window_rows: int, signals=None) -> DataFrame:
+        """Row-count tumbling windowed max (influx max_groupby)."""
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            self._scoped(signals)
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .groupBy(
+                "user_id",
+                F.floor(F.col("pos") / window_rows).alias("win"),
+            )
+            .agg(F.max("value").alias("win_max"))
+        )
+
+    # ---- maintenance (daemon analogs) ----------------------------------
+
+    def build_rollup(self, rollup_path: str, bucket: str = "1 hour") -> None:
+        """Materialize the AggStats summary table (per signal × time
+        bucket min/max/sum/count) — the recoding/compaction daemon's
+        query-visible output."""
+        (
+            self.events()
+            .groupBy("user_id", F.window("ts", bucket).alias("w"))
+            .agg(
+                F.count("value").alias("cnt"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                dsum("value", "sum_value"),
+            )
+            .select(
+                "user_id", F.col("w.start").alias("bucket_start"),
+                "cnt", "min_value", "max_value", "sum_value",
+            )
+            .write.mode("overwrite")
+            .parquet(rollup_path)
+        )
+
+    def rollup_agg(self, rollup_path: str, which: str = "max") -> DataFrame:
+        """Answer a full-signal aggregate from the rollup instead of
+        the raw store (merge of per-bucket AggStats — the associative
+        combine buffer_pool.rs:757-790)."""
+        r = self.spark.read.parquet(rollup_path)
+        merged = {
+            "count": F.sum("cnt").alias("count"),
+            "min": F.min("min_value").alias("min"),
+            "max": F.max("max_value").alias("max"),
+            "sum": dsum("sum_value", "sum"),
+        }
+        if which not in merged:
+            raise ValueError(f"rollup agg must be one of {sorted(merged)}")
+        return r.groupBy("user_id").agg(merged[which])
+
+    def downsample(self, out_path: str, chunk: int = 8) -> None:
+        """PAA downsampling to an aged tier (the lossy recoding path,
+        recoding_daemon.rs:143-225): chunk means per signal."""
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        (
+            self.events()
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .groupBy(
+                "user_id", F.floor(F.col("pos") / chunk).alias("chunk")
+            )
+            .agg(
+                F.min("ts").alias("ts"),
+                F.round(F.avg("value"), 6).alias("value"),
+            )
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
