@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) — the reference's quickcheck
+strategy (avl/set.rs:371-460) applied to our algebraic kernels.
+Formulas are checked on their numpy/python mirrors across generated
+inputs, then each is pinned to the Spark implementation once per run
+(mirror == Spark on a fixed corpus) so the two can't drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.functions.codecs import scaled_int, zigzag
+
+# ---- mirrors ------------------------------------------------------------
+
+
+def _zigzag_py(n: int) -> int:
+    return 2 * n if n >= 0 else -2 * n - 1
+
+
+def _agg_stats(xs) -> tuple:
+    return (len(xs), min(xs), max(xs), sum(xs))
+
+
+def _merge(a: tuple, b: tuple) -> tuple:
+    return (a[0] + b[0], min(a[1], b[1]), max(a[2], b[2]), a[3] + b[3])
+
+
+# ---- properties on mirrors ---------------------------------------------
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_zigzag_nonnegative_and_invertible(n):
+    z = _zigzag_py(n)
+    assert z >= 0
+    # inverse: even → z/2, odd → -(z+1)/2
+    back = z // 2 if z % 2 == 0 else -(z + 1) // 2
+    assert back == n
+
+
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31), min_size=1))
+def test_zigzag_injective_on_list(xs):
+    assert len({_zigzag_py(x) for x in set(xs)}) == len(set(xs))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=2, max_size=50
+    ),
+    st.integers(min_value=1, max_value=49),
+)
+def test_agg_stats_merge_associative(xs, cut):
+    """merge(stats(prefix), stats(suffix)) == stats(whole) — the
+    AggStats combine (buffer_pool.rs:757-790) that makes partial
+    aggregation and the rollup table exact. Integers: float sums are
+    NOT associative, which is why the engine routes sums through
+    DECIMAL(38,6) (operators/common.py)."""
+    cut = min(cut, len(xs) - 1)
+    a, b = xs[:cut], xs[cut:]
+    assert _merge(_agg_stats(a), _agg_stats(b)) == _agg_stats(xs)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_scaled_int_floor_bounds(xs):
+    """⌊v·1000⌋ is within 1 ulp-scaled unit below v·1000 and
+    monotone — the quantization contract of the scaled-int client."""
+    scaled = [int(np.floor(v * 1000.0)) for v in xs]
+    for v, s in zip(xs, scaled):
+        assert s <= v * 1000.0 < s + 1
+    order = np.argsort(xs, kind="stable")
+    assert all(
+        scaled[order[i]] <= scaled[order[i + 1]] for i in range(len(order) - 1)
+    )
+
+
+# ---- mirror == Spark (one corpus per kernel) ----------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(42)
+    ints = rng.integers(-(2**40), 2**40, size=500).tolist()
+    floats = (rng.normal(0, 1e4, size=500)).tolist()
+    return ints, floats
+
+
+def test_spark_zigzag_matches_mirror(spark, corpus):
+    ints, _ = corpus
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(ints)], "idx long, n long")
+    got = {
+        r.idx: r.z
+        for r in df.select("idx", zigzag(F.col("n")).alias("z")).collect()
+    }
+    assert got == {i: _zigzag_py(v) for i, v in enumerate(ints)}
+
+
+def test_spark_scaled_int_matches_mirror(spark, corpus):
+    _, floats = corpus
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(floats)], "idx long, v double"
+    )
+    got = {
+        r.idx: r.s
+        for r in df.select("idx", scaled_int(F.col("v")).alias("s")).collect()
+    }
+    exp = {i: int(np.floor(v * 1000.0)) for i, v in enumerate(floats)}
+    assert got == exp

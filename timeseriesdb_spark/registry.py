@@ -20,6 +20,7 @@ from timeseriesdb_spark.operators import (
     filters,
     joins,
     mlkernels,
+    mlscoring,
     multimodal,
     relational,
     similarity,
@@ -35,6 +36,7 @@ _MODULES = [
     filters,
     joins,
     mlkernels,
+    mlscoring,
     multimodal,
     relational,
     similarity,
