@@ -85,7 +85,36 @@ def q_outlier_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.4: grouping sets are free in
+    Spark — this declares it): lineitem revenue by
+    (returnflag, linestatus) with subtotals and grand total.
+    grouping_id disambiguates NULL-as-subtotal from NULL data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(rev, "revenue"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_except_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (§2.6): signals with 'purchase' events EXCEPT signals
+    with 'error' events — the HashSet union/difference surface
+    (cr_predictor.rs:46) as engine set operators."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purch.distinct().subtract(err.distinct())
+
+
 QUERIES = {
+    "q_grouping_rollup": q_grouping_rollup,
+    "q_except_signals": q_except_signals,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,
@@ -93,6 +122,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_grouping_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               count(*) AS n_rows,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_except_signals": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
     "q_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {dsum_sql("l_quantity", "sum_qty")},
