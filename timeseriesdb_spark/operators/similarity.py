@@ -151,6 +151,85 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8    # coarse-quantizer centroids
+IVF_NPROBE = 2   # cells probed per query (≈ nprobe/cells recall knob)
+IVF_ITERS = 15
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
+    """Deterministic Lloyd's kmeans over the corpus (driver-side on the
+    broadcast-scale matrix; at 100 TB: train on a sample — the coarse
+    quantizer needs only representativeness, not the full corpus)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    order = np.argsort(Xn[:, 0], kind="stable")
+    C = Xn[order[np.linspace(0, len(Xn) - 1, IVF_CELLS).astype(int)]].copy()
+    for _ in range(IVF_ITERS):
+        sims = Xn @ C.T
+        assign = sims.argmax(axis=1)
+        for k in range(IVF_CELLS):
+            m = assign == k
+            if m.any():
+                c = Xn[m].mean(axis=0)
+                C[k] = c / (np.linalg.norm(c) or 1.0)
+    return C
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: coarse-quantize the corpus into IVF_CELLS cells
+    (max-cosine centroid), search only the IVF_NPROBE cells nearest the
+    probe vector. The inverted-file structure is the DataFrame
+    partitioning itself: cell assignment is a column, the probe is a
+    pushed-down `isin` filter, so a 100 TB corpus scan skips
+    (1 - nprobe/cells) of the data before any distance math."""
+    import numpy as np
+    import pandas as pd
+
+    C = _ivf_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).toPandas()
+    qv = np.asarray(q["embedding"].iloc[0], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe_cells = [int(i) for i in np.argsort(qn @ C.T)[::-1][:IVF_NPROBE]]
+
+    bc = spark.sparkContext.broadcast((C, qv))
+
+    def assign_and_score(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            Cb, qvb = bc.value
+            M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            Mn = M / norms[:, None]
+            cell = (Mn @ Cb.T).argmax(axis=1)
+            qnorm = np.linalg.norm(qvb)
+            cos = np.round((M @ qvb) / (norms * qnorm), 4)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(dtype=np.int64),
+                    "label": batch["label"].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int64),
+                    "cos_sim": cos,
+                }
+            )
+
+    scored = emb.filter(F.col("vec_id") != QUERY_VEC_ID).mapInPandas(
+        assign_and_score,
+        schema="vec_id bigint, label bigint, cell bigint, cos_sim double",
+    )
+    return (
+        scored.filter(F.col("cell").isin(probe_cells))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", "cos_sim")
+    )
+
+
 def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN classification (knn/mod.rs:303-316): for each test vector
     (vec_id % 5 == 0) the label of the squared-L2-argmin train vector.
@@ -201,6 +280,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_knn_1nn": q_knn_1nn,
 }
 
