@@ -120,7 +120,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata extraction: parse the events.props JSON
+    column ('{"k": n}') and aggregate by event_type — the
+    metadata-enrichment scan every crawl/telemetry pipeline runs.
+    get_json_object evaluates JVM-side (no Python); at 100 TB prefer
+    materializing parsed fields as typed columns at ingest (schema
+    evolution), which this query's projection defines."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 QUERIES = {
+    "q_props_extract": q_props_extract,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -183,5 +205,14 @@ ORACLES = {
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
                round(avg(length(text)), 6) AS avg_chars
         FROM documents GROUP BY source
+    """,
+    "q_props_extract": """
+        SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ) GROUP BY event_type
     """,
 }
