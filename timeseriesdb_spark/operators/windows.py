@@ -105,7 +105,44 @@ def q_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session ends after 30 idle minutes.
+    session_id = running count of gap-breaks (lag + cumulative sum —
+    two windows over the same (user, ts) order, ONE shuffle total).
+    Emits per-session duration and event count — the telemetry/user-
+    journey operator every events pipeline needs; the reference's
+    per-signal ordering machinery (segment chains) is exactly what
+    makes it expressible."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = (
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1, 0).over(w)
+            > SESSION_GAP_MIN * 60,
+            1,
+        ).otherwise(0)
+    )
+    with_sess = ev.withColumn(
+        "session_id",
+        F.sum(gap_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )
+
+
 QUERIES = {
+    "q_sessionize": q_sessionize,
     "q_window_max": q_window_max,
     "q_window_max_time": q_window_max_time,
     "q_paa": q_paa,
@@ -120,6 +157,30 @@ _POS = """
 """
 
 ORACLES = {
+    # floor(epoch()) matches Spark's timestamp→long truncation;
+    # lag default 0 makes every signal's first row open session 1 in
+    # both engines.
+    "q_sessionize": f"""
+        WITH t AS (
+            SELECT user_id, event_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        ), g AS (
+            SELECT *, CASE WHEN es - lag(es, 1, 0) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS brk
+            FROM t
+        ), s AS (
+            SELECT *, CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start,
+               CAST(max(es) - min(es) AS BIGINT) AS duration_sec
+        FROM s GROUP BY user_id, session_id
+    """,
     "q_window_max": f"""
         SELECT user_id, CAST(floor(pos / {WINDOW_ROWS}.0) AS BIGINT) AS win,
                max(value) AS win_max
