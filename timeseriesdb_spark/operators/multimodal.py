@@ -83,5 +83,60 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_multimodal_meta": q_multimodal_meta}
+FEAT_DIM = 16       # feature vector size per payload
+FRAME_BYTES = 256   # "frame" granularity for the sampler
+FRAME_EVERY = 4     # keep every k-th frame
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction + frame-sampling plumbing over binary
+    payloads: each payload → a fixed-dim float feature vector
+    (array<double> column) plus sampled-frame digests. The extractor
+    is a deterministic STUB (no image/audio libs in this container —
+    a real model embeds the decoded frames, same signature); the
+    Spark-side contract is real: binary in, typed array out, Arrow
+    batches, executor-only payload handling.
+
+    At 100 TB this is THE pattern for multimodal training data: the
+    array<double> output column feeds the similarity operators
+    (q_ann_*, q_embedding_neardup) directly."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feat_dim, frame_bytes, frame_every = FEAT_DIM, FRAME_BYTES, FRAME_EVERY
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def features(payload: bytes) -> list[float]:
+            # stub embed: per-dim byte means over strided views (a real
+            # impl decodes then runs the vision/audio model here)
+            n = max(1, len(payload) // feat_dim)
+            return [
+                sum(payload[i * n : (i + 1) * n]) / (255.0 * n) if n else 0.0
+                for i in range(feat_dim)
+            ]
+
+        def sampled_frames(payload: bytes) -> int:
+            frames = range(0, max(1, len(payload) // frame_bytes), frame_every)
+            return len(list(frames))
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": [features(p) for p in payloads],
+                    "n_frames_sampled": [sampled_frames(p) for p in payloads],
+                }
+            )
+
+    return doc.mapInPandas(
+        extract,
+        "doc_id bigint, features array<double>, n_frames_sampled bigint",
+    )
+
+
+QUERIES = {
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_features": q_multimodal_features,
+}
 ORACLES: dict[str, str] = {}  # stubbed decode → rows-only check
