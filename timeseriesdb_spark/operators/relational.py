@@ -112,7 +112,63 @@ def q_except_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purch.distinct().subtract(err.distinct())
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue from a filtered scan — every predicate
+    (date range, discount band, quantity cap) reaches PushedFilters,
+    so at 100 TB this reads a fraction of one column's pages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 orders by revenue for one market
+    segment — broadcast-dim semi path + grouped agg + bounded top-k
+    (TakeOrderedAndProject, never a full sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sel_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "semi",
+    )
+    return (
+        li.join(F.broadcast(sel_orders), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-signal event counts spread into one column per event
+    type — pivot compiles to conditional aggregation (shown literally
+    in the oracle), one shuffle, fixed output width."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 QUERIES = {
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_shipping_priority": q_shipping_priority,
+    "q_pivot_event_types": q_pivot_event_types,
     "q_grouping_rollup": q_grouping_rollup,
     "q_except_signals": q_except_signals,
     "q_pricing_summary": q_pricing_summary,
@@ -122,6 +178,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_forecast_revenue": f"""
+        SELECT {dsum_sql("l_extendedprice * l_discount", "revenue")}
+        FROM lineitem
+        WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+    """,
+    "q_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(38,6))) DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q_pivot_event_types": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY user_id
+    """,
     "q_grouping_rollup": f"""
         SELECT l_returnflag, l_linestatus,
                {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},

@@ -141,7 +141,55 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAVG_ROWS = 8  # trailing window width (rows)
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing moving average per signal (frame-spec window: ROWS
+    BETWEEN k PRECEDING AND CURRENT ROW) — the smoothing operator the
+    reference's PAA approximates with chunk means; this is the exact
+    sliding form. One shuffle on the signal key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MAVG_ROWS - 1), Window.currentRow)
+    )
+    # decimal sum / exact count, divided as doubles: sliding-window
+    # float accumulation differs between engines (subtract-on-slide),
+    # so a float avg would occasionally flip the 6th decimal
+    msum = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    mcnt = F.count("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(msum / mcnt, 6).alias("mavg"),
+    )
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-signal sum (unbounded-preceding frame), decimal-
+    routed so every prefix is engine-exact — the integral/energy curve
+    of a signal."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_sum"),
+    )
+
+
 QUERIES = {
+    "q_moving_avg": q_moving_avg,
+    "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
     "q_window_max": q_window_max,
     "q_window_max_time": q_window_max_time,
@@ -157,6 +205,23 @@ _POS = """
 """
 
 ORACLES = {
+    "q_moving_avg": f"""
+        SELECT user_id, event_id,
+               round(
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w, 6) AS mavg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {MAVG_ROWS - 1} PRECEDING AND CURRENT ROW)
+    """,
+    "q_running_sum": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_sum
+        FROM events
+    """,
     # floor(epoch()) matches Spark's timestamp→long truncation;
     # lag default 0 makes every signal's first row open session 1 in
     # both engines.
