@@ -187,7 +187,43 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative per signal (the PromQL-style rate):
+    Δvalue/Δt over consecutive samples. First row per signal is
+    excluded (no predecessor). Rounded — the division is deterministic
+    but guards the rounding grid."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value", 1).over(w)
+    dt = (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")), 1).over(w)) / F.lit(1_000_000.0)
+    # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB rounds tiny negatives to
+    # -0.0, Spark to +0.0 — numerically equal, repr-hash different)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.round(dv / dt, 6) + F.lit(0.0)).alias("rate_per_sec"),
+        )
+        .where(F.col("rate_per_sec").isNotNull())
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per signal (median + p90).
+    Spark `percentile` and DuckDB `quantile_cont` implement the same
+    type-7 interpolation; round(6) guards the last float op. At 100 TB
+    switch to approx_percentile (t-digest) — exact here because the
+    oracle is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 QUERIES = {
+    "q_derivative": q_derivative,
+    "q_quantiles": q_quantiles,
     "q_moving_avg": q_moving_avg,
     "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
@@ -205,6 +241,22 @@ _POS = """
 """
 
 ORACLES = {
+    "q_derivative": """
+        SELECT user_id, event_id, rate_per_sec FROM (
+            SELECT user_id, event_id,
+                   round((value - lag(value, 1) OVER w)
+                         / ((epoch_us(ts) - lag(epoch_us(ts), 1) OVER w)
+                            / 1000000.0), 6) + 0.0 AS rate_per_sec
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE rate_per_sec IS NOT NULL
+    """,
+    "q_quantiles": """
+        SELECT user_id,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY user_id
+    """,
     "q_moving_avg": f"""
         SELECT user_id, event_id,
                round(
