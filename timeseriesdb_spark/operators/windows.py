@@ -221,7 +221,52 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each signal to a regular hourly grid with
+    last-observation-carried-forward — the gap-filling/regularization
+    step the reference's recoding daemons approximate with RRD aging.
+
+    Scale shape: the grid is generated per signal from its own
+    [min,max] span (sequence+explode — no driver loop), unioned with
+    the observations, and LOCF is one `last(ignorenulls)` window —
+    the same single-shuffle union-merge as q_asof_join. Grid rows sort
+    after a same-instant observation so a sample lands on the grid
+    point exactly (inclusive as-of)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    ).withColumn("is_grid", F.lit(1))
+    obs = ev.select("user_id", "ts", "event_id", "value").withColumn(
+        "is_grid", F.lit(0)
+    )
+    merged = obs.unionByName(
+        grid.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+            "value", F.lit(None).cast("double")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn(
+        "locf", F.last(F.when(F.col("is_grid") == 0, F.col("value")), ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter((F.col("is_grid") == 1) & F.col("locf").isNotNull())
+        .select("user_id", F.col("ts").alias("grid_ts"), F.col("locf").alias("value"))
+    )
+
+
 QUERIES = {
+    "q_resample_locf": q_resample_locf,
     "q_derivative": q_derivative,
     "q_quantiles": q_quantiles,
     "q_moving_avg": q_moving_avg,
@@ -241,6 +286,23 @@ _POS = """
 """
 
 ORACLES = {
+    # DuckDB's ASOF JOIN (inclusive >=) is the declarative twin of the
+    # union-merge LOCF; inner form drops grid points before the first
+    # observation exactly like the isNotNull filter.
+    "q_resample_locf": """
+        WITH spans AS (
+            SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events GROUP BY user_id
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS grid_ts
+            FROM spans
+        )
+        SELECT g.user_id, g.grid_ts, e.value
+        FROM grid g
+        ASOF JOIN events e ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+    """,
     "q_derivative": """
         SELECT user_id, event_id, rate_per_sec FROM (
             SELECT user_id, event_id,
