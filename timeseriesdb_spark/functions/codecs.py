@@ -85,12 +85,66 @@ def q_ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal compressibility profile — the reference's CR
+    predictors (predict/cr_predictor.rs:15-107) estimate each codec's
+    ratio from sample statistics; these are those statistics as one
+    grouped scan: distinct-value ratio (dictionary codec viability,
+    est_dict_cr), repeat ratio (RLE viability), mean |Δ| of the scaled
+    value (delta/sprintz viability). A writer picks codecs per signal
+    from this table instead of trial-encoding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _signal_window()
+    v = scaled_int(F.col("value"))
+    prev = F.lag(v, 1).over(w)
+    per_row = ev.select(
+        "user_id",
+        v.alias("scaled"),
+        F.when(prev.isNull(), None)
+        .otherwise(F.abs(v - prev))
+        .alias("abs_delta"),
+        F.when(v == prev, 1).otherwise(0).alias("is_repeat"),
+    )
+    return per_row.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.countDistinct("scaled") / F.count("*").cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(F.sum("is_repeat") / F.count("*").cast("double"), 6).alias(
+            "repeat_ratio"
+        ),
+        F.round(F.avg("abs_delta"), 6).alias("mean_abs_delta"),
+    )
+
+
 QUERIES = {
     "q_delta_zigzag": q_delta_zigzag,
     "q_ts_delta": q_ts_delta,
+    "q_compressibility": q_compressibility,
 }
 
 ORACLES = {
+    "q_compressibility": f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * {float(10 ** SCALE_P)}) AS BIGINT) AS scaled
+            FROM events
+        ), d AS (
+            SELECT user_id, scaled,
+                   abs(scaled - lag(scaled) OVER w) AS abs_delta,
+                   CASE WHEN scaled = lag(scaled) OVER w THEN 1 ELSE 0
+                        END AS is_repeat
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, count(*) AS n,
+               round(count(DISTINCT scaled) / CAST(count(*) AS DOUBLE), 6)
+                   AS distinct_ratio,
+               round(sum(is_repeat) / CAST(count(*) AS DOUBLE), 6)
+                   AS repeat_ratio,
+               round(avg(abs_delta), 6) AS mean_abs_delta
+        FROM d GROUP BY user_id
+    """,
     "q_delta_zigzag": f"""
         WITH scaled AS (
             SELECT user_id, event_id, ts,
