@@ -72,18 +72,27 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             """Largest-Triangle-Three-Buckets kept-point indices
             (pla_lttb.rs:24-110 semantics: endpoints kept, one point
             per bucket maximizing triangle area with the previous kept
-            point and the next bucket's centroid)."""
+            point and the next bucket's centroid). Bucket centroids are
+            precomputed with one reduceat pass; only the (inherently
+            sequential) previous-kept-point dependency stays in the
+            python loop."""
             n = len(x)
             if n_out >= n or n_out < 3:
                 return np.arange(n)
             kept = [0]
             bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            # next-bucket centroids: bucket i+1 spans [bounds[i+1],
+            # bounds[i+2]) with the last bucket running to n
+            starts = bounds[1:]
+            widths = np.diff(np.append(starts, n)).astype(np.float64)
+            widths[widths == 0] = 1.0
+            cxs = np.add.reduceat(x, starts) / widths
+            cys = np.add.reduceat(y, starts) / widths
             for i in range(n_out - 2):
-                lo, hi = bounds[i], bounds[i + 1]
-                nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
-                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                lo, hi = bounds[i], max(bounds[i + 1], bounds[i] + 1)
+                cx, cy = cxs[i], cys[i]
                 ax, ay = x[kept[-1]], y[kept[-1]]
-                seg = slice(lo, max(hi, lo + 1))
+                seg = slice(lo, hi)
                 areas = np.abs((ax - cx) * (y[seg] - ay) - (ax - x[seg]) * (cy - ay))
                 kept.append(lo + int(np.argmax(areas)))
             kept.append(n - 1)
