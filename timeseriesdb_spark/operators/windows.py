@@ -265,8 +265,88 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation between the
+    surrounding observations (the reconstruction PLA implies —
+    pla_lttb.rs keeps line endpoints): for each grid point, the
+    previous and next samples bracket it and the value is the
+    time-weighted blend. Grid points outside a signal's span are
+    dropped (no extrapolation).
+
+    Same single-shuffle union-merge as LOCF, run in both directions
+    over ONE sorted partition (forward window for prev, backward for
+    next) — still exactly one exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+    ).withColumn("is_grid", F.lit(1))
+    obs = ev.select("user_id", "ts", "value").withColumn("is_grid", F.lit(0))
+    merged = obs.unionByName(grid.withColumn("value", F.lit(None).cast("double")))
+
+    base = Window.partitionBy("user_id").orderBy("ts", "is_grid")
+    fwd = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    is_obs = F.col("is_grid") == 0
+    obs_us = F.when(is_obs, F.unix_micros(F.col("ts")))
+    obs_val = F.when(is_obs, F.col("value"))
+
+    filled = (
+        merged.withColumn("t0", F.last(obs_us, ignorenulls=True).over(fwd))
+        .withColumn("v0", F.last(obs_val, ignorenulls=True).over(fwd))
+        .withColumn("t1", F.first(obs_us, ignorenulls=True).over(bwd))
+        .withColumn("v1", F.first(obs_val, ignorenulls=True).over(bwd))
+    )
+    g_us = F.unix_micros(F.col("ts"))
+    frac = (g_us - F.col("t0")) / (F.col("t1") - F.col("t0"))
+    interp = F.when(
+        F.col("t1") == F.col("t0"), F.col("v0")
+    ).otherwise(F.col("v0") + (F.col("v1") - F.col("v0")) * frac)
+    return (
+        filled.filter(
+            (F.col("is_grid") == 1)
+            & F.col("v0").isNotNull()
+            & F.col("v1").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            (F.round(interp, 6) + F.lit(0.0)).alias("value"),
+        )
+    )
+
+
+MODE_TOP = 1  # per-signal modal value
+
+
+def q_value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent scaled value per signal (the majority value the
+    reference's sparse codec keys on, split_double.rs:1164): count per
+    (signal, scaled value), window rank 1 with value tie-break."""
+    from timeseriesdb_spark.functions.codecs import scaled_int
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id", scaled_int(F.col("value")).alias("scaled")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("scaled")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MODE_TOP)
+        .select("user_id", F.col("scaled").alias("mode_scaled"), "cnt")
+    )
+
+
 QUERIES = {
     "q_resample_locf": q_resample_locf,
+    "q_resample_interp": q_resample_interp,
+    "q_value_mode": q_value_mode,
     "q_derivative": q_derivative,
     "q_quantiles": q_quantiles,
     "q_moving_avg": q_moving_avg,
@@ -285,7 +365,57 @@ _POS = """
     FROM events
 """
 
+_GRID_SQL = """
+        WITH spans AS (
+            SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events GROUP BY user_id
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS grid_ts
+            FROM spans
+        )
+"""
+
 ORACLES = {
+    # two ASOF joins (backward >= for prev, forward <= for next) +
+    # time-weighted blend; same-instant samples give frac=0 → exact
+    # value in both engines
+    "q_resample_interp": _GRID_SQL
+    + f"""
+        , prev AS (
+            SELECT g.user_id, g.grid_ts, e.ts AS t0, e.value AS v0
+            FROM grid g
+            ASOF JOIN events e
+              ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+        ), nxt AS (
+            SELECT g.user_id, g.grid_ts, e.ts AS t1, e.value AS v1
+            FROM grid g
+            ASOF JOIN events e
+              ON g.user_id = e.user_id AND g.grid_ts <= e.ts
+        )
+        SELECT p.user_id, p.grid_ts,
+               round(CASE WHEN epoch_us(n.t1) = epoch_us(p.t0) THEN p.v0
+                     ELSE p.v0 + (n.v1 - p.v0)
+                          * (epoch_us(p.grid_ts) - epoch_us(p.t0))
+                          / CAST(epoch_us(n.t1) - epoch_us(p.t0) AS DOUBLE)
+                     END, 6) + 0.0 AS value
+        FROM prev p
+        JOIN nxt n ON p.user_id = n.user_id AND p.grid_ts = n.grid_ts
+    """,
+    "q_value_mode": f"""
+        SELECT user_id, scaled AS mode_scaled, cnt FROM (
+            SELECT user_id, scaled, cnt,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY cnt DESC, scaled) AS rn
+            FROM (
+                SELECT user_id,
+                       CAST(floor(value * 1000.0) AS BIGINT) AS scaled,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+        ) WHERE rn <= {MODE_TOP}
+    """,
     # DuckDB's ASOF JOIN (inclusive >=) is the declarative twin of the
     # union-merge LOCF; inner form drops grid points before the first
     # observation exactly like the isNotNull filter.
