@@ -343,7 +343,64 @@ def q_value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 5.0  # flag |v - median| > K · MAD
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-signal anomaly detection: median absolute deviation.
+    Rows where |value − median| > K·MAD — the principled version of
+    the reference's outlier workload (outlier/mod.rs: majority value +
+    exceptions; MAD generalizes 'exception' beyond exact equality).
+    Medians are exact interpolated percentiles; the per-signal stats
+    broadcast back onto the scan (one grouped pass + broadcast join,
+    no window over the fact table)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    # compare on ROUNDED med/mad: the unrounded interpolated percentile
+    # can differ by 1 ulp between engines, which would flip boundary
+    # rows in and out of the result; rounded stats are engine-identical
+    rmed, rmad = F.round("med", 6), F.round("mad", 6)
+    return (
+        ev.join(F.broadcast(mad), "user_id")
+        .filter(F.abs(F.col("value") - rmed) > F.lit(MAD_K) * rmad)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            rmed.alias("med"),
+            rmad.alias("mad"),
+        )
+    )
+
+
+TOPK_PER_SIGNAL = 3
+
+
+def q_topk_per_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k values per signal (grouped top-k — window rank, one
+    shuffle; at scale AQE prunes rank>k early per partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_SIGNAL)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
 QUERIES = {
+    "q_anomaly_mad": q_anomaly_mad,
+    "q_topk_per_signal": q_topk_per_signal,
     "q_resample_locf": q_resample_locf,
     "q_resample_interp": q_resample_interp,
     "q_value_mode": q_value_mode,
@@ -365,6 +422,22 @@ _POS = """
     FROM events
 """
 
+_ANOMALY_SQL = f"""
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ), mad AS (
+        SELECT e.user_id, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (user_id)
+        GROUP BY e.user_id, m.med
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           round(m.med, 6) AS med, round(m.mad, 6) AS mad
+    FROM events e JOIN mad m USING (user_id)
+    WHERE abs(e.value - round(m.med, 6)) > {MAD_K} * round(m.mad, 6)
+"""
+
 _GRID_SQL = """
         WITH spans AS (
             SELECT user_id, date_trunc('hour', min(ts)) AS h0,
@@ -378,6 +451,15 @@ _GRID_SQL = """
 """
 
 ORACLES = {
+    "q_anomaly_mad": _ANOMALY_SQL,
+    "q_topk_per_signal": f"""
+        SELECT user_id, event_id, value, rn FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events
+        ) WHERE rn <= {TOPK_PER_SIGNAL}
+    """,
     # two ASOF joins (backward >= for prev, forward <= for next) +
     # time-weighted blend; same-instant samples give frac=0 → exact
     # value in both engines
