@@ -21,11 +21,13 @@ for 100 TB scale (no driver-side collection; broadcast-only dimension
 joins; per-partition work via Arrow-batched pandas UDFs).
 """
 
+from timeseriesdb_spark.api import SignalEngine
+from timeseriesdb_spark.registry import ORACLES, QUERIES
 from timeseriesdb_spark.session import get_spark
 from timeseriesdb_spark.tables import TABLES, load_table, register_views
-from timeseriesdb_spark.registry import QUERIES, ORACLES
 
 __all__ = [
+    "SignalEngine",
     "get_spark",
     "TABLES",
     "load_table",
