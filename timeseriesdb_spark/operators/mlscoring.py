@@ -37,10 +37,16 @@ def _features(values: np.ndarray) -> np.ndarray:
     )
 
 
+_CENTERS_CACHE: dict[str, np.ndarray] = {}
+
+
 def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Deterministic Lloyd's iterations on segment features of the
     sample signals; init = evenly spaced sorted-by-mean features (no
-    RNG → reproducible across runs/partitionings)."""
+    RNG → reproducible across runs/partitionings). Cached per sf_dir —
+    the training sample is immutable input."""
+    if sf_dir in _CENTERS_CACHE:
+        return _CENTERS_CACHE[sf_dir]
     ev = load_table(spark, sf_dir, "events")
     pdf = (
         ev.filter(F.col("user_id") < SAMPLE_SIGNALS)
@@ -62,6 +68,7 @@ def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
         for k in range(N_CLUSTERS):
             if (lab == k).any():
                 centers[k] = X[lab == k].mean(axis=0)
+    _CENTERS_CACHE[sf_dir] = centers
     return centers
 
 

@@ -288,9 +288,21 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ev.select("user_id", "ts", "value").withColumn("is_grid", F.lit(0))
     merged = obs.unionByName(grid.withColumn("value", F.lit(None).cast("double")))
 
-    base = Window.partitionBy("user_id").orderBy("ts", "is_grid")
-    fwd = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # Both passes are RUNNING (unbounded-preceding) frames: the "next
+    # observation" pass runs over DESCENDING order rather than an
+    # unbounded-FOLLOWING frame — Spark evaluates following-unbounded
+    # frames by rescanning the tail per row (quadratic per partition);
+    # two running frames cost two in-partition sorts, no extra shuffle.
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     is_obs = F.col("is_grid") == 0
     obs_us = F.when(is_obs, F.unix_micros(F.col("ts")))
     obs_val = F.when(is_obs, F.col("value"))
@@ -298,8 +310,8 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = (
         merged.withColumn("t0", F.last(obs_us, ignorenulls=True).over(fwd))
         .withColumn("v0", F.last(obs_val, ignorenulls=True).over(fwd))
-        .withColumn("t1", F.first(obs_us, ignorenulls=True).over(bwd))
-        .withColumn("v1", F.first(obs_val, ignorenulls=True).over(bwd))
+        .withColumn("t1", F.last(obs_us, ignorenulls=True).over(rev))
+        .withColumn("v1", F.last(obs_val, ignorenulls=True).over(rev))
     )
     g_us = F.unix_micros(F.col("ts"))
     frac = (g_us - F.col("t0")) / (F.col("t1") - F.col("t0"))
