@@ -1,0 +1,67 @@
+"""Incrementally-maintained streaming rollup == batch-built rollup,
+including buckets whose rows arrive split across micro-batches (the
+merge path, not just the first-write path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.api import SignalEngine
+from timeseriesdb_spark.tables import load_table
+
+
+def test_streamed_rollup_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    # split rows across files ARBITRARILY (round-robin) so most buckets
+    # span micro-batches and the merge path is exercised
+    ev.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    eng = SignalEngine(spark, store)
+    q = eng.maintain_rollup_stream(stream, rollup, ckpt, bucket="1 hour")
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(rollup)
+        .select(
+            "user_id",
+            "bucket_start",
+            "cnt",
+            "min_value",
+            "max_value",
+            F.col("dsum").cast("double").alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("bucket_start"),
+            "cnt", "min_value", "max_value", "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_like=True)

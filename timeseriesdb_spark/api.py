@@ -167,6 +167,72 @@ class SignalEngine:
             raise ValueError(f"rollup agg must be one of {sorted(merged)}")
         return r.groupBy("user_id").agg(merged[which])
 
+    def maintain_rollup_stream(
+        self,
+        stream: DataFrame,
+        rollup_path: str,
+        checkpoint: str,
+        bucket: str = "1 hour",
+    ):
+        """Incremental AggStats maintenance from the live stream — the
+        reference's daemon keeps per-segment stats at put
+        (buffer_pool.rs:1467-1469); here each micro-batch's partial
+        stats are merged into the rollup store via the associative
+        AggStats combine, so the rollup never rescans history.
+
+        Partial sums are kept as DECIMAL in the rollup so batch-level
+        merge order cannot change the result (exactly why
+        rollup_agg == direct agg holds for the streamed table too)."""
+
+        def merge_batch(batch_df: DataFrame, _bid: int) -> None:
+            partial = (
+                batch_df.groupBy("user_id", F.window("ts", bucket).alias("w"))
+                .agg(
+                    F.count("value").alias("cnt"),
+                    F.min("value").alias("min_value"),
+                    F.max("value").alias("max_value"),
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias("dsum"),
+                )
+                .select(
+                    "user_id",
+                    F.col("w.start").alias("bucket_start"),
+                    "cnt",
+                    "min_value",
+                    "max_value",
+                    "dsum",
+                )
+            )
+            spark = batch_df.sparkSession
+            try:
+                existing = spark.read.parquet(rollup_path)
+                merged = (
+                    existing.unionByName(partial)
+                    .groupBy("user_id", "bucket_start")
+                    .agg(
+                        F.sum("cnt").alias("cnt"),
+                        F.min("min_value").alias("min_value"),
+                        F.max("max_value").alias("max_value"),
+                        F.sum("dsum").alias("dsum"),
+                    )
+                )
+            except Exception:  # first batch: nothing to merge yet
+                merged = partial
+            # rewrite-on-merge: fine for a rollup (couple of rows per
+            # signal-bucket); a table format with MERGE INTO does this
+            # transactionally at scale. localCheckpoint cuts the
+            # lineage so the overwrite cannot re-read the path it is
+            # replacing.
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                rollup_path
+            )
+
+        return (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def downsample(self, out_path: str, chunk: int = 8) -> None:
         """PAA downsampling to an aged tier (the lossy recoding path,
         recoding_daemon.rs:143-225): chunk means per signal."""
