@@ -233,6 +233,45 @@ class SignalEngine:
             .start()
         )
 
+    def apply_retention(
+        self, tier_path: str, cutoff_date: str, chunk: int = 8
+    ) -> None:
+        """Age-based tiering — the recoding daemon's lifecycle
+        (recoding_daemon.rs:143-225: re-encode cold segments to
+        lossier levels as data ages): partitions older than
+        `cutoff_date` are downsampled (PAA chunk means) into
+        `tier_path`, then dropped from the raw store via partition-
+        directory deletes (what a compaction/retention job does; a
+        table format makes the drop transactional).
+
+        Queries needing old data read the tier; the raw store stays
+        bounded at (cutoff window) × ingest rate."""
+        old = self.events().filter(F.col("event_date") < F.lit(cutoff_date))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        (
+            old.withColumn("pos", F.row_number().over(w) - 1)
+            .groupBy("user_id", F.floor(F.col("pos") / chunk).alias("chunk"))
+            .agg(
+                F.min("ts").alias("ts"),
+                F.round(F.avg("value"), 6).alias("value"),
+                F.count("*").alias("n_src_rows"),
+            )
+            .write.mode("overwrite")
+            .parquet(tier_path)
+        )
+        # drop aged partitions (event_date=... directories)
+        old_dates = [
+            r.event_date
+            for r in old.select("event_date").distinct().collect()
+        ]
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        conf = jsc.hadoopConfiguration()
+        for d in old_dates:
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/event_date={d}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
+
     def downsample(self, out_path: str, chunk: int = 8) -> None:
         """PAA downsampling to an aged tier (the lossy recoding path,
         recoding_daemon.rs:143-225): chunk means per signal."""
