@@ -141,7 +141,47 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP = 3  # terms reported per document
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per document — the keyword/topic extraction
+    scan of a text pipeline. tf = in-doc term count, idf = ln(N/df)
+    with N folded as a literal (one count job at plan build), score
+    rounded before ranking with a term tie-break so the top-k set is
+    engine-exact. Two shuffles total: term stats, then the per-doc
+    rank."""
+    doc = load_table(spark, sf_dir, "documents")
+    n_docs = doc.count()  # scalar literal (like q_outlier_majority)
+    words = doc.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df_, "w")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            )
+            + F.lit(0.0),
+        )
+    )
+    rank = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "tfidf", "rn")
+    )
+
+
 QUERIES = {
+    "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_props_extract": q_props_extract,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
@@ -205,6 +245,28 @@ ORACLES = {
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
                round(avg(length(text)), 6) AS avg_chars
         FROM documents GROUP BY source
+    """,
+    "q_tfidf_top_terms": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, w, count(*) AS tf FROM words
+            WHERE length(w) > 0 GROUP BY doc_id, w
+        ), df AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), scored AS (
+            SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                   round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                                     FROM documents) / df.df), 6) + 0.0
+                       AS tfidf
+            FROM tf JOIN df USING (w)
+        )
+        SELECT doc_id, w AS term, tf, df, tfidf, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, w) AS rn
+            FROM scored
+        ) WHERE rn <= {TFIDF_TOP}
     """,
     "q_props_extract": """
         SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
