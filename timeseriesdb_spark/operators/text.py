@@ -180,7 +180,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_BOUNDS = ("cc", "e6")  # md5-hex prefixes: ~80% train, 10% val, 10% test
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — hash-range splitting
+    on content identity, the reproducibility backbone of a training
+    pipeline: the same document lands in the same split on any
+    cluster, any run, any engine (md5 is the portable hash here as in
+    dedup). Emits (doc_id, split) plus the hash prefix for audit."""
+    doc = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("text")), 1, 2)
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(prefix < F.lit(lo), "train")
+        .when(prefix < F.lit(hi), "val")
+        .otherwise("test")
+    )
+    return doc.select("doc_id", prefix.alias("hash_prefix"), split.alias("split"))
+
+
 QUERIES = {
+    "q_dataset_split": q_dataset_split,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_props_extract": q_props_extract,
     "q_token_count": q_token_count,
@@ -245,6 +266,15 @@ ORACLES = {
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
                round(avg(length(text)), 6) AS avg_chars
         FROM documents GROUP BY source
+    """,
+    "q_dataset_split": f"""
+        SELECT doc_id, substr(md5(text), 1, 2) AS hash_prefix,
+               CASE WHEN substr(md5(text), 1, 2) < '{SPLIT_BOUNDS[0]}'
+                        THEN 'train'
+                    WHEN substr(md5(text), 1, 2) < '{SPLIT_BOUNDS[1]}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
     "q_tfidf_top_terms": f"""
         WITH words AS (
