@@ -1,0 +1,60 @@
+"""Regenerate PLANS.md: formatted physical plans of headline queries
+with the scale-relevant properties (PushedFilters, broadcasts,
+exchange counts) visible. Run from the repo root:
+
+    python scripts/dump_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from timeseriesdb_spark.plans import checks  # noqa: E402
+from timeseriesdb_spark.registry import QUERIES  # noqa: E402
+from timeseriesdb_spark.session import get_spark  # noqa: E402
+
+HEADLINERS = [
+    "q_window_max",      # flagship: row-count windowed max
+    "q_range_filter",    # predicate pushdown
+    "q_last_loc",        # broadcast semi-join + window
+    "q_asof_join",       # single-shuffle union-merge
+    "q_pricing_summary", # partial+final agg
+    "q_ngram_jaccard",   # inverted-index shuffle join
+    "q_minhash_signatures",
+    "q_resample_interp", # bidirectional running windows
+    "q_sessionize",
+    "q_revenue_by_nation",
+]
+
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark(app_name="plan-dump", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    print("# PLANS — physical plans of headline queries (sf0.01, local[4])")
+    print()
+    print("Regenerate with `python scripts/dump_plans.py > PLANS.md`.")
+    print("Summary line per query: shuffle exchanges / broadcast join /")
+    print("pushed filters — the properties tests/test_plans.py asserts.")
+    for name in HEADLINERS:
+        df = QUERIES[name](spark, SF)
+        plan = checks.formatted_plan(df)
+        print(f"\n## {name}\n")
+        print(
+            f"exchanges={checks.exchange_count(df)} "
+            f"broadcast_join={checks.has_broadcast_join(df)} "
+            f"pushed_filters={checks.pushed_filters(df)}"
+        )
+        print("\n```")
+        # the tree section only (up to the first operator detail block)
+        tree = plan.split("\n\n")[0]
+        print(tree)
+        print("```")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
