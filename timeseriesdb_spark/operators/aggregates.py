@@ -165,7 +165,76 @@ def q_top_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_SIGNALS = 20  # pairwise over the first N signals
+
+
+def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between signal pairs on hour-aligned
+    samples — the cross-sensor analytics a TSDB serves. Engine-exact
+    by construction: per-(signal,hour) means are rounded first
+    (deterministic), then ALL correlation inputs (Σx, Σy, Σxy, Σx²,
+    Σy², n) are decimal sums of those rounded values, so the final
+    formula runs on bit-identical components in any engine at any
+    parallelism — float corr() aggregates are NOT cross-engine
+    deterministic, this is.
+
+    Scale: alignment is one grouped pass; the pair join is per-hour
+    (equi-join on the bucket), so cost is pairs × buckets, bounded by
+    the signal subset — at 1000s of signals you'd prefilter candidate
+    pairs (e.g. by rollup-level correlation screening)."""
+    ev = load_table(spark, sf_dir, "events")
+    aligned = (
+        ev.filter(F.col("user_id") < CORR_SIGNALS)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("v")
+        )
+    )
+    a = aligned.select(
+        F.col("user_id").alias("sig_a"), "h", F.col("v").alias("va")
+    )
+    b = aligned.select(
+        F.col("user_id").alias("sig_b"), "h", F.col("v").alias("vb")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    comps = (
+        a.join(b, "h")
+        .where(F.col("sig_a") < F.col("sig_b"))
+        .groupBy("sig_a", "sig_b")
+        .agg(
+            F.count("*").alias("n"),
+            dec(F.col("va")).alias("sx"),
+            dec(F.col("vb")).alias("sy"),
+            dec(F.col("va") * F.col("vb")).alias("sxy"),
+            dec(F.col("va") * F.col("va")).alias("sxx"),
+            dec(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # filter BEFORE sqrt: float cancellation can push a zero variance
+    # slightly negative — Spark's sqrt would yield NaN, DuckDB errors
+    return (
+        comps.where((vx > 0) & (vy > 0))
+        .select(
+            "sig_a",
+            "sig_b",
+            "n",
+            (F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4) + F.lit(0.0)).alias(
+                "corr"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "q_signal_corr": q_signal_corr,
     "q_count": q_count,
     "q_sum": q_sum,
     "q_min": q_min,
@@ -182,7 +251,36 @@ QUERIES = {
 
 _SUM_V = dsum_sql("value", "sum_value")
 
+_DEC = "CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+
 ORACLES = {
+    "q_signal_corr": f"""
+        WITH aligned AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   round({_DEC.format(c='value')} / count(value), 6) AS v
+            FROM events WHERE user_id < {CORR_SIGNALS}
+            GROUP BY user_id, date_trunc('hour', ts)
+        ), comps AS (
+            SELECT a.user_id AS sig_a, b.user_id AS sig_b,
+                   count(*) AS n,
+                   {_DEC.format(c='a.v')} AS sx,
+                   {_DEC.format(c='b.v')} AS sy,
+                   {_DEC.format(c='a.v * b.v')} AS sxy,
+                   {_DEC.format(c='a.v * a.v')} AS sxx,
+                   {_DEC.format(c='b.v * b.v')} AS syy
+            FROM aligned a JOIN aligned b
+              ON a.h = b.h AND a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id
+        )
+        SELECT sig_a, sig_b, n,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 4)
+               + 0.0 AS corr
+        FROM comps
+        WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+          AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+    """,
     "q_count": "SELECT count(value) AS cnt FROM events",
     "q_sum": f"SELECT {_SUM_V} FROM events",
     "q_min": "SELECT min(value) AS min_value FROM events",

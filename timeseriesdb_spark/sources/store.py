@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SIGNAL_BUCKETS = 16  # files per date partition ≈ cluster write parallelism
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # compaction target file size
 
 
 def write_signal_store(events: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -43,3 +44,45 @@ def write_signal_store(events: DataFrame, path: str, mode: str = "overwrite") ->
 def read_signal_store(spark: SparkSession, path: str) -> DataFrame:
     """Scan the store; time/signal predicates prune partitions/files."""
     return spark.read.parquet(path)
+
+
+def compact_partition(spark: SparkSession, path: str, event_date: str) -> int:
+    """Small-file compaction for one date partition — streaming ingest
+    appends a file per micro-batch, and a 100 TB store lives or dies
+    by file sizes (footer-stat pruning and scan throughput both
+    degrade with file count). Rewrites the partition to SIGNAL_BUCKETS
+    signal-clustered sorted files; returns the file count removed.
+
+    The rewrite stages to a sibling directory then swaps, so a failed
+    compaction never loses the original partition."""
+    part = f"{path}/event_date={event_date}"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    ppath = jvm.org.apache.hadoop.fs.Path(part)
+    fs = ppath.getFileSystem(conf)
+    if not fs.exists(ppath):
+        return 0
+    statuses = [
+        f for f in fs.listStatus(ppath) if f.getPath().getName().endswith(".parquet")
+    ]
+    before = len(statuses)
+    total_bytes = sum(f.getLen() for f in statuses)
+    # size the output by bytes (the point of compaction), capped at the
+    # bucket count so signal clustering is preserved on big partitions
+    n_files = max(1, min(SIGNAL_BUCKETS, -(-total_bytes // TARGET_FILE_BYTES)))
+    staged = f"{part}.compacting"
+    (
+        spark.read.parquet(part)
+        .repartition(n_files, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.option("compression", "zstd")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    spath = jvm.org.apache.hadoop.fs.Path(staged)
+    fs.delete(ppath, True)
+    fs.rename(spath, ppath)
+    after = sum(
+        1 for f in fs.listStatus(ppath) if f.getPath().getName().endswith(".parquet")
+    )
+    return max(0, before - after)
