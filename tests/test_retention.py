@@ -14,6 +14,33 @@ from timeseriesdb_spark.tables import load_table
 CUTOFF = "2024-01-15"
 
 
+def test_second_retention_run_preserves_tier(spark, tmp_path):
+    """Tiering must ACCUMULATE: a later run tiers newly-aged data
+    without destroying what earlier runs tiered (whose raw partitions
+    are already gone)."""
+    store = str(tmp_path / "store")
+    tier = str(tmp_path / "tier")
+    eng = SignalEngine(spark, store)
+    ev = load_table(spark, SF_DIR, "events")
+    eng.ingest(ev)
+
+    n_old_1 = ev.filter(F.to_date("ts") < "2024-01-10").count()
+    n_old_2 = ev.filter(F.to_date("ts") < "2024-01-20").count()
+    eng.apply_retention(tier, "2024-01-10", chunk=8)
+    eng.apply_retention(tier, "2024-01-20", chunk=8)
+
+    tiered = spark.read.parquet(tier)
+    # every aged row is represented exactly once across both runs
+    assert tiered.agg(F.sum("n_src_rows")).first()[0] == n_old_2
+    assert (
+        tiered.filter(F.col("tiered_before") == "2024-01-10")
+        .agg(F.sum("n_src_rows"))
+        .first()[0]
+        == n_old_1
+    )
+    assert eng.events().filter(F.col("event_date") < "2024-01-20").count() == 0
+
+
 def test_retention_tiers_old_partitions(spark, tmp_path):
     store = str(tmp_path / "store")
     tier = str(tmp_path / "tier")

@@ -32,15 +32,16 @@ def test_streamed_rollup_equals_batch(spark, tmp_path):
     q = eng.maintain_rollup_stream(stream, rollup, ckpt, bucket="1 hour")
     q.awaitTermination(180)
 
+    # the store holds per-batch PARTIALS (idempotent on replay);
+    # bucket-level truth is their associative merge
     got = (
         spark.read.parquet(rollup)
-        .select(
-            "user_id",
-            "bucket_start",
-            "cnt",
-            "min_value",
-            "max_value",
-            F.col("dsum").cast("double").alias("sum_value"),
+        .groupBy("user_id", "bucket_start")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("dsum").cast("double").alias("sum_value"),
         )
         .toPandas()
         .sort_values(["user_id", "bucket_start"])

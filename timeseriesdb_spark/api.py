@@ -131,37 +131,47 @@ class SignalEngine:
 
     # ---- maintenance (daemon analogs) ----------------------------------
 
-    def build_rollup(self, rollup_path: str, bucket: str = "1 hour") -> None:
-        """Materialize the AggStats summary table (per signal × time
-        bucket min/max/sum/count) — the recoding/compaction daemon's
-        query-visible output."""
-        (
-            self.events()
-            .groupBy("user_id", F.window("ts", bucket).alias("w"))
+    @staticmethod
+    def _partial_stats(events: DataFrame, bucket: str) -> DataFrame:
+        """One AggStats partial per (signal, bucket): the ONE rollup
+        schema shared by the batch builder and the streaming
+        maintainer — cnt/min/max plus the sum kept as DECIMAL so
+        merging partials in any order is exact."""
+        return (
+            events.groupBy("user_id", F.window("ts", bucket).alias("w"))
             .agg(
                 F.count("value").alias("cnt"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
-                dsum("value", "sum_value"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("dsum"),
             )
             .select(
                 "user_id", F.col("w.start").alias("bucket_start"),
-                "cnt", "min_value", "max_value", "sum_value",
+                "cnt", "min_value", "max_value", "dsum",
             )
-            .write.mode("overwrite")
-            .parquet(rollup_path)
         )
+
+    def build_rollup(self, rollup_path: str, bucket: str = "1 hour") -> None:
+        """Materialize the AggStats summary table (per signal × time
+        bucket min/max/sum/count) — the recoding/compaction daemon's
+        query-visible output."""
+        self._partial_stats(self.events(), bucket).write.mode(
+            "overwrite"
+        ).parquet(rollup_path)
 
     def rollup_agg(self, rollup_path: str, which: str = "max") -> DataFrame:
         """Answer a full-signal aggregate from the rollup instead of
         the raw store (merge of per-bucket AggStats — the associative
-        combine buffer_pool.rs:757-790)."""
+        combine buffer_pool.rs:757-790). Works identically on a
+        batch-built rollup and the streaming maintainer's per-batch
+        partials: merge is associative, so partial granularity is
+        irrelevant."""
         r = self.spark.read.parquet(rollup_path)
         merged = {
             "count": F.sum("cnt").alias("count"),
             "min": F.min("min_value").alias("min"),
             "max": F.max("max_value").alias("max"),
-            "sum": dsum("sum_value", "sum"),
+            "sum": F.sum("dsum").cast("double").alias("sum"),
         }
         if which not in merged:
             raise ValueError(f"rollup agg must be one of {sorted(merged)}")
@@ -176,58 +186,23 @@ class SignalEngine:
     ):
         """Incremental AggStats maintenance from the live stream — the
         reference's daemon keeps per-segment stats at put
-        (buffer_pool.rs:1467-1469); here each micro-batch's partial
-        stats are merged into the rollup store via the associative
-        AggStats combine, so the rollup never rescans history.
+        (buffer_pool.rs:1467-1469); here each micro-batch writes its
+        partial stats to its OWN batch_id partition, so the rollup
+        never rescans history and — because foreachBatch is
+        at-least-once — a replayed batch just overwrites its own
+        partition (idempotent, no double counting, no read-modify-
+        write of shared state). rollup_agg merges partials at query
+        time via the associative AggStats combine; a periodic
+        compaction can collapse old batch partitions whenever partial
+        count grows large."""
 
-        Partial sums are kept as DECIMAL in the rollup so batch-level
-        merge order cannot change the result (exactly why
-        rollup_agg == direct agg holds for the streamed table too)."""
-
-        def merge_batch(batch_df: DataFrame, _bid: int) -> None:
-            partial = (
-                batch_df.groupBy("user_id", F.window("ts", bucket).alias("w"))
-                .agg(
-                    F.count("value").alias("cnt"),
-                    F.min("value").alias("min_value"),
-                    F.max("value").alias("max_value"),
-                    F.sum(F.col("value").cast("decimal(38,6)")).alias("dsum"),
-                )
-                .select(
-                    "user_id",
-                    F.col("w.start").alias("bucket_start"),
-                    "cnt",
-                    "min_value",
-                    "max_value",
-                    "dsum",
-                )
-            )
-            spark = batch_df.sparkSession
-            try:
-                existing = spark.read.parquet(rollup_path)
-                merged = (
-                    existing.unionByName(partial)
-                    .groupBy("user_id", "bucket_start")
-                    .agg(
-                        F.sum("cnt").alias("cnt"),
-                        F.min("min_value").alias("min_value"),
-                        F.max("max_value").alias("max_value"),
-                        F.sum("dsum").alias("dsum"),
-                    )
-                )
-            except Exception:  # first batch: nothing to merge yet
-                merged = partial
-            # rewrite-on-merge: fine for a rollup (couple of rows per
-            # signal-bucket); a table format with MERGE INTO does this
-            # transactionally at scale. localCheckpoint cuts the
-            # lineage so the overwrite cannot re-read the path it is
-            # replacing.
-            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                rollup_path
-            )
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            self._partial_stats(batch_df, bucket).write.mode(
+                "overwrite"
+            ).parquet(f"{rollup_path}/batch_id={bid}")
 
         return (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(write_partial)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -256,7 +231,11 @@ class SignalEngine:
                 F.round(F.avg("value"), 6).alias("value"),
                 F.count("*").alias("n_src_rows"),
             )
-            .write.mode("overwrite")
+            # APPEND, tagged with the retention run: each run tiers only
+            # newly-aged partitions (older ones are already gone from
+            # raw), so overwrite would destroy previously tiered data
+            .withColumn("tiered_before", F.lit(cutoff_date))
+            .write.mode("append")
             .parquet(tier_path)
         )
         # drop aged partitions (event_date=... directories)

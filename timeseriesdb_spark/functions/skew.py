@@ -35,8 +35,11 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     lkey, skey = f"__{key}_salt", "__salt_id"
+    # pmod, not abs(hash) % salt: hash() can return Int32.MIN, whose
+    # abs overflows (throws under ANSI; yields a negative bucket that
+    # silently drops the row otherwise)
     l_salted = left.withColumn(
-        lkey, (F.abs(F.hash(F.col(key), F.monotonically_increasing_id())) % salt)
+        lkey, F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(salt))
     )
     r_salted = right.withColumn(
         skey, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -293,6 +293,12 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unbounded-FOLLOWING frame — Spark evaluates following-unbounded
     # frames by rescanning the tail per row (quadratic per partition);
     # two running frames cost two in-partition sorts, no extra shuffle.
+    # observations sort before grid rows at equal ts IN BOTH passes
+    # (is_grid asc forward, and asc again in the reverse sort) so a
+    # same-instant sample is visible to both t0 and t1 — matching the
+    # oracle's inclusive ASOF in both directions. Without this, a grid
+    # point landing exactly on a signal's LAST observation would find
+    # no t1 and be wrongly dropped.
     fwd = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_grid")
@@ -300,7 +306,7 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("is_grid").desc())
+        .orderBy(F.col("ts").desc(), F.col("is_grid").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_obs = F.col("is_grid") == 0

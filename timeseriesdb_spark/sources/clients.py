@@ -89,11 +89,9 @@ def read_dict(
     """TSV dictionary matrix → DataFrame (row_id, features array).
     Small by construction; join sides should wrap it in F.broadcast
     (the GRAIL/LCCE dictionary pattern, kernel.rs:104-130)."""
-    raw = (
-        spark.read.option("delimiter", "\n").text(path)
-        if delimiter == "\n"
-        else spark.read.text(path)
-    )
+    if delimiter == "\n":
+        raise ValueError("read_dict splits WITHIN lines; newline cannot delimit")
+    raw = spark.read.text(path)
     split = F.split(F.col("value"), delimiter)
     return raw.select(
         F.monotonically_increasing_id().alias("row_id"),

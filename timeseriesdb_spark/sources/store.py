@@ -53,8 +53,11 @@ def compact_partition(spark: SparkSession, path: str, event_date: str) -> int:
     degrade with file count). Rewrites the partition to SIGNAL_BUCKETS
     signal-clustered sorted files; returns the file count removed.
 
-    The rewrite stages to a sibling directory then swaps, so a failed
-    compaction never loses the original partition."""
+    The rewrite stages to a sibling directory, then swaps by renaming
+    the original to `.old` before renaming the staged copy in — a
+    crash mid-swap leaves the data recoverable in `.old` (never in a
+    deleted-only state), though the partition path itself may be
+    briefly absent; use a table format for an atomic swap."""
     part = f"{path}/event_date={event_date}"
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -80,8 +83,15 @@ def compact_partition(spark: SparkSession, path: str, event_date: str) -> int:
         .parquet(staged)
     )
     spath = jvm.org.apache.hadoop.fs.Path(staged)
-    fs.delete(ppath, True)
+    # swap via rename-out → rename-in: the original survives as
+    # `.old` through the window, so a crash mid-swap is recoverable
+    # (the data is never only in a deleted state); a table format
+    # makes this step atomic
+    old = jvm.org.apache.hadoop.fs.Path(f"{part}.old")
+    fs.delete(old, True)
+    fs.rename(ppath, old)
     fs.rename(spath, ppath)
+    fs.delete(old, True)
     after = sum(
         1 for f in fs.listStatus(ppath) if f.getPath().getName().endswith(".parquet")
     )
