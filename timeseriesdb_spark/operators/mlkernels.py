@@ -73,7 +73,9 @@ def _dictionary(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
     driver-side collect of K series only (the dictionary is small by
     construction; the corpus never moves). Cached per sf_dir: the
     dictionary is immutable input, and both kernel queries plus
-    repeated bench runs reuse it instead of rescanning."""
+    repeated bench runs reuse it instead of rescanning. CAVEAT: if a
+    path's data is rewritten within one session, the stale cache wins —
+    clear _DICT_CACHE after mutating a dir in place."""
     if sf_dir in _DICT_CACHE:
         return _DICT_CACHE[sf_dir]
     ev = load_table(spark, sf_dir, "events")
