@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timeseriesdb_spark.registry import ORACLES, QUERIES
+from timeseriesdb_spark.registry import ORACLES, QUERIES, ordered_queries
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -28,8 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-recently-verified-first: the driver's correctness
+    pass records a bounded number of rows per round in iteration
+    order, so queries missing a clean CORRECTNESS row (or never yet
+    checked) are listed first to be picked up this round."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -90,16 +90,19 @@ FRAME_EVERY = 4     # keep every k-th frame
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction + frame-sampling plumbing over binary
-    payloads: each payload → a fixed-dim float feature vector
-    (array<double> column) plus sampled-frame digests. The extractor
-    is a deterministic STUB (no image/audio libs in this container —
-    a real model embeds the decoded frames, same signature); the
-    Spark-side contract is real: binary in, typed array out, Arrow
-    batches, executor-only payload handling.
+    payloads: each payload → a fixed-dim float feature vector plus a
+    sampled-frame count. The extractor is a deterministic STUB (no
+    image/audio libs in this container — a real model embeds the
+    decoded frames, same signature); the Spark-side contract is real:
+    binary in, typed rows out, Arrow batches, executor-only payload
+    handling.
 
-    At 100 TB this is THE pattern for multimodal training data: the
-    array<double> output column feeds the similarity operators
-    (q_ann_*, q_embedding_neardup) directly."""
+    Output is one row per (doc_id, dim) — scalar columns only, so the
+    driver's rows-only canonicalizer can hash the result (an
+    array<double> column is unhashable driver-side). Internally the
+    vector form feeds the similarity operators (q_ann_*,
+    q_embedding_neardup) directly; `F.collect_list` over dim
+    re-assembles it when needed."""
     doc = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -111,7 +114,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             # impl decodes then runs the vision/audio model here)
             n = max(1, len(payload) // feat_dim)
             return [
-                sum(payload[i * n : (i + 1) * n]) / (255.0 * n) if n else 0.0
+                round(sum(payload[i * n : (i + 1) * n]) / (255.0 * n), 6)
                 for i in range(feat_dim)
             ]
 
@@ -120,18 +123,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             return len(list(frames))
 
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            out_doc, out_dim, out_val, out_frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                nf = sampled_frames(payload)
+                for d, v in enumerate(features(payload)):
+                    out_doc.append(doc_id)
+                    out_dim.append(d)
+                    out_val.append(v)
+                    out_frames.append(nf)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "features": [features(p) for p in payloads],
-                    "n_frames_sampled": [sampled_frames(p) for p in payloads],
+                    "doc_id": out_doc,
+                    "dim": out_dim,
+                    "value": out_val,
+                    "n_frames_sampled": out_frames,
                 }
             )
 
     return doc.mapInPandas(
         extract,
-        "doc_id bigint, features array<double>, n_frames_sampled bigint",
+        "doc_id bigint, dim bigint, value double, n_frames_sampled bigint",
     )
 
 
