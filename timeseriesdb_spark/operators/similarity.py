@@ -7,13 +7,26 @@ Scale design:
 - q_ann_topk: brute-force cosine against ONE broadcast query vector is
   a single scan + TakeOrderedAndProject — at 100 TB this is the
   correct baseline (it's bandwidth-bound and embarrassingly parallel).
-- q_ann_lsh: the scale path for vector-vs-corpus search — random-
-  hyperplane (SRP) bucketing; candidates only form inside a bucket
-  (equi-join on bucket key), turning all-pairs from O(n²) into
-  O(n·bucket_size). Deterministic seeded hyperplanes.
-- q_knn_1nn: per-test-row argmin over the train side via join +
-  window rank. For small train sets (the UCR shape) the train side
-  broadcasts, so the plan is one scan of test.
+- q_embedding_neardup: exact all-pairs is inherently O(n²); the
+  distributed form is a BLOCK-PAIR GEMM — corpus hashed into B blocks,
+  B·(B+1)/2 block-pair tasks, each one numpy matmul. Nothing ever
+  funnels through the driver; the only driver-side object is the
+  B²-row block-pair index (pure arithmetic). Past the quadratic
+  budget, the answer is the LSH bucket join (q_ann_lsh /
+  q_minhash_lsh_pairs), not a bigger GEMM.
+- q_ann_lsh: random-hyperplane (SRP) bucketing; candidates only form
+  inside a bucket (equi-join on bucket key), turning all-pairs from
+  O(n²) into O(n·bucket_size). Deterministic seeded hyperplanes.
+- q_ann_ivf: the inverted-file structure IS the DataFrame column:
+  cell assignment runs JVM-side (8 centroid dots as literal-array
+  zip_with/aggregate), the probe filter prunes BEFORE any probe
+  distance math, and the surviving (nprobe/cells) fraction is scored
+  JVM-side too — no Python in the plan at all. Centroids train on a
+  bounded deterministic sample (the coarse quantizer needs
+  representativeness, not the corpus).
+- q_knn_1nn: train side is the broadcast dictionary pattern
+  (client.rs:346) with an explicit size guard; scoring is one GEMM
+  per Arrow batch (||a||² + ||t||² − 2·A·Tᵀ), never per-row Python.
 
 Dot products run JVM-side via zip_with/aggregate on double-cast
 arrays (no Python). Similarities are rounded (4-6 dp) before any
@@ -49,6 +62,10 @@ def _dot(a, b) -> Column:
     )
 
 
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     e = _as_double(F.col("embedding"))
     return df.withColumn("e", e).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
@@ -74,46 +91,74 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K)
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+NEARDUP_BLOCKS = 8  # corpus blocks → B·(B+1)/2 block-pair GEMM tasks
 
-    Blocked GEMM, not a pair join: each Arrow batch of the scan is one
-    numpy matmul against a broadcast normalized corpus matrix — the
-    O(n²·d) flops run in BLAS instead of millions of interpreted
-    array lambdas. The broadcast side is the "dictionary" pattern
-    (client.rs:346 read_dict → broadcast); when the corpus outgrows
-    one broadcast, the same kernel runs per corpus block (union over
-    B-chunks) or switches to the LSH bucket-join path
-    (q_ann_lsh / q_minhash_lsh_pairs) — that is the 100 TB answer;
-    exact all-pairs is inherently quadratic."""
-    import numpy as np
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) as a
+    distributed block-pair GEMM.
+
+    The corpus is hashed into NEARDUP_BLOCKS blocks (vec_id mod B);
+    each block packs into one row of (ids, vecs) via collect_list; the
+    B·(B+1)/2 unordered block pairs come from a driver-built index of
+    pure integers (no data ever collects on the driver); each joined
+    pair row is one numpy matmul in mapInPandas. O(n²·d) flops run in
+    BLAS; O(n·B) rows move in the shuffle — the inherent cost of exact
+    all-pairs. Block size is tuned so one block fits an Arrow batch
+    (at 100 TB: raise B so n/B·d·8 bytes ≈ tens of MB). Beyond the
+    quadratic budget the LSH paths replace this operator entirely."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.toPandas()
-    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    packed = (
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(NEARDUP_BLOCKS)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
+    )
+    pair_idx = spark.createDataFrame(
+        [(a, b) for a in range(NEARDUP_BLOCKS) for b in range(NEARDUP_BLOCKS) if a <= b],
+        "blk_a long, blk_b long",
+    )
+    joined = (
+        pair_idx.join(
+            packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")),
+            "blk_a",
+        )
+        .join(
+            packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")),
+            "blk_b",
+        )
+        # one GEMM task per block pair
+        .repartition(NEARDUP_BLOCKS * (NEARDUP_BLOCKS + 1) // 2, "blk_a", "blk_b")
+    )
+    thr = NEARDUP_COS
 
     def gen(batches):
-        bids, bmat, bnorms = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            amat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            anorms = np.sqrt((amat * amat).sum(axis=1))
-            aids = batch["vec_id"].to_numpy(dtype=np.int64)
-            # dot-then-divide, matching the oracle's round(dot/(na*nb), 4)
-            sims = np.round((amat @ bmat.T) / np.outer(anorms, bnorms), 4)
-            keep = (sims >= NEARDUP_COS) & (aids[:, None] < bids[None, :])
-            ai, bi = np.nonzero(keep)
-            if len(ai):
-                yield pd.DataFrame(
-                    {"vec_a": aids[ai], "vec_b": bids[bi], "cos_sim": sims[ai, bi]}
-                )
+        import numpy as np
 
-    return emb.mapInPandas(gen, schema="vec_a bigint, vec_b bigint, cos_sim double")
+        def unpack(rows):
+            ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64, count=len(rows))
+            mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+            return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                aids, amat, anorms = unpack(row.rows_a)
+                bids, bmat, bnorms = unpack(row.rows_b)
+                sims = np.round((amat @ bmat.T) / np.outer(anorms, bnorms), 4)
+                same = row.blk_a == row.blk_b
+                keep = sims >= thr
+                if same:
+                    keep &= aids[:, None] < bids[None, :]
+                ai, bi = np.nonzero(keep)
+                if not len(ai):
+                    continue
+                va, vb = aids[ai], bids[bi]
+                if not same:  # canonicalize cross-block pairs to a<b
+                    va, vb = np.minimum(va, vb), np.maximum(va, vb)
+                yield pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": sims[ai, bi]})
+
+    return joined.mapInPandas(gen, schema="vec_a bigint, vec_b bigint, cos_sim double")
 
 
 def _srp_planes() -> list[list[float]]:
@@ -139,9 +184,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     planes = _srp_planes()
     bits = [
-        F.when(
-            _dot(F.col("e"), F.array(*[F.lit(v) for v in p])) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
+        F.when(_dot(F.col("e"), _lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
     ]
     return (
@@ -151,19 +194,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CELLS = 8    # coarse-quantizer centroids
-IVF_NPROBE = 2   # cells probed per query (≈ nprobe/cells recall knob)
+IVF_CELLS = 8        # coarse-quantizer centroids
+IVF_NPROBE = 2       # cells probed per query (≈ nprobe/cells recall knob)
 IVF_ITERS = 15
+IVF_TRAIN_CAP = 4096  # centroid-training sample cap (driver-side rows)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
-    """Deterministic Lloyd's kmeans over the corpus (driver-side on the
-    broadcast-scale matrix; at 100 TB: train on a sample — the coarse
-    quantizer needs only representativeness, not the full corpus)."""
+    """Deterministic Lloyd's kmeans on a BOUNDED sample: at most
+    IVF_TRAIN_CAP rows reach the driver, picked by md5-order of vec_id
+    (a deterministic uniform pseudo-random sample that plans as
+    TakeOrderedAndProject — no global materialization). The coarse
+    quantizer only needs a representative sketch of the corpus."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas().sort_values("vec_id")
+    pdf = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .toPandas()
+        .sort_values("vec_id")
+    )
     X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     order = np.argsort(Xn[:, 0], kind="stable")
@@ -180,54 +231,49 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: coarse-quantize the corpus into IVF_CELLS cells
-    (max-cosine centroid), search only the IVF_NPROBE cells nearest the
-    probe vector. The inverted-file structure is the DataFrame
-    partitioning itself: cell assignment is a column, the probe is a
-    pushed-down `isin` filter, so a 100 TB corpus scan skips
-    (1 - nprobe/cells) of the data before any distance math."""
+    """IVF top-k, pruning BEFORE any probe distance math, all JVM-side:
+
+    1. cell = argmax_k dot(embedding, centroid_k) — the 8 centroid
+       dots are literal-array zip_with/aggregate expressions; in a
+       stored table this column is written once at ingest and the
+       filter becomes partition pruning.
+    2. filter cell ∈ probe_cells — only (nprobe/cells) of the corpus
+       survives to step 3; at 100 TB the scan skips the rest.
+    3. cosine vs the (single, literal) probe vector on survivors only,
+       then TakeOrderedAndProject for the top-k.
+
+    The only driver-side data is the 1-row probe vector and the
+    IVF_TRAIN_CAP-bounded centroid-training sample."""
     import numpy as np
-    import pandas as pd
 
     C = _ivf_centroids(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).toPandas()
-    qv = np.asarray(q["embedding"].iloc[0], dtype=np.float64)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("e").toPandas()
+    qv = np.asarray(q["e"].iloc[0], dtype=np.float64)
     qn = qv / np.linalg.norm(qv)
     probe_cells = [int(i) for i in np.argsort(qn @ C.T)[::-1][:IVF_NPROBE]]
 
-    bc = spark.sparkContext.broadcast((C, qv))
-
-    def assign_and_score(batches):
-        for batch in batches:
-            if not len(batch):
-                continue
-            Cb, qvb = bc.value
-            M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(M, axis=1)
-            Mn = M / norms[:, None]
-            cell = (Mn @ Cb.T).argmax(axis=1)
-            qnorm = np.linalg.norm(qvb)
-            cos = np.round((M @ qvb) / (norms * qnorm), 4)
-            yield pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].to_numpy(dtype=np.int64),
-                    "label": batch["label"].to_numpy(dtype=np.int64),
-                    "cell": cell.astype(np.int64),
-                    "cos_sim": cos,
-                }
-            )
-
-    scored = emb.filter(F.col("vec_id") != QUERY_VEC_ID).mapInPandas(
-        assign_and_score,
-        schema="vec_id bigint, label bigint, cell bigint, cos_sim double",
-    )
+    # argmax over dot(e, C_k): scale-invariant, so the un-normalized
+    # embedding works; array_position picks the FIRST max (numpy
+    # argmax tie-break). 0-based cell index.
+    dots = F.array(*[_dot(F.col("e"), _lit_vec(C[k])) for k in range(IVF_CELLS)])
+    qnorm = float(np.linalg.norm(qv))
     return (
-        scored.filter(F.col("cell").isin(probe_cells))
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cell", F.array_position(dots, F.array_max(dots)) - 1)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("e"), _lit_vec(qv)) / (F.col("norm") * F.lit(qnorm)), 4)
+            .alias("cos_sim"),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cos_sim")
     )
+
+
+KNN_TRAIN_CAP = 200_000  # broadcast guard: ~200k × 64 × 8B ≈ 100 MB
 
 
 def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,36 +281,52 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 5 == 0) the label of the squared-L2-argmin train vector.
     Distance rounded to 4dp; ties broken by train vec_id — the
     reference's scan order makes its tie-break implicit; ours is
-    explicit and deterministic."""
+    explicit and deterministic.
+
+    The train side is the broadcast dictionary pattern (the reference
+    slurps the train CSV whole, knn/main.rs:11-64) behind an explicit
+    KNN_TRAIN_CAP guard — past the cap this operator must switch to
+    the LSH/IVF candidate paths, and it says so instead of OOMing the
+    driver. Scoring is one GEMM per Arrow batch:
+    d² = ||a||² + ||t||² − 2·A·Tᵀ, argmin per row (train rows sorted
+    by vec_id, so numpy's first-occurrence argmin IS the tie-break)."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    train = emb.filter(F.col("vec_id") % TEST_MOD != 0).toPandas()
-    tids = train["vec_id"].to_numpy(dtype=np.int64)
+    train = (
+        emb.filter(F.col("vec_id") % TEST_MOD != 0)
+        .orderBy("vec_id")
+        .limit(KNN_TRAIN_CAP + 1)
+        .toPandas()
+    )
+    if len(train) > KNN_TRAIN_CAP:
+        raise ValueError(
+            f"q_knn_1nn train side exceeds KNN_TRAIN_CAP={KNN_TRAIN_CAP}; "
+            "sample the train set or use the LSH/IVF candidate paths"
+        )
+    tids = train["vec_id"].to_numpy(dtype=np.int64)  # ascending (orderBy)
     tlabels = train["label"].to_numpy(dtype=np.int64)
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    # broadcast train matrix (the reference slurps the train CSV whole,
-    # knn/main.rs:11-64; here it is the broadcast dictionary side)
-    bc = spark.sparkContext.broadcast((tids, tlabels, tmat))
+    tnorm2 = (tmat * tmat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((tids, tlabels, tmat, tnorm2))
 
     def gen(batches):
-        ids, labels, mat = bc.value
+        ids, labels, mat, n2 = bc.value
         for batch in batches:
             if not len(batch):
                 continue
-            out = []
-            for _, row in batch.iterrows():
-                a = np.asarray(row["embedding"], dtype=np.float64)
-                diff = mat - a[None, :]
-                d2 = np.round((diff * diff).sum(axis=1), 4)
-                # argmin with the explicit (dist2, train_id) tie-break
-                best = np.lexsort((ids, d2))[0]
-                out.append(
-                    (int(row["vec_id"]), int(row["label"]), int(labels[best]), d2[best])
-                )
+            A = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            a2 = (A * A).sum(axis=1)
+            d2 = np.round(np.maximum(a2[:, None] + n2[None, :] - 2.0 * (A @ mat.T), 0.0), 4)
+            best = d2.argmin(axis=1)  # first occurrence → smallest train id
             yield pd.DataFrame(
-                out, columns=["test_id", "true_label", "pred_label", "dist2"]
+                {
+                    "test_id": batch["vec_id"].to_numpy(dtype=np.int64),
+                    "true_label": batch["label"].to_numpy(dtype=np.int64),
+                    "pred_label": labels[best],
+                    "dist2": d2[np.arange(len(best)), best],
+                }
             )
 
     return (
