@@ -31,6 +31,25 @@ HEADLINERS = [
 SF = "/root/testdata/sf0.01"
 
 
+def final_plan(df) -> str:
+    """Execute the query (noop sink) and return the FINAL adaptive plan.
+
+    The pre-execution plan under AQE shows every branch expanded; stage
+    reuse (identical subtrees computed once, other branches become
+    ReusedQueryStage/ReusedExchange) only appears after execution —
+    reading the initial plan alone over-counts scans (e.g. the
+    q_ngram_jaccard self-join shows 2-4 parquet scans pre-AQE but
+    shingles the corpus exactly once at runtime).
+
+    collect(), not a noop write: a write wraps the plan in a NEW
+    QueryExecution, leaving this df's own adaptive plan unexecuted
+    (isFinalPlan stays false)."""
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="plan-dump", master="local[4]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,6 +58,9 @@ def main() -> None:
     print("Regenerate with `python scripts/dump_plans.py > PLANS.md`.")
     print("Summary line per query: shuffle exchanges / broadcast join /")
     print("pushed filters — the properties tests/test_plans.py asserts.")
+    print("Each query shows the pre-execution tree AND the final adaptive")
+    print("plan (isFinalPlan=true) — only the latter shows runtime stage")
+    print("reuse, AQE-coalesced shuffles, and skew splits.")
     for name in HEADLINERS:
         df = QUERIES[name](spark, SF)
         plan = checks.formatted_plan(df)
@@ -52,6 +74,17 @@ def main() -> None:
         # the tree section only (up to the first operator detail block)
         tree = plan.split("\n\n")[0]
         print(tree)
+        print("```")
+        fp = final_plan(df)
+        scans = fp.count("Scan parquet") + fp.count("FileScan parquet")
+        reused = fp.count("Reused")
+        print(
+            f"\nFinal adaptive plan (scan nodes printed={scans} — a reused"
+            f" stage re-prints its source subtree; stages reused at"
+            f" runtime={reused}, each computed once):"
+        )
+        print("\n```")
+        print(fp.strip())
         print("```")
     spark.stop()
 

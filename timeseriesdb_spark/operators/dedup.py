@@ -91,8 +91,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition on the join key: (1) pins the inverted-index join to
     # a shuffle join — Catalyst's size estimate would otherwise
     # BROADCAST the exploded shingle set, which dies at corpus scale;
-    # (2) both self-join sides share one ReusedExchange, so the
-    # text is scanned and shingled exactly once.
+    # (2) at RUNTIME the corpus is scanned and shingled exactly once:
+    # AQE materializes the shingle shuffle as one query stage and the
+    # other self-join/sizes branches become ReusedQueryStages (see the
+    # final adaptive plan in PLANS.md — the PRE-execution plan shows
+    # the branches expanded, which over-counts scans). Keeping n_sh as
+    # a separate tiny aggregation off the same reused exchange beats
+    # carrying size(shingle_array) on every exploded row: exploding an
+    # attribute (vs. an inline expression) triggers
+    # InferFiltersFromGenerate + pushdown, which re-inlines the array
+    # construction into the pushed filter and rebuilds it ~3× per doc
+    # (measured: 2.7s → 4.2s at sf0.1).
     sh = _shingles(load_table(spark, sf_dir, "documents")).repartition("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
