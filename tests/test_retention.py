@@ -72,3 +72,51 @@ def test_retention_tiers_old_partitions(spark, tmp_path):
         ).first()[0]
     )
     assert abs(raw_mean - tier_mean) < 1e-4
+
+
+def test_retention_rerun_same_cutoff_is_sealed(spark, tmp_path):
+    """A completed cutoff is sealed by its manifest: re-invoking with
+    the same cutoff must not duplicate, overwrite, or re-shrink the
+    tier — only the (idempotent) delete phase re-runs."""
+    store = str(tmp_path / "store")
+    tier = str(tmp_path / "tier")
+    eng = SignalEngine(spark, store)
+    ev = load_table(spark, SF_DIR, "events")
+    eng.ingest(ev)
+
+    eng.apply_retention(tier, CUTOFF, chunk=8)
+    first = spark.read.parquet(tier).agg(F.sum("n_src_rows")).first()[0]
+    eng.apply_retention(tier, CUTOFF, chunk=8)
+    assert spark.read.parquet(tier).agg(F.sum("n_src_rows")).first()[0] == first
+
+
+def test_retention_late_rows_survive_and_tier_later(spark, tmp_path):
+    """Rows ingested into an already-aged date between runs are NOT in
+    the sealed cutoff's manifest: a same-cutoff rerun must leave them
+    in the raw store untouched; a later cutoff tiers them."""
+    store = str(tmp_path / "store")
+    tier = str(tmp_path / "tier")
+    eng = SignalEngine(spark, store)
+    ev = load_table(spark, SF_DIR, "events")
+    eng.ingest(ev)
+    eng.apply_retention(tier, CUTOFF, chunk=8)
+
+    late = ev.filter(F.to_date("ts") < CUTOFF).limit(100)
+    n_late = late.count()
+    assert n_late > 0
+    eng.ingest(late, mode="append")
+
+    # same cutoff again: late rows are not in the sealed manifest
+    eng.apply_retention(tier, CUTOFF, chunk=8)
+    assert eng.events().count() >= n_late
+    assert (
+        eng.events().filter(F.col("event_date") < CUTOFF).count() == n_late
+    )
+
+    # a later cutoff picks them up
+    n_before = spark.read.parquet(tier).agg(F.sum("n_src_rows")).first()[0]
+    eng.apply_retention(tier, "2024-02-01", chunk=8)
+    tiered = spark.read.parquet(tier)
+    n_old_total = ev.filter(F.to_date("ts") < "2024-02-01").count() + n_late
+    assert tiered.agg(F.sum("n_src_rows")).first()[0] == n_old_total
+    assert n_before < n_old_total

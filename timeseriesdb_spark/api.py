@@ -213,43 +213,102 @@ class SignalEngine:
     ) -> None:
         """Age-based tiering — the recoding daemon's lifecycle
         (recoding_daemon.rs:143-225: re-encode cold segments to
-        lossier levels as data ages): partitions older than
-        `cutoff_date` are downsampled (PAA chunk means) into
-        `tier_path`, then dropped from the raw store via partition-
-        directory deletes (what a compaction/retention job does; a
-        table format makes the drop transactional).
+        lossier levels as data ages): files older than `cutoff_date`
+        are downsampled (PAA chunk means) into
+        `tier_path/tiered_before=<cutoff>/`, then dropped from the raw
+        store. Queries needing old data read the tier; the raw store
+        stays bounded at (cutoff window) × ingest rate.
 
-        Queries needing old data read the tier; the raw store stays
-        bounded at (cutoff window) × ingest rate."""
-        old = self.events().filter(F.col("event_date") < F.lit(cutoff_date))
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        (
-            old.withColumn("pos", F.row_number().over(w) - 1)
-            .groupBy("user_id", F.floor(F.col("pos") / chunk).alias("chunk"))
-            .agg(
-                F.min("ts").alias("ts"),
-                F.round(F.avg("value"), 6).alias("value"),
-                F.count("*").alias("n_src_rows"),
-            )
-            # APPEND, tagged with the retention run: each run tiers only
-            # newly-aged partitions (older ones are already gone from
-            # raw), so overwrite would destroy previously tiered data
-            .withColumn("tiered_before", F.lit(cutoff_date))
-            .write.mode("append")
-            .parquet(tier_path)
-        )
-        # drop aged partitions (event_date=... directories)
-        old_dates = [
-            r.event_date
-            for r in old.select("event_date").distinct().collect()
-        ]
+        This is the manual commit protocol a table format would give
+        for free, idempotent at FILE granularity:
+
+        1. PIN: list the concrete parquet files under aged event_date
+           partitions once and persist the list as a manifest
+           (`tier_path/_manifests/<cutoff>.json`, written via tmp +
+           rename). Rows ingested into an aged partition AFTER the pin
+           land in new files that are not in the manifest — they are
+           neither tiered nor deleted by this run (a later cutoff
+           picks them up), closing the lost-ingest window.
+        2. TIER: aggregate exactly the manifest files into the
+           per-cutoff partition with overwrite. A crash mid-write
+           leaves no _SUCCESS; the rerun recomputes from the same
+           pinned manifest. Once _SUCCESS exists the write is never
+           repeated, so a rerun after partial deletes cannot rebuild
+           the tier from a now-smaller raw store.
+        3. DROP: delete exactly the manifest files (missing files are
+           no-ops), then remove aged partition dirs that became empty.
+
+        Manifests are kept after completion: they seal the cutoff, so
+        re-invoking with the same cutoff only re-runs the idempotent
+        delete phase and can never overwrite tiered data."""
+        import json
+
         jvm = self.spark._jvm
-        jsc = self.spark._jsc
-        conf = jsc.hadoopConfiguration()
-        for d in old_dates:
-            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/event_date={d}")
-            fs = p.getFileSystem(conf)
-            fs.delete(p, True)
+        conf = self.spark._jsc.hadoopConfiguration()
+
+        def hpath(s: str):
+            return jvm.org.apache.hadoop.fs.Path(s)
+
+        root = hpath(self.path)
+        fs = root.getFileSystem(conf)
+        man_dir = f"{tier_path}/_manifests"
+        man = hpath(f"{man_dir}/{cutoff_date}.json")
+        run_dir = f"{tier_path}/tiered_before={cutoff_date}"
+
+        if fs.exists(man):  # resume: the pinned snapshot IS the manifest
+            stream = fs.open(man)
+            files = json.loads(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+            stream.close()
+        else:
+            if not fs.exists(root):
+                return
+            files = []
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith("event_date="):
+                    continue
+                if name.split("=", 1)[1] >= cutoff_date:  # ISO dates sort
+                    continue
+                files.extend(
+                    f.getPath().toString()
+                    for f in fs.listStatus(st.getPath())
+                    if not f.getPath().getName().startswith(("_", "."))
+                )
+            if not files:
+                return
+            files.sort()
+            tmp = hpath(f"{man_dir}/.{cutoff_date}.json.tmp")
+            fs.mkdirs(hpath(man_dir))
+            out = fs.create(tmp, True)
+            out.write(bytearray(json.dumps(files).encode("utf-8")))
+            out.close()
+            fs.rename(tmp, man)
+
+        if not fs.exists(hpath(f"{run_dir}/_SUCCESS")):
+            old = self.spark.read.option("basePath", self.path).parquet(*files)
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            (
+                old.withColumn("pos", F.row_number().over(w) - 1)
+                .groupBy("user_id", F.floor(F.col("pos") / chunk).alias("chunk"))
+                .agg(
+                    F.min("ts").alias("ts"),
+                    F.round(F.avg("value"), 6).alias("value"),
+                    F.count("*").alias("n_src_rows"),
+                )
+                .write.mode("overwrite")
+                .parquet(run_dir)
+            )
+
+        dirs = set()
+        for f in files:
+            fs.delete(hpath(f), False)
+            dirs.add(f.rsplit("/", 1)[0])
+        for d in sorted(dirs):
+            dp = hpath(d)
+            if fs.exists(dp) and fs.listStatus(dp).__len__() == 0:
+                fs.delete(dp, True)
 
     def downsample(self, out_path: str, chunk: int = 8) -> None:
         """PAA downsampling to an aged tier (the lossy recoding path,
