@@ -35,14 +35,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
     Spark's Parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos
-    as raw int64 (legacy nanosAsLong conf, set unconditionally so the
-    driver's own session works too) and rebuild a microsecond
+    as raw int64 (legacy nanosAsLong conf) and rebuild a microsecond
     timestamp — lossless here (the generator writes µs-precision
     values; DuckDB likewise surfaces the column as µs TIMESTAMP, so
-    the oracle sees identical values)."""
+    the oracle sees identical values).
+
+    SESSION-WIDE SIDE EFFECT (deliberate, one-way): nanosAsLong stays
+    enabled for the session, so any later parquet read of a
+    nanosecond-timestamp column — including ones outside this loader —
+    surfaces it as bigint instead of failing. It is NOT restored after
+    the read: the returned DataFrame is lazy, and the conf must still
+    hold when the scan executes. Every repo read path routes through
+    load_table, so in practice the flag only ever changes what would
+    otherwise be an error."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in _NS_TS_COLUMNS and field.dataType.simpleString() == "bigint":
