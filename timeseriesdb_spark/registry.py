@@ -22,6 +22,7 @@ from timeseriesdb_spark.operators import (
     mlkernels,
     mlscoring,
     multimodal,
+    outlier,
     relational,
     similarity,
     text,
@@ -38,6 +39,7 @@ _MODULES = [
     mlkernels,
     mlscoring,
     multimodal,
+    outlier,
     relational,
     similarity,
     text,
