@@ -37,3 +37,73 @@ def test_ivf_results_are_real_neighbors(spark):
     sims = [r.cos_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_neardup_block_count_scales_with_corpus():
+    """One packed block must stay ≈ NEARDUP_BLOCK_BYTES at any corpus
+    size (the collect_list row / 2 GB Arrow wall)."""
+    B = similarity.NEARDUP_BLOCK_BYTES
+    for n in (0, 1, 10_000, 1_000_000, 33_000_000, 1_000_000_000):
+        b = similarity.neardup_blocks(n)
+        assert b >= similarity.NEARDUP_MIN_BLOCKS
+        per_block_bytes = (n / b) * similarity.DIM * 8
+        assert per_block_bytes <= B, (n, b, per_block_bytes)
+    # monotone: bigger corpora never get fewer blocks
+    sizes = [similarity.neardup_blocks(n) for n in (1, 10**6, 10**8, 10**9)]
+    assert sizes == sorted(sizes)
+
+
+def test_neardup_skewed_corpus_block_invariant(spark, tmp_path, monkeypatch):
+    """Skewed synthetic corpus (dense low vec_ids, sparse tail): every
+    packed block row stays under the byte target after mod-B hashing,
+    and the pair output matches a direct numpy check."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # dense ids in [0, 180), sparse tail spread to 100k — mod-B still spreads
+    ids = np.concatenate(
+        [np.arange(180), np.unique(rng.integers(200, 100_000, 40))]
+    )
+    dim = similarity.DIM
+    vecs = rng.normal(size=(len(ids), dim))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": ids.astype("int64"),
+         "embedding": [v.astype("float32").tolist() for v in vecs],
+         "label": np.zeros(len(ids), dtype="int64")}
+    )
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(pdf).write.parquet(d)
+    # shrink the byte target so the small corpus still exercises B > min
+    monkeypatch.setattr(similarity, "NEARDUP_BLOCK_BYTES", 8 * dim * 8)
+
+    def fake_load(sp, sf_dir, name):
+        assert name == "embeddings"
+        return sp.read.parquet(d)
+
+    monkeypatch.setattr(similarity, "load_table", fake_load)
+    b = similarity.neardup_blocks(len(ids))
+    # block-size invariant under the skewed id distribution
+    emb = spark.read.parquet(d)
+    from pyspark.sql import functions as F
+
+    per_blk = (
+        emb.groupBy(F.pmod("vec_id", F.lit(b)).alias("blk")).count().collect()
+    )
+    assert max(r["count"] for r in per_blk) * dim * 8 <= 2 * similarity.NEARDUP_BLOCK_BYTES
+    # end-to-end result matches a direct numpy all-pairs check
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.q_embedding_neardup(spark, "ignored").collect()
+    }
+    # mirror the stored float32 round-trip before the float64 math
+    Vf = vecs.astype(np.float32).astype(np.float64)
+    n2 = np.sqrt((Vf * Vf).sum(axis=1))
+    sims = np.round((Vf @ Vf.T) / np.outer(n2, n2), 4)
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= similarity.NEARDUP_COS:
+                exp.add((int(ids[i]), int(ids[j])))
+    assert got == exp

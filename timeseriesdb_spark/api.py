@@ -230,11 +230,15 @@ class SignalEngine:
            neither tiered nor deleted by this run (a later cutoff
            picks them up), closing the lost-ingest window.
         2. TIER: aggregate exactly the manifest files into the
-           per-cutoff partition with overwrite. A crash mid-write
-           leaves no _SUCCESS; the rerun recomputes from the same
-           pinned manifest. Once _SUCCESS exists the write is never
-           repeated, so a rerun after partial deletes cannot rebuild
-           the tier from a now-smaller raw store.
+           per-cutoff partition with overwrite, then seal it with our
+           OWN completion marker (`_manifests/<cutoff>.done`, tmp +
+           checked rename — not the committer's _SUCCESS, which
+           deployments can disable via
+           mapreduce.fileoutputcommitter.marksuccessfuljobs). A crash
+           mid-write leaves no marker; the rerun recomputes from the
+           same pinned manifest. Once the marker exists the write is
+           never repeated, so a rerun after partial deletes cannot
+           rebuild the tier from a now-smaller raw store.
         3. DROP: delete exactly the manifest files (missing files are
            no-ops), then remove aged partition dirs that became empty.
 
@@ -253,7 +257,20 @@ class SignalEngine:
         fs = root.getFileSystem(conf)
         man_dir = f"{tier_path}/_manifests"
         man = hpath(f"{man_dir}/{cutoff_date}.json")
+        done = hpath(f"{man_dir}/{cutoff_date}.done")
         run_dir = f"{tier_path}/tiered_before={cutoff_date}"
+
+        def atomic_write(target, payload: str) -> None:
+            tmp = hpath(f"{man_dir}/.{target.getName()}.tmp")
+            fs.mkdirs(hpath(man_dir))
+            out = fs.create(tmp, True)
+            out.write(bytearray(payload.encode("utf-8")))
+            out.close()
+            if not fs.rename(tmp, target):
+                raise IOError(
+                    f"retention: atomic rename to {target} failed; "
+                    "aborting before any tier write or delete"
+                )
 
         if fs.exists(man):  # resume: the pinned snapshot IS the manifest
             stream = fs.open(man)
@@ -262,6 +279,16 @@ class SignalEngine:
             )
             stream.close()
         else:
+            if fs.exists(done):
+                # completion marker without its manifest: someone removed
+                # the pinned file list after the tier write. Re-pinning
+                # now could adopt late-arriving files, skip tiering them
+                # (marker says done) and then DELETE them — the exact
+                # lost-ingest window this protocol closes. Refuse.
+                raise RuntimeError(
+                    f"retention: {done} exists but manifest {man} is "
+                    "missing — inconsistent state, not re-pinning"
+                )
             if not fs.exists(root):
                 return
             files = []
@@ -279,14 +306,9 @@ class SignalEngine:
             if not files:
                 return
             files.sort()
-            tmp = hpath(f"{man_dir}/.{cutoff_date}.json.tmp")
-            fs.mkdirs(hpath(man_dir))
-            out = fs.create(tmp, True)
-            out.write(bytearray(json.dumps(files).encode("utf-8")))
-            out.close()
-            fs.rename(tmp, man)
+            atomic_write(man, json.dumps(files))
 
-        if not fs.exists(hpath(f"{run_dir}/_SUCCESS")):
+        if not fs.exists(done):
             old = self.spark.read.option("basePath", self.path).parquet(*files)
             w = Window.partitionBy("user_id").orderBy("ts", "event_id")
             (
@@ -300,6 +322,7 @@ class SignalEngine:
                 .write.mode("overwrite")
                 .parquet(run_dir)
             )
+            atomic_write(done, json.dumps({"files": len(files)}))
 
         dirs = set()
         for f in files:

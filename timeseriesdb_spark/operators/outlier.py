@@ -48,7 +48,7 @@ def _sparse(df: DataFrame) -> DataFrame:
     )
 
 
-def _sparse_sql(pred: str = "TRUE") -> str:
+def _sparse_sql() -> str:
     return f"""
         SELECT event_id, user_id,
                CASE WHEN ('0x' || substr(md5('o:' || CAST(event_id AS VARCHAR)), 1, 2))::INTEGER % 100

@@ -91,33 +91,53 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K)
 
 
-NEARDUP_BLOCKS = 8  # corpus blocks → B·(B+1)/2 block-pair GEMM tasks
+NEARDUP_BLOCK_BYTES = 32 << 20  # target packed-block payload (~32 MB)
+NEARDUP_MIN_BLOCKS = 8          # parallelism floor for small corpora
+
+
+def neardup_blocks(n_rows: int, dim: int = DIM) -> int:
+    """Block count B for the block-pair GEMM, derived from corpus size:
+    one block is n/B rows × dim float64 ≈ NEARDUP_BLOCK_BYTES, so the
+    single `collect_list` row a block packs into stays tens of MB at
+    ANY corpus size — invariant: n_rows/B · dim · 8 ≤ 32 MB (+1 block
+    of slack), far under Spark's 2 GB single-row/Arrow limits. A fixed
+    B=8 would hit that wall at ~33 M rows (8·4 M·64·8 B = 2 GB/blk)."""
+    import math
+
+    return max(NEARDUP_MIN_BLOCKS, math.ceil(n_rows * dim * 8 / NEARDUP_BLOCK_BYTES))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) as a
     distributed block-pair GEMM.
 
-    The corpus is hashed into NEARDUP_BLOCKS blocks (vec_id mod B);
-    each block packs into one row of (ids, vecs) via collect_list; the
-    B·(B+1)/2 unordered block pairs come from a driver-built index of
-    pure integers (no data ever collects on the driver); each joined
-    pair row is one numpy matmul in mapInPandas. O(n²·d) flops run in
-    BLAS; O(n·B) rows move in the shuffle — the inherent cost of exact
-    all-pairs. Block size is tuned so one block fits an Arrow batch
-    (at 100 TB: raise B so n/B·d·8 bytes ≈ tens of MB). Beyond the
-    quadratic budget the LSH paths replace this operator entirely."""
+    The corpus is hashed into B blocks (vec_id mod B, B derived from
+    the corpus row count so one block ≈ NEARDUP_BLOCK_BYTES — see
+    neardup_blocks); each block packs into one row of (ids, vecs) via
+    collect_list; the B·(B+1)/2 unordered block pairs come from a
+    spark.range cross index (no block data and no pair list ever on
+    the driver — the only driver-side scalar is the row count, a
+    parquet-metadata count job at plan build); each joined pair row is
+    one numpy matmul in mapInPandas. O(n²·d) flops run in BLAS;
+    O(n·B) rows move in the shuffle — the inherent cost of exact
+    all-pairs. Beyond the quadratic budget the LSH paths replace this
+    operator entirely."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_blocks = neardup_blocks(emb.count())
     packed = (
-        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(NEARDUP_BLOCKS)))
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
     )
-    pair_idx = spark.createDataFrame(
-        [(a, b) for a in range(NEARDUP_BLOCKS) for b in range(NEARDUP_BLOCKS) if a <= b],
-        "blk_a long, blk_b long",
+    pair_idx = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("long").alias("blk_a"),
+            F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk_b"),
+        )
+        .filter(F.col("blk_a") <= F.col("blk_b"))
     )
     joined = (
         pair_idx.join(
@@ -129,7 +149,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blk_b",
         )
         # one GEMM task per block pair
-        .repartition(NEARDUP_BLOCKS * (NEARDUP_BLOCKS + 1) // 2, "blk_a", "blk_b")
+        .repartition(n_blocks * (n_blocks + 1) // 2, "blk_a", "blk_b")
     )
     thr = NEARDUP_COS
 
@@ -289,7 +309,16 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH/IVF candidate paths, and it says so instead of OOMing the
     driver. Scoring is one GEMM per Arrow batch:
     d² = ||a||² + ||t||² − 2·A·Tᵀ, argmin per row (train rows sorted
-    by vec_id, so numpy's first-occurrence argmin IS the tie-break)."""
+    by vec_id, so numpy's first-occurrence argmin IS the tie-break).
+
+    Parity assumption: the rearranged GEMM form suffers catastrophic
+    cancellation for near-identical vectors while the DuckDB oracle
+    sums (a−t)² directly; negatives are clamped to 0 and both sides
+    round to 4dp, so divergence requires a true d² whose float error
+    straddles a 0.00005 rounding boundary — not observed at any tested
+    sf. If it ever appears, recompute the offending rows with the
+    diff-based form (d² < eps fallback) rather than loosening the
+    oracle."""
     import numpy as np
     import pandas as pd
 

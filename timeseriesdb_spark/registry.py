@@ -49,12 +49,14 @@ _MODULES = [
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+_QUERY_SOURCE: dict[str, str] = {}  # query name → implementing module file
 
 for _m in _MODULES:
     for _name, _fn in _m.QUERIES.items():
         if _name in QUERIES:
             raise ValueError(f"duplicate query name: {_name}")
         QUERIES[_name] = _fn
+        _QUERY_SOURCE[_name] = getattr(_m, "__file__", "") or ""
     ORACLES.update(getattr(_m, "ORACLES", {}))
 
 # Every oracle must belong to a declared query.
@@ -64,7 +66,7 @@ if _orphans:
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """QUERIES reordered least-recently-verified-first.
+    """QUERIES reordered least-recently-verified-first, change-aware.
 
     The driver checks queries in ``queries()`` iteration order and caps
     CORRECTNESS_r{N}.json at ~50 rows per round (round 1 recorded
@@ -72,30 +74,56 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     To guarantee every query gets a fresh correctness row within a
     couple of rounds, sort by the last round in which the driver
     recorded a *clean* row (never-checked and errored queries first),
-    breaking ties by registry insertion order. Falls back to plain
-    insertion order if the round files are unreadable.
+    breaking ties by registry insertion order.
+
+    Change-aware rule: a clean row only counts if the query's
+    implementing module has not been modified since that round's
+    correctness file was written (module file mtime vs round-file
+    mtime). A rewrite of a recently-green query therefore re-ranks it
+    FIRST instead of shipping driver-unverified for a full round — the
+    round-2 `q_embedding_neardup` gap. One unreadable round file is
+    skipped without discarding the ordering info from other rounds.
     """
     import json
+    import os
     import re
     from pathlib import Path
 
     last_clean: dict[str, int] = {}
+    round_mtime: dict[int, float] = {}
+    root = Path(__file__).resolve().parent.parent
     try:
-        root = Path(__file__).resolve().parent.parent
-        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        round_files = sorted(root.glob("CORRECTNESS_r*.json"))
+    except Exception:
+        round_files = []
+    for f in round_files:
+        try:
             m = re.search(r"r(\d+)", f.name)
             if not m:
                 continue
             rnd = int(m.group(1))
+            round_mtime[rnd] = f.stat().st_mtime
             rows = json.loads(f.read_text())
             for name, row in rows.items():
                 err = row.get("err")
                 clean = err is None or err == "no_oracle"
                 if clean and name in QUERIES:
                     last_clean[name] = max(last_clean.get(name, 0), rnd)
-    except Exception:
-        return dict(QUERIES)
+        except Exception:
+            continue  # one malformed round file must not discard the rest
+
+    def rank(name: str) -> int:
+        rnd = last_clean.get(name, -1)
+        if rnd < 0:
+            return -1
+        try:
+            src_mtime = os.path.getmtime(_QUERY_SOURCE[name])
+            if src_mtime > round_mtime.get(rnd, float("inf")):
+                return -1  # module changed since its last clean row
+        except OSError:
+            pass
+        return rnd
 
     insertion = {name: i for i, name in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (last_clean.get(n, -1), insertion[n]))
+    names = sorted(QUERIES, key=lambda n: (rank(n), insertion[n]))
     return {n: QUERIES[n] for n in names}
