@@ -64,6 +64,12 @@ def segment_stats_stream(
     seg_size = segment_size
 
     def chunk(key, pdfs, state):
+        # Vectorized over each Arrow batch: segment boundaries are
+        # arithmetic (carry + batch length), per-segment stats come
+        # from numpy reduceat over the boundary offsets — no per-value
+        # Python loop in the ingest hot path. State stays O(1): only
+        # the open segment's (idx, cnt, min, max, sum).
+        import numpy as np
         import pandas as pd
 
         (uid,) = key
@@ -73,27 +79,57 @@ def segment_stats_stream(
                 mn, mx = None, None
         else:
             seg_idx, cnt, mn, mx, sm = 0, 0, None, None, 0.0
-        out = []
+        frames = []
         for pdf in pdfs:
             # arrival order within the batch = event-time order (the
             # reference's assumption); sort to make it explicit
             pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"].to_numpy():
-                v = float(v)
-                cnt += 1
-                mn = v if mn is None or v < mn else mn
-                mx = v if mx is None or v > mx else mx
-                sm += v
-                if cnt >= seg_size:
-                    out.append((uid, seg_idx, cnt, mn, mx, sm))
-                    seg_idx, cnt, mn, mx, sm = seg_idx + 1, 0, None, None, 0.0
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            if not len(v):
+                continue
+            need = seg_size - cnt  # values that close the open segment
+            if cnt + len(v) < seg_size:  # batch only extends it
+                cnt += len(v)
+                bmn, bmx = v.min(), v.max()
+                mn = bmn if mn is None or bmn < mn else mn
+                mx = bmx if mx is None or bmx > mx else mx
+                sm += v.sum()
+                continue
+            # end offset (exclusive) of every segment completed in v
+            cuts = np.arange(need, len(v) + 1, seg_size)
+            bounds = np.concatenate(([0], cuts))[:-1]
+            body = v[: cuts[-1]]
+            sums = np.add.reduceat(body, bounds)
+            mins = np.minimum.reduceat(body, bounds)
+            maxs = np.maximum.reduceat(body, bounds)
+            sums[0] += sm  # fold the carried partial segment into #0
+            if mn is not None:
+                mins[0] = min(mins[0], mn)
+                maxs[0] = max(maxs[0], mx)
+            n_seg = len(cuts)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(n_seg, uid, dtype=np.int64),
+                        "seg_idx": seg_idx + np.arange(n_seg, dtype=np.int64),
+                        "cnt": np.full(n_seg, seg_size, dtype=np.int64),
+                        "seg_min": mins,
+                        "seg_max": maxs,
+                        "seg_sum": sums,
+                    }
+                )
+            )
+            seg_idx += n_seg
+            tail = v[cuts[-1]:]
+            cnt = len(tail)
+            if cnt:
+                mn, mx, sm = tail.min(), tail.max(), tail.sum()
+            else:
+                mn, mx, sm = None, None, 0.0
         state.update((seg_idx, cnt, mn if mn is not None else 0.0,
                       mx if mx is not None else 0.0, sm))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "seg_idx", "cnt", "seg_min", "seg_max", "seg_sum"],
-            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return (
         events.groupBy("user_id")
