@@ -89,3 +89,40 @@ def test_rate_stream_schema(spark):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_parse_kafka_events_static_rows(spark):
+    """The kafka value-parse step on kafka-shaped static rows (binary
+    key/value) — the broker-free half of the source matrix."""
+    payload = (
+        '{"event_id": 7, "ts": "2024-03-01T00:00:05.000Z", "user_id": 3,'
+        ' "event_type": "view", "value": 1.5, "props": "{}"}'
+    )
+    raw = spark.createDataFrame(
+        [(bytearray(b"3"), bytearray(payload.encode()), "events", 0, 0)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    row = ingest.parse_kafka_events(raw).collect()[0]
+    assert row.event_id == 7 and row.user_id == 3 and row.value == 1.5
+    assert row.event_type == "view" and row.ts is not None
+    assert [f.name for f in ingest.parse_kafka_events(raw).schema.fields] == [
+        f.name for f in ingest.EVENTS_SCHEMA.fields
+    ]
+
+
+def test_kafka_stream_plan_builds(spark):
+    """Config-level source-matrix check: the kafka readStream plan
+    builds (or the connector is genuinely absent from the classpath,
+    which is a deployment packaging matter, not a plan defect)."""
+    import pytest
+
+    try:
+        df = ingest.read_kafka_stream(spark, "broker:9092", "events")
+    except Exception as exc:  # connector jar not bundled with pyspark
+        msg = str(exc).lower()
+        assert "kafka" in msg, exc
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in ingest.EVENTS_SCHEMA.fields
+    ]

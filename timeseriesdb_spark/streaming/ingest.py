@@ -56,6 +56,43 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def parse_kafka_events(kafka_df: DataFrame) -> DataFrame:
+    """Kafka wire format → event rows: `value` is a JSON-encoded event
+    (the network client's payload, ZMQClient/README.md:1 — the
+    reference ships raw f64 frames over ZMQ; JSON-over-Kafka is the
+    Spark-ecosystem equivalent). Source-agnostic: works on any
+    DataFrame with a binary/string `value` column, so it is unit-tested
+    against kafka-shaped static rows without a broker."""
+    return kafka_df.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting: str = "earliest",
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """Network-source parity (the reference's ZMQClient stub,
+    client.rs:360-383): the standard Kafka source feeding the SAME
+    downstream plan as the file stream — segmenter, windowed stats,
+    rollup all compose unchanged. maxOffsetsPerTrigger is the
+    backpressure knob (compression_daemon.rs:51 threshold analog).
+    Needs the spark-sql-kafka package on the classpath; plan
+    construction (options + parse) is what the tests pin."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .load()
+    )
+    return parse_kafka_events(raw)
+
+
 def rate_signal_stream(spark: SparkSession, signals: int = 8, rows_per_sec: int = 1000) -> DataFrame:
     """Synthetic generator client (client.rs:258-343 normal/uniform
     generators): rate source + deterministic value mixing."""
