@@ -1,0 +1,44 @@
+"""Model-scoring drift checks (the lossyML matrix): degradation with
+chunk=1 is the identity, so agreement must be exactly 1.0; real PAA
+degradation keeps agreement a valid, deterministic rate.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.operators import mlscoring
+
+
+def _rates(df):
+    return {
+        r.user_id: (r.n_segments, r.n_agree, r.agree_rate) for r in df.collect()
+    }
+
+
+def test_tree_drift_identity_degradation(spark, monkeypatch):
+    monkeypatch.setattr(mlscoring, "PAA_CHUNK", 1)
+    rows = _rates(mlscoring.q_tree_drift(spark, SF_DIR))
+    assert rows
+    for n, agree, rate in rows.values():
+        if n:
+            assert agree == n and rate == 1.0
+
+
+def test_tree_drift_agreement_bounded_and_deterministic(spark):
+    a = _rates(mlscoring.q_tree_drift(spark, SF_DIR))
+    assert a
+    for n, agree, rate in a.values():
+        assert 0 <= agree <= n
+        if n:
+            assert 0.0 <= rate <= 1.0
+    assert a == _rates(mlscoring.q_tree_drift(spark, SF_DIR))
+
+
+def test_tree_model_is_deterministic_and_bounded(spark):
+    t1 = mlscoring._train_tree(spark, SF_DIR)
+    mlscoring._TREE_CACHE.clear()
+    t2 = mlscoring._train_tree(spark, SF_DIR)
+    assert t1 == t2
+    assert len(t1) == 3  # root + two children: a broadcast-sized model
+    for j, thr in t1:
+        assert 0 <= j < 4 and isinstance(thr, float)

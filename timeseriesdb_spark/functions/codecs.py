@@ -117,10 +117,56 @@ def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fcm_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FCM/DFCM predictor residual profile per signal
+    (methods/fcm_encoder.rs:12-170: FCM predicts the next value from a
+    hash of recent values, DFCM predicts the next *delta* — the codec
+    stores only prediction residuals, so residual statistics ARE the
+    predictor's compression value).
+
+    SQL-expressible analog on the scaled-int stream: the order-1
+    context — FCM's table degenerates to last-value prediction, DFCM's
+    to last-delta prediction (prev + prev_delta), both via lag windows
+    with the codec's 0-defaults for the warm-up rows. Emitted per
+    signal: hit ratio (residual == 0 → the encoder's 1-bit escape) and
+    mean |residual| (the residual bit-width driver) for each predictor
+    — the writer picks FCM vs DFCM per signal from this table exactly
+    like q_compressibility picks codecs. One window + one grouped agg:
+    a single shuffle on the signal key, linear at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _signal_window()
+    v = scaled_int(F.col("value"))
+    prev = F.lag(v, 1, 0).over(w)
+    prev2 = F.lag(v, 2, 0).over(w)
+    fcm_res = v - prev                     # FCM: predict prev
+    dfcm_res = v - (prev + (prev - prev2))  # DFCM: predict prev + Δprev
+    per_row = ev.select(
+        "user_id",
+        fcm_res.alias("fcm_res"),
+        dfcm_res.alias("dfcm_res"),
+    )
+    return per_row.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.when(F.col("fcm_res") == 0, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("fcm_hit_ratio"),
+        F.round(
+            F.sum(F.when(F.col("dfcm_res") == 0, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dfcm_hit_ratio"),
+        F.round(F.avg(F.abs(F.col("fcm_res"))), 6).alias("fcm_mean_abs_res"),
+        F.round(F.avg(F.abs(F.col("dfcm_res"))), 6).alias("dfcm_mean_abs_res"),
+    )
+
+
 QUERIES = {
     "q_delta_zigzag": q_delta_zigzag,
     "q_ts_delta": q_ts_delta,
     "q_compressibility": q_compressibility,
+    "q_fcm_residuals": q_fcm_residuals,
 }
 
 ORACLES = {
@@ -160,6 +206,29 @@ ORACLES = {
                CASE WHEN delta >= 0 THEN delta * 2
                     ELSE -delta * 2 - 1 END AS zz_delta
         FROM d
+    """,
+    "q_fcm_residuals": f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * {float(10 ** SCALE_P)}) AS BIGINT) AS scaled
+            FROM events
+        ), r AS (
+            SELECT user_id,
+                   scaled - lag(scaled, 1, 0) OVER w AS fcm_res,
+                   scaled - (lag(scaled, 1, 0) OVER w
+                             + (lag(scaled, 1, 0) OVER w
+                                - lag(scaled, 2, 0) OVER w)) AS dfcm_res
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, count(*) AS n,
+               round(sum(CASE WHEN fcm_res = 0 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS fcm_hit_ratio,
+               round(sum(CASE WHEN dfcm_res = 0 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dfcm_hit_ratio,
+               round(avg(abs(fcm_res)), 6) AS fcm_mean_abs_res,
+               round(avg(abs(dfcm_res)), 6) AS dfcm_mean_abs_res
+        FROM r GROUP BY user_id
     """,
     "q_ts_delta": """
         WITH us AS (

@@ -38,15 +38,14 @@ def _features(values: np.ndarray) -> np.ndarray:
 
 
 _CENTERS_CACHE: dict[str, np.ndarray] = {}
+_TREE_CACHE: dict[str, tuple] = {}
 
 
-def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Deterministic Lloyd's iterations on segment features of the
-    sample signals; init = evenly spaced sorted-by-mean features (no
-    RNG → reproducible across runs/partitionings). Cached per sf_dir —
-    the training sample is immutable input."""
-    if sf_dir in _CENTERS_CACHE:
-        return _CENTERS_CACHE[sf_dir]
+def _sample_features(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Segment features of the bounded training sample (the
+    dictionary-sized subset the reference trains smartcore models on,
+    lossyML/src/main.rs:26-64): SAMPLE_SIGNALS signals, SEG_ROWS
+    segments, one (mean, std, min, max) row each."""
     ev = load_table(spark, sf_dir, "events")
     pdf = (
         ev.filter(F.col("user_id") < SAMPLE_SIGNALS)
@@ -59,7 +58,17 @@ def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
         v = g["value"].to_numpy(dtype=np.float64)
         for s in range(0, len(v) - SEG_ROWS + 1, SEG_ROWS):
             feats.append(_features(v[s : s + SEG_ROWS]))
-    X = np.array(feats)
+    return np.array(feats)
+
+
+def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Deterministic Lloyd's iterations on segment features of the
+    sample signals; init = evenly spaced sorted-by-mean features (no
+    RNG → reproducible across runs/partitionings). Cached per sf_dir —
+    the training sample is immutable input."""
+    if sf_dir in _CENTERS_CACHE:
+        return _CENTERS_CACHE[sf_dir]
+    X = _sample_features(spark, sf_dir)
     order = np.argsort(X[:, 0], kind="stable")
     centers = X[order[np.linspace(0, len(X) - 1, N_CLUSTERS).astype(int)]]
     for _ in range(KMEANS_ITERS):
@@ -120,5 +129,80 @@ def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_kmeans_drift": q_kmeans_drift}
-ORACLES: dict[str, str] = {}  # iterative clustering → rows-only check
+def _train_tree(spark: SparkSession, sf_dir: str) -> tuple:
+    """Depth-2 threshold tree on the sample's segment features — the
+    second model family of the reference's per-segment scoring matrix
+    (buffer_pool.rs:798-938 scores kmeans AND a decision tree per
+    segment; lossyML/src/main.rs:66-120). Unsupervised k-d-style
+    training, fully deterministic: each node splits on the
+    highest-variance feature at its median; the 4 leaves are the
+    labels. Returns ((j0,t0),(jL,tL),(jR,tR)) — three (feature_idx,
+    threshold) pairs, a broadcast-sized model like the kmeans
+    centers."""
+    if sf_dir in _TREE_CACHE:
+        return _TREE_CACHE[sf_dir]
+    X = _sample_features(spark, sf_dir)
+
+    def split(rows: np.ndarray) -> tuple[int, float]:
+        j = int(rows.var(axis=0).argmax())
+        return j, float(np.median(rows[:, j]))
+
+    j0, t0 = split(X)
+    left, right = X[X[:, j0] <= t0], X[X[:, j0] > t0]
+    jl, tl = split(left) if len(left) else (j0, t0)
+    jr, tr = split(right) if len(right) else (j0, t0)
+    tree = ((j0, t0), (jl, tl), (jr, tr))
+    _TREE_CACHE[sf_dir] = tree
+    return tree
+
+
+def q_tree_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal threshold-tree label agreement between raw and
+    PAA-degraded segments — the dtree row of the reference's lossyML
+    matrix (buffer_pool.rs:798-938), same harness as q_kmeans_drift:
+    train once on the bounded sample, broadcast the 3-node model,
+    score distributed in one grouped-map pass. Emits
+    (user_id, n_segments, n_agree, agree_rate)."""
+    tree = _train_tree(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(tree)
+    seg_rows, paa_chunk = SEG_ROWS, PAA_CHUNK
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        (j0, t0), (jl, tl), (jr, tr) = bc.value
+
+        def label(v: np.ndarray) -> int:
+            f = np.array([v.mean(), v.std(), v.min(), v.max()])
+            if f[j0] <= t0:
+                return 0 if f[jl] <= tl else 1
+            return 2 if f[jr] <= tr else 3
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        uid = int(pdf["user_id"].iloc[0])
+        n, agree = 0, 0
+        for s in range(0, len(v) - seg_rows + 1, seg_rows):
+            seg = v[s : s + seg_rows]
+            means = seg.reshape(-1, paa_chunk).mean(axis=1)
+            degraded = np.repeat(means, paa_chunk)
+            n += 1
+            agree += int(label(seg) == label(degraded))
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_segments": [n],
+                "n_agree": [agree],
+                "agree_rate": [round(agree / n, 6) if n else None],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        score,
+        "user_id bigint, n_segments bigint, n_agree bigint, agree_rate double",
+    )
+
+
+QUERIES = {"q_kmeans_drift": q_kmeans_drift, "q_tree_drift": q_tree_drift}
+ORACLES: dict[str, str] = {}  # iterative/model training → rows-only checks
