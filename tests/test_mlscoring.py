@@ -15,23 +15,30 @@ def _rates(df):
     }
 
 
-def test_tree_drift_identity_degradation(spark, monkeypatch):
+import pytest
+
+FAMILIES = ["q_kmeans_drift", "q_tree_drift", "q_knn_drift", "q_forest_drift"]
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_drift_identity_degradation(spark, monkeypatch, family):
     monkeypatch.setattr(mlscoring, "PAA_CHUNK", 1)
-    rows = _rates(mlscoring.q_tree_drift(spark, SF_DIR))
+    rows = _rates(mlscoring.QUERIES[family](spark, SF_DIR))
     assert rows
     for n, agree, rate in rows.values():
         if n:
             assert agree == n and rate == 1.0
 
 
-def test_tree_drift_agreement_bounded_and_deterministic(spark):
-    a = _rates(mlscoring.q_tree_drift(spark, SF_DIR))
+@pytest.mark.parametrize("family", FAMILIES)
+def test_drift_agreement_bounded_and_deterministic(spark, family):
+    a = _rates(mlscoring.QUERIES[family](spark, SF_DIR))
     assert a
     for n, agree, rate in a.values():
         assert 0 <= agree <= n
         if n:
             assert 0.0 <= rate <= 1.0
-    assert a == _rates(mlscoring.q_tree_drift(spark, SF_DIR))
+    assert a == _rates(mlscoring.QUERIES[family](spark, SF_DIR))
 
 
 def test_tree_model_is_deterministic_and_bounded(spark):
