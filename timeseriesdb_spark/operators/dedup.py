@@ -255,12 +255,82 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+CC_MAX_ITERS = 12   # safety bound; min-label + pointer-jump converges in
+                    # O(log(longest chain)) rounds, typically 3-4
+CC_MIN_EST = 0.5    # candidate pairs below this est-Jaccard are not edges
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    LSH candidate graph (edges = q_minhash_lsh_pairs with
+    est_jaccard ≥ CC_MIN_EST), the step a real dedup pipeline runs
+    after pair generation — transitive closure turns pairs into
+    groups, and `doc_id == cluster_id` selects the canonical survivor
+    (min doc_id) per group. Every document gets a row (singletons are
+    their own cluster), so the output is a total keep/drop decision.
+
+    Distributed shape: iterative min-label propagation with pointer
+    jumping — per round, each node takes the min label over itself and
+    its neighbors, then labels compress via comp ← comp(comp). Each
+    round is two shuffle joins on DataFrames; localCheckpoint truncates
+    the lineage so round N does not recompute rounds 1..N-1; the loop
+    exits as soon as a round changes nothing (a bounded plan-build
+    action per round, like the tfidf count). At 100 TB this is the
+    textbook DataFrame CC: O(log n) rounds, each linear in |edges|,
+    nothing on the driver but the changed-row counter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CC_MIN_EST
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
+    ).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "comp"
+        )
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        jump = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = (
+            stepped.join(jump, "comp", "left")
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.comp") != F.col("n.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 _NAMES = [n for n, _, _ in _sig_cols()]
@@ -276,6 +346,16 @@ _EST_SQL = (
     + " + ".join(f"CASE WHEN a.{n} = b.{n} THEN 1 ELSE 0 END" for n in _NAMES)
     + f") / {float(MINHASH_K)}"
 )
+_LSH_PAIRS_CTES = f"""sig AS ({_MINHASH_SQL}),
+        bands AS (SELECT *, {_BAND_KEYS_SQL} FROM sig),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round({_EST_SQL}, 6) AS est_jaccard
+            FROM bands a JOIN bands b
+              ON a.doc_id < b.doc_id
+             AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+                  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+        )"""
 
 ORACLES = {
     "q_dedup_exact": """
@@ -303,17 +383,31 @@ ORACLES = {
     """,
     "q_minhash_signatures": _MINHASH_SQL,
     "q_minhash_lsh_pairs": f"""
-        WITH sig AS ({_MINHASH_SQL}),
-        bands AS (SELECT *, {_BAND_KEYS_SQL} FROM sig),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round({_EST_SQL}, 6) AS est_jaccard
-            FROM bands a JOIN bands b
-              ON a.doc_id < b.doc_id
-             AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1
-                  OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
-        )
+        WITH {_LSH_PAIRS_CTES}
         SELECT doc_a, doc_b, est_jaccard FROM pairs
+    """,
+    # transitive closure via recursive min-label reachability: (v, m)
+    # ∈ r iff m reaches v over threshold edges; min m per v IS the
+    # component label (identical to Spark's converged propagation)
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE {_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            WHERE est_jaccard >= {CC_MIN_EST}
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+            WHERE est_jaccard >= {CC_MIN_EST}
+        ),
+        r AS (
+            SELECT doc_id AS v, doc_id AS m FROM documents
+            UNION
+            SELECT e.b AS v, r.m AS m FROM r JOIN edges e ON e.a = r.v
+        ),
+        comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM r GROUP BY v)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id) s USING (cluster_id)
     """,
     "q_simhash": (
         "WITH words AS (SELECT DISTINCT doc_id, w FROM ("
