@@ -107,3 +107,37 @@ def test_neardup_skewed_corpus_block_invariant(spark, tmp_path, monkeypatch):
             if ids[i] < ids[j] and sims[i, j] >= similarity.NEARDUP_COS:
                 exp.add((int(ids[i]), int(ids[j])))
     assert got == exp
+
+
+def test_ivf_stored_cells_partition_prune(spark, tmp_path):
+    """The stored-IVF layout: cell partitions prune at scan time
+    (PartitionFilters carries the probe's cell IN filter) and the
+    pruned probe returns exactly the in-memory q_ann_ivf answer."""
+    import numpy as np
+
+    from timeseriesdb_spark.plans.checks import formatted_plan
+    from timeseriesdb_spark.tables import load_table
+
+    C = similarity._ivf_centroids(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_store")
+    similarity.write_ivf_store(emb, path, C)
+
+    qv = np.asarray(
+        emb.filter(f"vec_id = {similarity.QUERY_VEC_ID}").first()["embedding"],
+        dtype=np.float64,
+    )
+    probed = similarity.ivf_probe_stored(
+        spark, path, qv, C, exclude_vec_id=similarity.QUERY_VEC_ID
+    )
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "cell" in part_line and ("IN" in part_line or "in(" in part_line.lower())
+
+    got = [(r.vec_id, r.cos_sim) for r in probed.collect()]
+    exp = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.q_ann_ivf(spark, SF_DIR).collect()
+    ]
+    assert got == exp

@@ -90,3 +90,62 @@ def test_stream_segments_match_batch(spark, tmp_path):
     assert np.allclose(got["seg_sum"], exp["seg_sum"], rtol=0, atol=1e-9)
     # state never held raw values: completed segments appeared as soon
     # as their closing row arrived (implicit in equality above)
+
+
+class _FakeState:
+    """Minimal GroupState double for driving the kernel directly."""
+
+    def __init__(self, tup=None, timed_out=False):
+        self._tup = tup
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._tup is not None
+
+    @property
+    def get(self):
+        return self._tup
+
+    def update(self, tup):
+        self.updated = tup
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timeout_flushes_partial_segment_and_clears_state():
+    chunk = segmenter.make_chunk(64, idle_timeout_ms=1000)
+    st = _FakeState(tup=(3, 10, -1.5, 2.5, 7.0), timed_out=True)
+    out = list(chunk((42,), iter([]), st))
+    assert st.removed and len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.user_id, row.seg_idx, row.cnt) == (42, 3, 10)
+    assert (row.seg_min, row.seg_max, row.seg_sum) == (-1.5, 2.5, 7.0)
+
+
+def test_timeout_with_empty_partial_emits_nothing():
+    chunk = segmenter.make_chunk(64, idle_timeout_ms=1000)
+    st = _FakeState(tup=(5, 0, 0.0, 0.0, 0.0), timed_out=True)
+    assert list(chunk((42,), iter([]), st)) == []
+    assert st.removed
+
+
+def test_active_signal_rearms_timeout():
+    import pandas as pd
+
+    chunk = segmenter.make_chunk(4, idle_timeout_ms=1000)
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {"ts": range(6), "event_id": range(6), "value": [1.0, 2, 3, 4, 5, 6]}
+    )
+    out = list(chunk((7,), iter([pdf]), st))
+    assert st.timeout_set == 1000
+    assert len(out) == 1 and out[0].iloc[0].cnt == 4  # one full segment
+    assert st.updated[:2] == (1, 2)  # partial: seg 1, 2 values carried

@@ -126,3 +126,51 @@ def test_kafka_stream_plan_builds(spark):
     assert [f.name for f in df.schema.fields] == [
         f.name for f in ingest.EVENTS_SCHEMA.fields
     ]
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """Session windows: every emitted session equals the batch
+    session_window computation; only watermark-held tail sessions may
+    be absent at availableNow drain."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    load_table(spark, SF_DIR, "events").repartition(8).write.parquet(src)
+
+    stream = ingest.read_event_stream(spark, src)
+    q = ingest.ingest_to_parquet(
+        ingest.session_stats(stream, gap="30 minutes", watermark="2 hours"),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["user_id", "sess_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got), "no sessions emitted — hollow test"
+    exp = (
+        ingest.session_stats(
+            spark.read.parquet(src), gap="30 minutes", watermark="2 hours"
+        )
+        .toPandas()
+        .sort_values(["user_id", "sess_start"])
+        .reset_index(drop=True)
+    )
+    merged = got.merge(
+        exp, on=["user_id", "sess_start"], how="left", suffixes=("", "_exp")
+    )
+    for c in ["sess_end", "cnt", "min_value", "max_value", "sum_value"]:
+        pd.testing.assert_series_equal(
+            merged[c], merged[f"{c}_exp"].rename(c), check_exact=True
+        )
+    missing = exp.merge(got[["user_id", "sess_start"]], how="left", indicator=True)
+    missing = missing[missing["_merge"] == "left_only"]
+    if len(missing):
+        horizon = exp["sess_start"].max() - pd.Timedelta(hours=6)
+        assert (missing["sess_start"] >= horizon).all(), (
+            f"non-tail sessions missing:\n{missing.head()}"
+        )

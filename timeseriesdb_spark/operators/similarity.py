@@ -293,6 +293,63 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_cell_column(C) -> Column:
+    """cell = argmax_k dot(e, centroid_k) as a pure JVM expression
+    (the q_ann_ivf step-1 assignment; requires the `e` double-array
+    column from _with_norm). Scale-invariant, first-max tie-break."""
+    dots = F.array(*[_dot(F.col("e"), _lit_vec(C[k])) for k in range(len(C))])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def write_ivf_store(emb: DataFrame, path: str, C) -> None:
+    """Ingest-time IVF: the inverted lists ARE parquet partitions.
+    Cell assignment runs once at write (JVM-side), `partitionBy(cell)`
+    lays each list out as its own directory, and a probe's
+    `cell IN (...)` filter becomes PartitionFilters — at 100 TB the
+    scan never opens the (cells − nprobe)/cells fraction of the store.
+    This materializes the q_ann_ivf docstring's 'in a stored table
+    this column is written once at ingest' claim; norms are
+    precomputed for the same reason."""
+    (
+        _with_norm(emb)
+        .withColumn("cell", ivf_cell_column(C))
+        .select("vec_id", "label", "embedding", "norm", "cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_probe_stored(
+    spark: SparkSession, path: str, qv, C, nprobe: int = IVF_NPROBE,
+    k: int = TOP_K, exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine probe against a write_ivf_store layout: pick the
+    nprobe nearest cells (driver-side arithmetic on the tiny centroid
+    matrix), partition-prune to them, score survivors JVM-side."""
+    import numpy as np
+
+    qv = np.asarray(qv, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe_cells = [int(i) for i in np.argsort(qn @ np.asarray(C).T)[::-1][:nprobe]]
+    emb = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        emb = emb.filter(F.col("vec_id") != exclude_vec_id)
+    qnorm = float(np.linalg.norm(qv))
+    return (
+        emb.withColumn("e", _as_double(F.col("embedding")))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("e"), _lit_vec(qv)) / (F.col("norm") * F.lit(qnorm)), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 KNN_TRAIN_CAP = 200_000  # broadcast guard: ~200k × 64 × 8B ≈ 100 MB
 
 

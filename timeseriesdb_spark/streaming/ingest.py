@@ -129,6 +129,34 @@ def windowed_stats(stream: DataFrame, window: str = "1 minute", watermark: str =
     )
 
 
+def session_stats(
+    stream: DataFrame, gap: str = "30 seconds", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Session-windowed per-signal stats: activity bursts separated by
+    ≥`gap` of silence become one session each (F.session_window — the
+    engine merges/extends sessions in the state store; watermark
+    closes them). The streaming form of q_sessionize's batch gap
+    logic: identical session boundaries, state-store bounded by open
+    sessions only. Works unchanged on a batch DataFrame, which is what
+    the parity test exploits."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "cnt", "min_value", "max_value", "sum_value",
+        )
+    )
+
+
 def ingest_to_parquet(
     stream_stats: DataFrame, out_dir: str, checkpoint_dir: str
 ):

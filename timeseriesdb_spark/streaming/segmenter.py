@@ -56,12 +56,17 @@ STATE_SCHEMA = StructType(
 )
 
 
-def segment_stats_stream(
-    events: DataFrame, segment_size: int = SEGMENT_SIZE
-) -> DataFrame:
-    """events stream (user_id, ts, value, ...) → stream of completed
-    per-signal segment AggStats rows."""
-    seg_size = segment_size
+def make_chunk(seg_size: int, idle_timeout_ms: int | None = None):
+    """Factory for the stateful segmentation kernel (returned closure
+    ships by value — executors never import this module).
+
+    With `idle_timeout_ms`, a signal idle past the timeout FLUSHES its
+    partial segment (cnt < seg_size) and clears its state — the
+    reference's buffer eviction of cold signals (buffer_pool.rs
+    evict/flush path): without it, a dead signal pins its unfinished
+    segment in the state store forever. Downstream treats the short
+    row as a sealed short segment, exactly like the reference's dirty
+    flush."""
 
     def chunk(key, pdfs, state):
         # Vectorized over each Arrow batch: segment boundaries are
@@ -79,6 +84,16 @@ def segment_stats_stream(
                 mn, mx = None, None
         else:
             seg_idx, cnt, mn, mx, sm = 0, 0, None, None, 0.0
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # evict: flush the partial segment and drop the state
+            state.remove()
+            if cnt:
+                yield pd.DataFrame(
+                    [(uid, seg_idx, cnt, mn, mx, sm)],
+                    columns=["user_id", "seg_idx", "cnt",
+                             "seg_min", "seg_max", "seg_sum"],
+                )
+            return
         frames = []
         for pdf in pdfs:
             # arrival order within the batch = event-time order (the
@@ -128,16 +143,34 @@ def segment_stats_stream(
                 mn, mx, sm = None, None, 0.0
         state.update((seg_idx, cnt, mn if mn is not None else 0.0,
                       mx if mx is not None else 0.0, sm))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
+    return chunk
+
+
+def segment_stats_stream(
+    events: DataFrame,
+    segment_size: int = SEGMENT_SIZE,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """events stream (user_id, ts, value, ...) → stream of completed
+    per-signal segment AggStats rows. `idle_timeout_ms` enables
+    cold-signal eviction (processing-time timeout → partial-segment
+    flush; see make_chunk)."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            chunk,
+            make_chunk(segment_size, idle_timeout_ms),
             outputStructType=SEGMENT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
