@@ -26,6 +26,9 @@ HEADLINERS = [
     "q_resample_interp", # bidirectional running windows
     "q_sessionize",
     "q_revenue_by_nation",
+    "q_fcm_residuals",   # predictor residuals: one window + one agg
+    "q_dedup_clusters",  # iterative CC: per-round join topology
+    "q_ann_ivf",         # JVM-side cell pruning before scoring
 ]
 
 SF = "/root/testdata/sf0.01"
