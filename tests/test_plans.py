@@ -103,3 +103,54 @@ def test_store_partition_pruning(spark, tmp_path):
         (F.to_date("ts") == "2024-01-05") & (F.col("user_id") == 3)
     ).count()
     assert scan.count() == n_direct
+
+
+def test_gopher_rules_scan_only(spark):
+    # rule filters are pure per-row string arithmetic: no shuffle, no
+    # Python, and the scan reads only the two columns used
+    df = QUERIES["q_gopher_rules"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) == 0, plan
+    assert set(checks.read_schema(df)) <= {"doc_id", "text"}
+
+
+def test_pii_scan_single_exchange(spark):
+    df = QUERIES["q_pii_scan"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+    assert "partial_" in plan, plan  # map-side combine before the shuffle
+
+
+def test_vocab_topk_never_sorts_fully(spark):
+    # global top-k must be TakeOrderedAndProject on the counted terms,
+    # not a full Sort; rank window runs on the k-row result only
+    df = QUERIES["q_vocab_topk"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_interval_join_is_equi_join(spark):
+    # the bin trick must plan as a broadcast equi-join with a residual
+    # range condition — BroadcastNestedLoopJoin here means the range
+    # predicate became the join itself and the plan is O(n*m)
+    df = QUERIES["q_interval_join"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_regional_revenue_broadcasts_every_dim(spark):
+    # Q5 join tree: five broadcast joins, lineitem is the only
+    # shuffled input (the final agg exchange), date filter pushed to
+    # the orders scan
+    df = QUERIES["q_regional_revenue"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed

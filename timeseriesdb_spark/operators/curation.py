@@ -1,0 +1,421 @@
+"""Corpus-curation operators — the filter/sample/vocab stages of an
+LLM training-data pipeline over `documents`, plus the generic range
+(interval) join the reference lacks entirely (SURVEY §2.3: its only
+join is a hash semi-join, benchmark/tsbs/mod.rs:29-48).
+
+Scale notes per operator:
+- Rule filters / PII scans are pure per-row string arithmetic on one
+  narrow scan — no shuffle, whole-stage codegen end to end. At 100 TB
+  they run at scan speed, which is why every ratio is built from
+  length/replace/regexp primitives that evaluate identically in Spark
+  and DuckDB (hash-exact oracles) instead of Python UDFs.
+- Repetition profiling shuffles once (by doc_id) and aggregates once;
+  group width is one document's trigrams, so executor memory is
+  bounded by the longest document, not the corpus.
+- The vocabulary builder is the canonical partial-agg showcase: the
+  map side collapses each partition to its local term counts before
+  the single shuffle, and the global top-k is TakeOrderedAndProject
+  (no full sort materializes the vocabulary).
+- The interval join avoids the O(probe × intervals) cross product by
+  equi-joining on a time bin sized to the interval length: every
+  interval overlaps ≤ 2 bins, so the join fans out at most 2×
+  before the residual range predicate. The interval side here is
+  broadcast (it is dimension-sized); with a large interval side the
+  same bin column becomes the shuffle key and the plan stays an
+  equi-join — the technique, not the broadcast, is what scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+# ---------------------------------------------------------------- helpers
+
+
+def _n_occurrences(text: Column, marker: str) -> Column:
+    """Occurrence count via length arithmetic (engine-exact)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+    ) / F.lit(len(marker))
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+# synthetic corpus scale: word-count band shrunk from [50, 100k]).
+MIN_WORDS, MAX_WORDS = 10, 100_000
+MIN_MEAN_WL, MAX_MEAN_WL = 2.0, 12.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_STOPWORD_HITS = 1
+STOPWORDS = ["the", "a", "of", "to"]  # marker set for the presence rule
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags per document: word-count band,
+    mean-word-length band, symbol-to-word ratio cap, stopword
+    presence; `keep` is the conjunction. One narrow scan, no shuffle,
+    no UDF — at corpus scale this is the cheapest filter stage and
+    runs first."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_spaces = _n_occurrences(t, " ")
+    n_words = n_spaces + F.lit(1.0)
+    mean_wl = (F.length(t) - n_spaces) / n_words
+    n_symbols = _n_occurrences(t, "#") + _n_occurrences(t, "...")
+    symbol_ratio = n_symbols / n_words
+    stop_hits = sum(
+        (_n_occurrences(padded, f" {w} ") for w in STOPWORDS), start=F.lit(0)
+    )
+    word_count_ok = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+    mean_wl_ok = (mean_wl >= MIN_MEAN_WL) & (mean_wl <= MAX_MEAN_WL)
+    symbol_ok = symbol_ratio <= MAX_SYMBOL_RATIO
+    stopword_ok = stop_hits >= MIN_STOPWORD_HITS
+    keep = word_count_ok & mean_wl_ok & symbol_ok & stopword_ok
+    return doc.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        word_count_ok.cast("int").alias("word_count_ok"),
+        mean_wl_ok.cast("int").alias("mean_wl_ok"),
+        symbol_ok.cast("int").alias("symbol_ok"),
+        stopword_ok.cast("int").alias("stopword_ok"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (the Gopher/CCNet duplicate
+    n-gram filter): fraction of word trigrams that are repeats of an
+    earlier trigram in the same document. Shuffles once on doc_id to
+    order words, aggregates per document; docs under 3 words emit no
+    row (no trigrams) in both engines."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+            ).alias("tri"),
+            F.lead("w", 2).over(w).alias("_w2"),
+        )
+        .where(F.col("_w2").isNotNull())
+    )
+    return tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.countDistinct("tri").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("tri") / F.count("*").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+# Conservative cross-dialect regexes (identical semantics in Java's
+# regex engine and DuckDB's RE2): plain character classes, bounded
+# repetition, no backrefs/lookaround.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+PII_IPV4 = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+PII_LONG_NUMBER = "[0-9][0-9][0-9][0-9][0-9][0-9]+"  # ≥6 consecutive digits
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction audit: per source, documents flagged and
+    total match counts for email / IPv4 / long-number patterns.
+    regexp_count runs JVM-side inside codegen; the per-source rollup
+    is a 4-group aggregate, so at 100 TB the cost is exactly one
+    scan. The redaction pass itself is the same expression with
+    regexp_replace writing a new column."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4))
+    n_num = F.regexp_count(t, F.lit(PII_LONG_NUMBER))
+    flagged = (n_email + n_ipv4 + n_num) > 0
+    return (
+        doc.select("source", n_email.alias("e"), n_ipv4.alias("i"),
+                   n_num.alias("n"), flagged.cast("bigint").alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f").alias("n_flagged"),
+            F.sum("e").alias("n_emails"),
+            F.sum("i").alias("n_ipv4"),
+            F.sum("n").alias("n_long_numbers"),
+        )
+    )
+
+
+SAMPLE_PREFIX = "1a"  # md5-hex 2-char prefix < '1a' ≈ 10.2% of keyspace
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit: per (source, lang)
+    stratum, how many documents a content-hash threshold sample
+    keeps. The same document keeps/drops on any engine and any
+    cluster shape (md5 of the text, no RNG) — the reproducibility
+    property a training pipeline needs for ablation reruns. One
+    scan, one small-cardinality aggregate."""
+    doc = load_table(spark, sf_dir, "documents")
+    kept = (F.substring(F.md5("text"), 1, 2) < F.lit(SAMPLE_PREFIX)).cast("bigint")
+    return (
+        doc.select("source", "lang", kept.alias("kept"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*").cast("double"), 6).alias(
+                "sample_rate"
+            ),
+        )
+    )
+
+
+VOCAB_TOP = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global top-50 terms by frequency with a
+    deterministic (count desc, term) rank. Map-side partial counts
+    collapse each partition before the one shuffle; the top-k is
+    TakeOrderedAndProject (bounded memory at any vocabulary size —
+    a full vocab sort never materializes)."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    counts = words.groupBy("term").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(VOCAB_TOP)
+    rank = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(rank).cast("bigint"))
+
+
+INTERVAL_DAYS = 14  # interval length == bin width ⇒ ≤2 bins per interval
+INTERVAL_KEY_MOD = 97  # deterministic dimension-sized interval subset
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic range (interval containment) join — absent from the
+    reference (SURVEY §2.3) and from Spark's equi-join planner, which
+    would otherwise fall back to BroadcastNestedLoopJoin. Intervals
+    [o_orderdate, +14d) from a keyed subset of orders are matched to
+    lineitem ship dates. Implementation: bin both sides by
+    floor(epoch_day / 14); an interval spans at most 2 bins (explode
+    ≤2 rows), the probe lands in exactly 1, the join is a plain
+    equi-join on bin + interval key with the range predicate as a
+    residual filter. Fan-out is bounded 2×, so the plan survives any
+    interval-side cardinality; here the interval side is additionally
+    broadcast because it is dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    start = F.col("o_orderdate").cast("date")
+    iv = (
+        orders.where(F.col("o_orderkey") % INTERVAL_KEY_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("iv_key"),
+            start.alias("iv_start"),
+            F.date_add(start, INTERVAL_DAYS).alias("iv_end"),
+        )
+    )
+    day = lambda c: F.datediff(c, F.lit("1970-01-01"))  # noqa: E731
+    iv_binned = iv.select(
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (day(F.col("iv_start")) / INTERVAL_DAYS).cast("bigint"),
+                    (day(F.date_sub(F.col("iv_end"), 1)) / INTERVAL_DAYS).cast(
+                        "bigint"
+                    ),
+                )
+            )
+        ).alias("bin"),
+    )
+    probe = li.select(
+        F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
+    ).withColumn("bin", (day(F.col("ship_d")) / INTERVAL_DAYS).cast("bigint"))
+    joined = probe.join(
+        F.broadcast(iv_binned),
+        (probe.bin == iv_binned.bin)
+        & (F.col("ship_d") >= F.col("iv_start"))
+        & (F.col("ship_d") < F.col("iv_end")),
+    )
+    return joined.groupBy("iv_key", F.col("iv_start").cast("timestamp").alias("iv_start")).agg(
+        F.count("*").alias("n_shipments"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+REGION = "ASIA"
+Q5_YEAR_START, Q5_YEAR_END = "1996-01-01", "1997-01-01"
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation for one
+    region-year — the deepest join tree in the inventory (lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with the
+    c_nationkey = s_nationkey locality predicate). All five dimension
+    sides broadcast; lineitem is the only shuffled input and the date
+    filter reaches the orders scan, so at 100 TB the plan is one fact
+    scan + one aggregation exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_YEAR_START))
+        & (F.col("o_orderdate") < F.lit(Q5_YEAR_END))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == REGION)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+QUERIES = {
+    "q_gopher_rules": q_gopher_rules,
+    "q_repetition": q_repetition,
+    "q_pii_scan": q_pii_scan,
+    "q_stratified_sample": q_stratified_sample,
+    "q_vocab_topk": q_vocab_topk,
+    "q_interval_join": q_interval_join,
+    "q_regional_revenue": q_regional_revenue,
+}
+
+
+def _occ_sql(expr: str, marker: str) -> str:
+    return (
+        f"((length({expr}) - length(replace({expr}, '{marker}', '')))"
+        f" / {len(marker)})"
+    )
+
+
+_PAD = "(' ' || text || ' ')"
+_NSP = _occ_sql("text", " ")
+_NW = f"({_NSP} + 1.0)"
+_MWL = f"((length(text) - {_NSP}) / {_NW})"
+_NSYM = f"({_occ_sql('text', '#')} + {_occ_sql('text', '...')})"
+_STOP = " + ".join(_occ_sql(_PAD, f" {w} ") for w in STOPWORDS)
+
+ORACLES = {
+    "q_gopher_rules": f"""
+        SELECT doc_id,
+               CAST({_NW} AS BIGINT) AS n_words,
+               round({_MWL}, 6) AS mean_word_len,
+               round({_NSYM} / {_NW}, 6) AS symbol_ratio,
+               CAST({_STOP} AS BIGINT) AS stopword_hits,
+               CAST({_NW} >= {MIN_WORDS} AND {_NW} <= {MAX_WORDS} AS INT)
+                   AS word_count_ok,
+               CAST({_MWL} >= {MIN_MEAN_WL} AND {_MWL} <= {MAX_MEAN_WL} AS INT)
+                   AS mean_wl_ok,
+               CAST({_NSYM} / {_NW} <= {MAX_SYMBOL_RATIO} AS INT) AS symbol_ok,
+               CAST(({_STOP}) >= {MIN_STOPWORD_HITS} AS INT) AS stopword_ok,
+               CAST({_NW} >= {MIN_WORDS} AND {_NW} <= {MAX_WORDS}
+                    AND {_MWL} >= {MIN_MEAN_WL} AND {_MWL} <= {MAX_MEAN_WL}
+                    AND {_NSYM} / {_NW} <= {MAX_SYMBOL_RATIO}
+                    AND ({_STOP}) >= {MIN_STOPWORD_HITS} AS INT) AS keep
+        FROM documents
+    """,
+    "q_repetition": """
+        SELECT doc_id,
+               CAST(len(tris) AS BIGINT) AS n_trigrams,
+               CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct,
+               round(1.0 - len(list_distinct(tris))
+                     / CAST(len(tris) AS DOUBLE), 6) AS dup_frac
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                   ) AS tris
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ) WHERE len(tris) > 0
+    """,
+    "q_pii_scan": f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CAST(e + i + n > 0 AS BIGINT)) AS BIGINT) AS n_flagged,
+               CAST(sum(e) AS BIGINT) AS n_emails,
+               CAST(sum(i) AS BIGINT) AS n_ipv4,
+               CAST(sum(n) AS BIGINT) AS n_long_numbers
+        FROM (
+            SELECT source,
+                   len(regexp_extract_all(text, '{PII_EMAIL}')) AS e,
+                   len(regexp_extract_all(text, '{PII_IPV4}')) AS i,
+                   len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) AS n
+            FROM documents
+        ) GROUP BY source
+    """,
+    "q_stratified_sample": f"""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(CAST(substr(md5(text), 1, 2) < '{SAMPLE_PREFIX}'
+                             AS BIGINT)) AS BIGINT) AS n_kept,
+               round(sum(CAST(substr(md5(text), 1, 2) < '{SAMPLE_PREFIX}'
+                              AS BIGINT))
+                     / CAST(count(*) AS DOUBLE), 6) AS sample_rate
+        FROM documents GROUP BY source, lang
+    """,
+    "q_vocab_topk": f"""
+        SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term)
+                             AS BIGINT) AS rank
+        FROM (
+            SELECT term, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE length(term) > 0 GROUP BY term
+        )
+        ORDER BY n DESC, term LIMIT {VOCAB_TOP}
+    """,
+    "q_interval_join": f"""
+        SELECT o.o_orderkey AS iv_key,
+               CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP) AS iv_start,
+               count(*) AS n_shipments,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_qty
+        FROM orders o
+        JOIN lineitem l
+          ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+         AND CAST(l.l_shipdate AS DATE)
+             < CAST(o.o_orderdate AS DATE) + INTERVAL {INTERVAL_DAYS} DAY
+        WHERE o.o_orderkey % {INTERVAL_KEY_MOD} = 0
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    """,
+    "q_regional_revenue": f"""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q5_YEAR_START} 00:00:00'
+          AND o_orderdate < TIMESTAMP '{Q5_YEAR_END} 00:00:00'
+        GROUP BY n_name
+    """,
+}

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from timeseriesdb_spark.functions import codecs
 from timeseriesdb_spark.operators import (
     aggregates,
+    curation,
     dedup,
     filters,
     joins,
@@ -33,6 +34,7 @@ from timeseriesdb_spark.operators import (
 _MODULES = [
     codecs,
     aggregates,
+    curation,
     dedup,
     filters,
     joins,
