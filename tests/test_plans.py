@@ -154,3 +154,13 @@ def test_regional_revenue_broadcasts_every_dim(spark):
     assert checks.exchange_count(df) <= 1, plan
     pushed = " ".join(checks.pushed_filters(df))
     assert "o_orderdate" in pushed, pushed
+
+
+def test_drift_scoring_stays_jvm(spark):
+    # v2 drift harness: segment features aggregate JVM-side and the
+    # kmeans/tree/forest models fold in as literals — a Python node
+    # here means raw values are flowing into a UDF again
+    for name in ("q_kmeans_drift", "q_tree_drift", "q_forest_drift"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert "Python" not in plan, (name, plan)

@@ -6,26 +6,41 @@ lossyML/src/main.rs:26-120). All four families are covered here.
 
 Spark-first shape shared by every family: the model is TRAINED ONCE
 driver-side on a bounded sample (the reference trains on a dictionary
-file), broadcast, and SCORED distributed via a grouped-map UDF —
-training data never exceeds the sample, scoring never touches the
-driver. The drift measurement is the reference's actual experiment:
-label each segment under raw values and under PAA-degraded values and
-report the agreement rate — "does lossy aging change downstream ML
-answers", which is what lossyML exists to quantify.
+file), broadcast as literals or a small broadcast variable, and SCORED
+distributed. The drift measurement is the reference's actual
+experiment: label each segment under raw values and under PAA-degraded
+values and report the agreement rate — "does lossy aging change
+downstream ML answers", which is what lossyML exists to quantify.
 
-Scoring is vectorized per signal: all segments reshape into one
-(n_seg, seg_rows) matrix, features come from axis reductions, and each
-family's labeler maps the whole (n_seg, 4) feature matrix to labels in
-one numpy pass — no per-segment Python loop. Labelers are built inside
-each query function (closures ship by value; executors never import
-this module).
+Scale architecture (v2 — the v1 harness shipped every raw value
+through Arrow into a grouped-map UDF): segment features (mean, std,
+min, max — raw and PAA-degraded) are computed ENTIRELY JVM-side as a
+two-level aggregation (values → chunks → segments), so the data that
+ever reaches Python is at most one 4-float row per segment — a
+SEG_ROWS-fold reduction before any UDF. Three of the four families
+(kmeans, tree, forest) label with pure Column expressions (the models
+are a handful of literals), keeping the whole query inside
+whole-stage codegen; only knn needs a pandas UDF, over the tiny
+feature rows. The value→chunk→segment→signal aggregation chain reuses
+the single user_id shuffle introduced by the row_number window —
+partitioning on user_id clusters every downstream key, so Catalyst
+inserts no further exchanges.
+
+Determinism: chunk/segment sums route through DECIMAL(38,6) on values
+pre-rounded to the same grid (operators/common.py discipline), so
+features — and therefore labels and agreement rates — are bit-stable
+under any partitioning. With PAA_CHUNK=1 the degraded path reproduces
+the raw features exactly (chunk mean of one value is that value, and
+both paths aggregate the same decimals), making identity degradation
+⇒ agreement 1.0 a structural property, pinned by pytest for every
+family.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.tables import load_table
@@ -37,7 +52,10 @@ SAMPLE_SIGNALS = 8  # training sample: the dictionary-sized subset
 PAA_CHUNK = 8
 FOREST_TREES = 4  # bagged depth-2 trees (rforest analog)
 
-DRIFT_SCHEMA = "user_id bigint, n_segments bigint, n_agree bigint, agree_rate double"
+DEC = "decimal(38,6)"
+
+_FEATS_RAW = ("f_mean", "f_std", "f_min", "f_max")
+_FEATS_DEG = ("d_mean", "d_std", "d_min", "d_max")
 
 
 def _features(values: np.ndarray) -> np.ndarray:
@@ -49,13 +67,17 @@ def _features(values: np.ndarray) -> np.ndarray:
 
 _CENTERS_CACHE: dict[str, np.ndarray] = {}
 _TREE_CACHE: dict[str, tuple] = {}
+_SAMPLE_CACHE: dict[str, np.ndarray] = {}
 
 
 def _sample_features(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Segment features of the bounded training sample (the
     dictionary-sized subset the reference trains smartcore models on,
     lossyML/src/main.rs:26-64): SAMPLE_SIGNALS signals, SEG_ROWS
-    segments, one (mean, std, min, max) row each."""
+    segments, one (mean, std, min, max) row each. Cached per sf_dir —
+    each family's training starts from the same immutable sample."""
+    if sf_dir in _SAMPLE_CACHE:
+        return _SAMPLE_CACHE[sf_dir]
     ev = load_table(spark, sf_dir, "events")
     pdf = (
         ev.filter(F.col("user_id") < SAMPLE_SIGNALS)
@@ -68,7 +90,9 @@ def _sample_features(spark: SparkSession, sf_dir: str) -> np.ndarray:
         v = g["value"].to_numpy(dtype=np.float64)
         for s in range(0, len(v) - SEG_ROWS + 1, SEG_ROWS):
             feats.append(_features(v[s : s + SEG_ROWS]))
-    return np.array(feats)
+    X = np.array(feats)
+    _SAMPLE_CACHE[sf_dir] = X
+    return X
 
 
 def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -163,150 +187,212 @@ def _train_forest(spark: SparkSession, sf_dir: str) -> list:
     return forest
 
 
-def _drift_query(
-    spark: SparkSession, sf_dir: str, bc, make_labeler
-) -> DataFrame:
-    """Shared drift harness: one grouped-map pass per signal; segments
-    reshape to a matrix, features are axis reductions, raw and
-    PAA-degraded labels come from the family's vectorized labeler.
-    `make_labeler(model) -> (feats (n,4)) -> labels (n,)` must be a
-    closure local to the calling query so cloudpickle ships it by
-    value (executors cannot import this package)."""
-    seg_rows, paa_chunk = SEG_ROWS, PAA_CHUNK
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        label = make_labeler(bc.value)
-        pdf = pdf.sort_values(["ts", "event_id"])
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        uid = int(pdf["user_id"].iloc[0])
-        n_seg = len(v) // seg_rows
-        if n_seg == 0:
-            return pd.DataFrame(
-                {"user_id": [uid], "n_segments": [0], "n_agree": [0],
-                 "agree_rate": [None]}
-            )
-        S = v[: n_seg * seg_rows].reshape(n_seg, seg_rows)
-        # PAA degrade: chunk means repeated (paa_compress → decode,
-        # segment.rs:516-555)
-        D = np.repeat(
-            S.reshape(n_seg, seg_rows // paa_chunk, paa_chunk).mean(axis=2),
-            paa_chunk,
-            axis=1,
-        )
-
-        def fmat(M: np.ndarray) -> np.ndarray:
-            return np.stack(
-                [M.mean(axis=1), M.std(axis=1), M.min(axis=1), M.max(axis=1)],
-                axis=1,
-            )
-
-        agree = int((label(fmat(S)) == label(fmat(D))).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [uid],
-                "n_segments": [n_seg],
-                "n_agree": [agree],
-                "agree_rate": [round(agree / n_seg, 6)],
-            }
-        )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
+def _segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment feature rows, raw and PAA-degraded, computed fully
+    JVM-side. Values are rounded to the DECIMAL(38,6) grid once at the
+    scan, then aggregated twice: value→chunk (sum, sum², min, max) and
+    chunk→segment, with the degraded features derived from the chunk
+    means inside the same segment-level pass. std uses the one-pass
+    E[x²]−E[x]² identity (clamped at 0) — exact on the decimal grid.
+    Only complete segments (SEG_ROWS values) are scored, like the
+    reference's fixed-size segment buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    v = F.col("value").cast(DEC).cast("double")
+    base = ev.select(
+        "user_id",
+        v.alias("v"),
+        F.floor(rn / SEG_ROWS).alias("seg"),
+        F.floor(rn / PAA_CHUNK).alias("chunk"),
     )
-    return ev.groupBy("user_id").applyInPandas(score, DRIFT_SCHEMA)
+    chunks = base.groupBy("user_id", "seg", "chunk").agg(
+        F.sum(F.col("v").cast(DEC)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).alias("ss"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    cm = (F.col("s") / F.col("n")).cast(DEC)  # chunk mean, decimal-exact
+    segs = (
+        chunks.groupBy("user_id", "seg")
+        .agg(
+            F.sum("s").alias("S"),
+            F.sum("ss").alias("SS"),
+            F.min("mn").alias("f_min"),
+            F.max("mx").alias("f_max"),
+            F.sum("n").alias("N"),
+            F.sum(cm).alias("CS"),
+            F.sum((cm * cm).cast(DEC)).alias("CSS"),
+            F.min(cm.cast("double")).alias("d_min"),
+            F.max(cm.cast("double")).alias("d_max"),
+            F.count("*").alias("n_chunks"),
+        )
+        .where(F.col("N") == SEG_ROWS)
+    )
+    mean = (F.col("S") / F.col("N")).cast("double")
+    m2 = (F.col("SS") / F.col("N")).cast("double")
+    dmean = (F.col("CS") / F.col("n_chunks")).cast("double")
+    dm2 = (F.col("CSS") / F.col("n_chunks")).cast("double")
+    std = F.sqrt(F.greatest(m2 - mean * mean, F.lit(0.0)))
+    dstd = F.sqrt(F.greatest(dm2 - dmean * dmean, F.lit(0.0)))
+    return segs.select(
+        "user_id",
+        "seg",
+        mean.alias("f_mean"),
+        std.alias("f_std"),
+        F.col("f_min"),
+        F.col("f_max"),
+        dmean.alias("d_mean"),
+        dstd.alias("d_std"),
+        F.col("d_min"),
+        F.col("d_max"),
+    )
+
+
+def _drift_result(
+    spark: SparkSession, sf_dir: str, label_of
+) -> DataFrame:
+    """Shared drift rollup: label every segment under raw and degraded
+    features via `label_of(feature_cols) -> Column`, then aggregate
+    agreement per signal. Signals with no complete segment still emit
+    a (user_id, 0, 0, null) row — every signal is accounted for."""
+    feats = _segment_features(spark, sf_dir)
+    labeled = feats.select(
+        "user_id",
+        label_of([F.col(c) for c in _FEATS_RAW]).alias("lr"),
+        label_of([F.col(c) for c in _FEATS_DEG]).alias("ld"),
+    )
+    per_user = labeled.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum((F.col("lr") == F.col("ld")).cast("bigint")).alias("n_agree"),
+    )
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    joined = users.join(per_user, "user_id", "left")
+    n = F.coalesce(F.col("n_segments"), F.lit(0))
+    a = F.coalesce(F.col("n_agree"), F.lit(0))
+    return joined.select(
+        "user_id",
+        n.alias("n_segments"),
+        a.alias("n_agree"),
+        F.when(n > 0, F.round(a / n, 6)).alias("agree_rate"),
+    )
+
+
+def _argmin_label(dists: list[Column]) -> Column:
+    """Index of the smallest distance, first-occurrence tie-break —
+    np.argmin semantics as a CASE chain over literals-only exprs."""
+    m = F.least(*dists)
+    out = F.lit(len(dists) - 1)
+    for k in range(len(dists) - 2, -1, -1):
+        out = F.when(dists[k] == m, F.lit(k)).otherwise(out)
+    return out
+
+
+def _tree_label(f: list[Column], tree) -> Column:
+    (j0, t0), (jl, tl), (jr, tr) = tree
+    return (
+        F.when(
+            f[j0] <= t0, F.when(f[jl] <= tl, F.lit(0)).otherwise(F.lit(1))
+        )
+        .otherwise(F.when(f[jr] <= tr, F.lit(2)).otherwise(F.lit(3)))
+    )
 
 
 def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal kmeans label agreement between raw and PAA-degraded
-    segments (the lossyML measurement). Emits
-    (user_id, n_segments, n_agree, agree_rate)."""
-    bc = spark.sparkContext.broadcast(_train_kmeans(spark, sf_dir))
+    segments (the lossyML measurement). The 4×4 center matrix folds
+    into the plan as literals: distance + argmin are Column
+    expressions, so scoring is pure JVM codegen — no Python anywhere.
+    Emits (user_id, n_segments, n_agree, agree_rate)."""
+    C = _train_kmeans(spark, sf_dir)
 
-    def make_labeler(C):
-        def label(feats):
-            return ((feats[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    def label_of(f: list[Column]) -> Column:
+        dists = [
+            sum(
+                (f[j] - float(C[k, j])) * (f[j] - float(C[k, j]))
+                for j in range(4)
+            )
+            for k in range(N_CLUSTERS)
+        ]
+        return _argmin_label(dists)
 
-        return label
-
-    return _drift_query(spark, sf_dir, bc, make_labeler)
+    return _drift_result(spark, sf_dir, label_of)
 
 
 def q_tree_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal threshold-tree label agreement between raw and
-    PAA-degraded segments — the dtree row of the reference's lossyML
-    matrix (buffer_pool.rs:798-938), same harness as q_kmeans_drift:
-    train once on the bounded sample, broadcast the 3-node model,
-    score distributed in one grouped-map pass."""
-    bc = spark.sparkContext.broadcast(_train_tree(spark, sf_dir))
-
-    def make_labeler(tree):
-        (j0, t0), (jl, tl), (jr, tr) = tree
-
-        def label(feats):
-            left = feats[:, j0] <= t0
-            import numpy as np
-
-            return np.where(
-                left,
-                np.where(feats[:, jl] <= tl, 0, 1),
-                np.where(feats[:, jr] <= tr, 2, 3),
-            )
-
-        return label
-
-    return _drift_query(spark, sf_dir, bc, make_labeler)
+    """Per-signal threshold-tree label agreement — the dtree family of
+    the reference's lossyML matrix (buffer_pool.rs:798-938). The
+    3-node model is three (index, threshold) literal pairs: labeling
+    compiles to a nested CASE, fully inside codegen."""
+    tree = _train_tree(spark, sf_dir)
+    return _drift_result(spark, sf_dir, lambda f: _tree_label(f, tree))
 
 
 def q_knn_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal 1-NN label agreement — the knn family of the lossyML
-    matrix (buffer_pool.rs:798-938; the reference's knn classifies
-    each segment against its training dictionary, knn/mod.rs:303).
-    Model = the sample's feature rows + their kmeans labels; predict =
-    label of the euclidean-nearest feature row, one GEMM-shaped
-    distance matrix per signal (first-occurrence argmin = smallest
-    train index tie-break)."""
+    matrix (the reference's knn classifies each segment against its
+    training dictionary, knn/mod.rs:303). Model = the sample's feature
+    rows + kmeans labels, broadcast; predict = label of the
+    euclidean-nearest row (first-occurrence argmin). The only family
+    needing Python — a vectorized pandas UDF over the per-segment
+    feature rows (4 doubles/segment, never raw values)."""
     X = _sample_features(spark, sf_dir)
     y = _kmeans_labels(X, _train_kmeans(spark, sf_dir))
     bc = spark.sparkContext.broadcast((X, y))
 
-    def make_labeler(model):
-        Xt, yt = model
+    @F.pandas_udf("int")
+    def knn_label(m: pd.Series, s: pd.Series, mn: pd.Series, mx: pd.Series) -> pd.Series:
+        import numpy as np
 
-        def label(feats):
-            d2 = ((feats[:, None, :] - Xt[None, :, :]) ** 2).sum(axis=2)
-            return yt[d2.argmin(axis=1)]
+        Xt, yt = bc.value
+        feats = np.stack(
+            [m.to_numpy(), s.to_numpy(), mn.to_numpy(), mx.to_numpy()], axis=1
+        )
+        if not len(feats):
+            return pd.Series([], dtype="int32")
+        d2 = ((feats[:, None, :] - Xt[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(yt[d2.argmin(axis=1)]).astype("int32")
 
-        return label
-
-    return _drift_query(spark, sf_dir, bc, make_labeler)
+    return _drift_result(spark, sf_dir, lambda f: knn_label(*f))
 
 
 def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal random-forest label agreement — the rforest family
-    of the lossyML matrix (buffer_pool.rs:798-938): FOREST_TREES
-    bagged depth-2 classifier trees vote in the kmeans label space;
-    majority vote, ties → smallest label (np.argmax first
-    occurrence)."""
-    bc = spark.sparkContext.broadcast(_train_forest(spark, sf_dir))
+    of the lossyML matrix: FOREST_TREES bagged depth-2 classifier
+    trees vote in the kmeans label space; majority vote, ties →
+    smallest label (np.argmax first occurrence). Each tree's leaf
+    table is literals, votes are integer sums, the argmax is a CASE
+    chain — pure JVM codegen like kmeans/tree."""
+    forest = _train_forest(spark, sf_dir)
 
-    def make_labeler(forest):
-        def label(feats):
-            import numpy as np
-
-            votes = np.zeros((len(feats), N_CLUSTERS), dtype=np.int64)
+    def label_of(f: list[Column]) -> Column:
+        votes = []
+        for k in range(N_CLUSTERS):
+            total = F.lit(0)
             for (j0, t0), (jl, tl), (jr, tr), leaves in forest:
-                left = feats[:, j0] <= t0
-                leaf = np.where(
-                    left,
-                    np.where(feats[:, jl] <= tl, 0, 1),
-                    np.where(feats[:, jr] <= tr, 2, 3),
+                leaf = (
+                    F.when(
+                        f[j0] <= t0,
+                        F.when(f[jl] <= tl, F.lit(leaves[0])).otherwise(
+                            F.lit(leaves[1])
+                        ),
+                    )
+                    .otherwise(
+                        F.when(f[jr] <= tr, F.lit(leaves[2])).otherwise(
+                            F.lit(leaves[3])
+                        )
+                    )
                 )
-                votes[np.arange(len(feats)), np.asarray(leaves)[leaf]] += 1
-            return votes.argmax(axis=1)
+                total = total + (leaf == k).cast("int")
+            votes.append(total)
+        m = F.greatest(*votes)
+        out = F.lit(N_CLUSTERS - 1)
+        for k in range(N_CLUSTERS - 2, -1, -1):
+            out = F.when(votes[k] == m, F.lit(k)).otherwise(out)
+        return out
 
-        return label
-
-    return _drift_query(spark, sf_dir, bc, make_labeler)
+    return _drift_result(spark, sf_dir, label_of)
 
 
 QUERIES = {

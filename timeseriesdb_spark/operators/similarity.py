@@ -350,6 +350,37 @@ def ivf_probe_stored(
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, long form (label, dim, mean) —
+    the class-prototype / coarse-quantizer-training aggregate every
+    vector pipeline needs. posexplode fans each vector into DIM rows;
+    map-side partial aggregation collapses them to |labels|·DIM
+    partial sums per partition before the one shuffle, so the
+    exchanged data is O(labels · dim · partitions) regardless of
+    corpus size. Sums route through DECIMAL(38,6) (operators/common.py
+    discipline) so the centroid is bit-identical at any parallelism —
+    which also makes IVF cell assignments reproducible across runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        ex.groupBy(F.col("label"), F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("x").cast("double").cast("decimal(38,6)")).alias("_s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            F.round(F.col("_s").cast("double") / F.col("n_vecs"), 6).alias(
+                "mean_val"
+            ),
+        )
+    )
+
+
 KNN_TRAIN_CAP = 200_000  # broadcast guard: ~200k × 64 × 8B ≈ 100 MB
 
 
@@ -430,6 +461,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_knn_1nn": q_knn_1nn,
+    "q_label_centroids": q_label_centroids,
 }
 
 # DuckDB-side vector math: positional explode via range(1, DIM+1) and
@@ -452,6 +484,14 @@ _DOT_PAIRS_SQL = f"""
 """
 
 ORACLES = {
+    "q_label_centroids": f"""
+        SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
+               round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                   AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_val
+        FROM embeddings, range(1, {DIM + 1}) t(i)
+        GROUP BY label, i
+    """,
     "q_ann_topk": f"""
         WITH norms AS ({_NORMS_SQL}),
         dots AS (
