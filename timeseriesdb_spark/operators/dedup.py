@@ -151,8 +151,9 @@ def _sig_cols():
     ]
 
 
-def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+def minhash_signatures(doc: DataFrame) -> DataFrame:
+    """k=16 MinHash signature matrix for any documents-shaped frame."""
+    sh = _shingles(doc)
     digests = {
         seed: F.md5(F.concat(F.lit(seed), F.col("shingle")))
         for _, seed, _ in _sig_cols()
@@ -176,14 +177,14 @@ _MINHASH_SQL = (
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k=16 MinHash signature matrix itself (one row per doc)."""
-    return _minhash(spark, sf_dir)
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_pairs(doc: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 of 4 band keys, scored by
     estimated Jaccard (fraction of equal signature components). The
     band join is the scale path — pairs never form across buckets."""
-    sig = _minhash(spark, sf_dir)
+    sig = minhash_signatures(doc)
     names = [n for n, _, _ in _sig_cols()]
     bands = sig.select(
         "doc_id",
@@ -219,6 +220,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-declared wrapper over :func:`lsh_pairs`."""
+    return lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex nibble (high bit of the nibble)
@@ -260,9 +266,9 @@ CC_MAX_ITERS = 12   # safety bound; min-label + pointer-jump converges in
 CC_MIN_EST = 0.5    # candidate pairs below this est-Jaccard are not edges
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(doc: DataFrame) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
-    LSH candidate graph (edges = q_minhash_lsh_pairs with
+    LSH candidate graph (edges = lsh_pairs with
     est_jaccard ≥ CC_MIN_EST), the step a real dedup pipeline runs
     after pair generation — transitive closure turns pairs into
     groups, and `doc_id == cluster_id` selects the canonical survivor
@@ -278,10 +284,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     action per round, like the tfidf count). At 100 TB this is the
     textbook DataFrame CC: O(log n) rounds, each linear in |edges|,
     nothing on the driver but the changed-row counter."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).filter(
-        F.col("est_jaccard") >= CC_MIN_EST
-    )
+    docs = doc.select("doc_id")
+    pairs = lsh_pairs(doc).filter(F.col("est_jaccard") >= CC_MIN_EST)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -322,6 +326,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-declared wrapper over :func:`dedup_clusters`."""
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES = {

@@ -1,0 +1,135 @@
+"""End-to-end training-data curation pipeline — the composition a
+100 TB corpus actually runs, built from the operator building blocks:
+
+    quality rules → exact dedup → near-dup cluster drop → split
+
+`CurationPipeline.run(docs)` returns the curated corpus (lazy
+DataFrame: doc_id, text, lang, source, split, n_tokens) and
+`audit(docs)` the per-stage survivor counts. Beyond the individual
+operators (each driver-checked on its own), the pipeline pins the
+INTERACTION invariants a curation run must hold — every output doc
+passes the rules, no two outputs share a fingerprint or a near-dup
+cluster, splits partition the output — see tests/test_pipeline.py.
+
+Scale shape: stages communicate only by doc_id semi/anti joins against
+small decision frames (hash survivors, cluster survivors), never by
+re-materializing text; the text column moves exactly once, at the
+final write. Each stage's shuffle is on its own natural key (content
+hash, shingle/band key, cluster label), so nothing accumulates state
+and the whole pipeline streams corpus-sized input through
+corpus-independent memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.operators import curation, dedup
+
+
+class CurationPipeline:
+    """Composable curation run over a documents-shaped frame
+    (doc_id, text, lang, source, ...)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ---- stages (each: docs -> surviving docs, same schema) ----------
+
+    def quality_filter(self, docs: DataFrame) -> DataFrame:
+        """Gopher-rule keep set (curation.q_gopher_rules semantics,
+        recomputed inline so the pipeline works on any frame)."""
+        t = F.col("text")
+        padded = F.concat(F.lit(" "), t, F.lit(" "))
+        n_spaces = curation._n_occurrences(t, " ")
+        n_words = n_spaces + F.lit(1.0)
+        mean_wl = (F.length(t) - n_spaces) / n_words
+        n_symbols = curation._n_occurrences(t, "#") + curation._n_occurrences(
+            t, "..."
+        )
+        stop_hits = sum(
+            (
+                curation._n_occurrences(padded, f" {w} ")
+                for w in curation.STOPWORDS
+            ),
+            start=F.lit(0),
+        )
+        keep = (
+            (n_words >= curation.MIN_WORDS)
+            & (n_words <= curation.MAX_WORDS)
+            & (mean_wl >= curation.MIN_MEAN_WL)
+            & (mean_wl <= curation.MAX_MEAN_WL)
+            & (n_symbols / n_words <= curation.MAX_SYMBOL_RATIO)
+            & (stop_hits >= curation.MIN_STOPWORD_HITS)
+        )
+        return docs.where(keep)
+
+    def exact_dedup(self, docs: DataFrame) -> DataFrame:
+        """Keep the min-doc_id survivor per whitespace-normalized
+        lowercase content hash (q_fingerprint's canonical form)."""
+        fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        survivors = (
+            docs.select(F.col("doc_id"), fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return docs.join(survivors, "doc_id", "semi")
+
+    def neardup_dedup(self, docs: DataFrame) -> DataFrame:
+        """Drop everything but the canonical survivor (min doc_id ==
+        cluster label) of each near-dup cluster — connected components
+        over the MinHash-LSH candidate graph (operators/dedup.py)."""
+        clusters = dedup.dedup_clusters(docs)
+        survivors = clusters.where(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select("doc_id")
+        return docs.join(survivors, "doc_id", "semi")
+
+    def assign_splits(self, docs: DataFrame) -> DataFrame:
+        """Deterministic hash-range train/val/test + token budget
+        columns (q_dataset_split / q_token_count semantics)."""
+        prefix = F.substring(F.md5(F.col("text")), 1, 2)
+        lo, hi = curation_split_bounds()
+        split = (
+            F.when(prefix < F.lit(lo), "train")
+            .when(prefix < F.lit(hi), "val")
+            .otherwise("test")
+        )
+        t = F.col("text")
+        n_tokens = (
+            F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+        ).cast("bigint")
+        return docs.select(
+            "doc_id", "text", "lang", "source",
+            split.alias("split"), n_tokens.alias("n_tokens"),
+        )
+
+    # ---- composition --------------------------------------------------
+
+    def run(self, docs: DataFrame) -> DataFrame:
+        """Full pipeline; lazy until written/collected."""
+        return self.assign_splits(
+            self.neardup_dedup(self.exact_dedup(self.quality_filter(docs)))
+        )
+
+    def audit(self, docs: DataFrame) -> DataFrame:
+        """Per-stage survivor counts (stage, n_docs) — the funnel every
+        curation report starts with. Triggers one count per stage."""
+        stages = [
+            ("0_input", docs),
+            ("1_quality", self.quality_filter(docs)),
+            ("2_exact_dedup", self.exact_dedup(self.quality_filter(docs))),
+        ]
+        full = self.run(docs)
+        rows = [(name, df.count()) for name, df in stages]
+        rows.append(("3_neardup_split", full.count()))
+        return self.spark.createDataFrame(rows, "stage string, n_docs long")
+
+
+def curation_split_bounds() -> tuple[str, str]:
+    """The text module's hash-range split bounds (single source)."""
+    from timeseriesdb_spark.operators.text import SPLIT_BOUNDS
+
+    return SPLIT_BOUNDS
