@@ -319,6 +319,15 @@ _MWL = f"((length(text) - {_NSP}) / {_NW})"
 _NSYM = f"({_occ_sql('text', '#')} + {_occ_sql('text', '...')})"
 _STOP = " + ".join(_occ_sql(_PAD, f" {w} ") for w in STOPWORDS)
 
+# The gopher `keep` conjunction as a bare SQL predicate — reused by the
+# full-pipeline oracle (pipeline.py) to filter before dedup stages.
+KEEP_SQL = (
+    f"({_NW} >= {MIN_WORDS} AND {_NW} <= {MAX_WORDS}"
+    f" AND {_MWL} >= {MIN_MEAN_WL} AND {_MWL} <= {MAX_MEAN_WL}"
+    f" AND {_NSYM} / {_NW} <= {MAX_SYMBOL_RATIO}"
+    f" AND ({_STOP}) >= {MIN_STOPWORD_HITS})"
+)
+
 ORACLES = {
     "q_gopher_rules": f"""
         SELECT doc_id,

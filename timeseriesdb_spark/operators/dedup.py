@@ -56,7 +56,9 @@ def _shingles(doc: DataFrame) -> DataFrame:
     ).where(F.length("shingle") > 0)
 
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(table: str = "documents") -> str:
+    """Shingle CTE body over any documents-shaped relation `table`."""
+    return f"""
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
@@ -66,10 +68,13 @@ _SHINGLES_SQL = f"""
             SELECT doc_id,
                    unnest(string_split(text, ' ')) AS w,
                    generate_subscripts(string_split(text, ' '), 1) AS i
-            FROM documents
+            FROM {table}
         )
     ) WHERE shingle IS NOT NULL
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 # NOTE: lead-based trigram == slice-based trigram for K=3; keep in sync
 # with SHINGLE_K.
 
@@ -165,14 +170,18 @@ def minhash_signatures(doc: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-_MINHASH_SQL = (
-    "SELECT doc_id, "
-    + ", ".join(
-        f"min(substr(md5('{seed}' || shingle), {off}, 8)) AS {name}"
-        for name, seed, off in _sig_cols()
+def _minhash_sql(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"min(substr(md5('{seed}' || shingle), {off}, 8)) AS {name}"
+            for name, seed, off in _sig_cols()
+        )
+        + f" FROM ({_shingles_sql(table)}) GROUP BY doc_id"
     )
-    + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
-)
+
+
+_MINHASH_SQL = _minhash_sql()
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +378,11 @@ _EST_SQL = (
     + " + ".join(f"CASE WHEN a.{n} = b.{n} THEN 1 ELSE 0 END" for n in _NAMES)
     + f") / {float(MINHASH_K)}"
 )
-_LSH_PAIRS_CTES = f"""sig AS ({_MINHASH_SQL}),
+def lsh_pairs_ctes(table: str = "documents") -> str:
+    """sig/bands/pairs CTE chain over any documents-shaped relation —
+    reused by the full-pipeline oracle (pipeline.py) over the
+    quality-filtered, exact-deduped survivor set."""
+    return f"""sig AS ({_minhash_sql(table)}),
         bands AS (SELECT *, {_BAND_KEYS_SQL} FROM sig),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -379,6 +392,9 @@ _LSH_PAIRS_CTES = f"""sig AS ({_MINHASH_SQL}),
              AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1
                   OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
         )"""
+
+
+_LSH_PAIRS_CTES = lsh_pairs_ctes()
 
 ORACLES = {
     "q_dedup_exact": """

@@ -133,3 +133,58 @@ def curation_split_bounds() -> tuple[str, str]:
     from timeseriesdb_spark.operators.text import SPLIT_BOUNDS
 
     return SPLIT_BOUNDS
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as one driver-checked query — the
+    flagship composition: every stage (quality rules, exact dedup,
+    near-dup CC survivor drop, hash-range splits) is oracle-checked
+    END TO END, not just in isolation."""
+    from timeseriesdb_spark.tables import load_table
+
+    return CurationPipeline(spark).run(load_table(spark, sf_dir, "documents"))
+
+
+def _curation_oracle() -> str:
+    """Composed DuckDB SQL for the whole pipeline: the per-stage CTEs
+    are generated from the SAME constants/fragments as the per-stage
+    oracles (curation.KEEP_SQL, dedup.lsh_pairs_ctes), so stage and
+    pipeline oracles cannot drift apart."""
+    from timeseriesdb_spark.operators.curation import KEEP_SQL
+
+    lo, hi = curation_split_bounds()
+    return f"""
+        WITH RECURSIVE
+        q AS (SELECT * FROM documents WHERE {KEEP_SQL}),
+        ed AS (
+            SELECT min(doc_id) AS doc_id FROM q
+            GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+        ),
+        kept AS (SELECT q.* FROM q JOIN ed USING (doc_id)),
+        {dedup.lsh_pairs_ctes("kept")},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            WHERE est_jaccard >= {dedup.CC_MIN_EST}
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+            WHERE est_jaccard >= {dedup.CC_MIN_EST}
+        ),
+        r AS (
+            SELECT doc_id AS v, doc_id AS m FROM kept
+            UNION
+            SELECT e.b AS v, r.m AS m FROM r JOIN edges e ON e.a = r.v
+        ),
+        comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM r GROUP BY v)
+        SELECT k.doc_id, k.text, k.lang, k.source,
+               CASE WHEN substr(md5(k.text), 1, 2) < '{lo}' THEN 'train'
+                    WHEN substr(md5(k.text), 1, 2) < '{hi}' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(length(k.text) - length(replace(k.text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM kept k
+        JOIN comp c ON c.doc_id = k.doc_id AND c.doc_id = c.cluster_id
+    """
+
+
+QUERIES = {"q_curation": q_curation}
+ORACLES = {"q_curation": _curation_oracle()}

@@ -30,6 +30,7 @@ from timeseriesdb_spark.operators import (
     transforms,
     windows,
 )
+from timeseriesdb_spark import pipeline
 
 _MODULES = [
     codecs,
@@ -47,6 +48,7 @@ _MODULES = [
     text,
     transforms,
     windows,
+    pipeline,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
