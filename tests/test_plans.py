@@ -164,3 +164,13 @@ def test_drift_scoring_stays_jvm(spark):
         df = QUERIES[name](spark, SF_DIR)
         plan = checks.formatted_plan(df)
         assert "Python" not in plan, (name, plan)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # packing is one running-sum window per source partition: exactly
+    # one exchange (hash by source), no Python, scan reads 3 columns
+    df = QUERIES["q_pack_sequences"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) == 1, plan
+    assert set(checks.read_schema(df)) <= {"doc_id", "source", "text"}

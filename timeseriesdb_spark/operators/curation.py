@@ -294,8 +294,54 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-then-chunk step that turns curated
+    documents into fixed-budget training sequences (GPT-style: documents
+    are concatenated in deterministic order and cut every PACK_BUDGET
+    tokens; a document may straddle a cut). Emits per document its
+    packed position: sequence id and token offset within the sequence.
+
+    Scale shape: ONE shuffle — a running-sum window partitioned by
+    `source` and ordered by doc_id. Each source packs independently and
+    in parallel; at 100 TB the partition key would be (split, shard)
+    with the same plan. Pure integer arithmetic → hash-exact oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        doc.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum_before.alias("cum_before"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / PACK_BUDGET)
+            .cast("bigint")
+            .alias("seq_id"),
+            (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
+        )
+    )
+
+
 QUERIES = {
     "q_gopher_rules": q_gopher_rules,
+    "q_pack_sequences": q_pack_sequences,
     "q_repetition": q_repetition,
     "q_pii_scan": q_pii_scan,
     "q_stratified_sample": q_stratified_sample,
@@ -328,7 +374,23 @@ KEEP_SQL = (
     f" AND ({_STOP}) >= {MIN_STOPWORD_HITS})"
 )
 
+_NTOK = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
 ORACLES = {
+    "q_pack_sequences": f"""
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+               cum_before % {PACK_BUDGET} AS seq_offset
+        FROM (
+            SELECT doc_id, source,
+                   CAST({_NTOK} AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(CAST({_NTOK} AS BIGINT)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM documents
+        )
+    """,
     "q_gopher_rules": f"""
         SELECT doc_id,
                CAST({_NW} AS BIGINT) AS n_words,
