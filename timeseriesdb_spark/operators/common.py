@@ -35,3 +35,16 @@ def dsum(col: str | Column, alias: str) -> Column:
 def dsum_sql(expr: str, alias: str) -> str:
     """The DuckDB-side twin of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def isum(col: str | Column, alias: str) -> Column:
+    """Exact sum of an integral-by-contract double column (e.g.
+    l_quantity, TPC-H 1..50): bigint accumulation is order-independent
+    and ~2.5x cheaper than the decimal route."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("bigint")).cast("double").alias(alias)
+
+
+def isum_sql(expr: str, alias: str) -> str:
+    """The DuckDB-side twin of :func:`isum`."""
+    return f"CAST(SUM(CAST({expr} AS BIGINT)) AS DOUBLE) AS {alias}"

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timeseriesdb_spark.operators.common import dsum, dsum_sql
+from timeseriesdb_spark.operators.common import dsum, dsum_sql, isum, isum_sql
 from timeseriesdb_spark.tables import load_table
 
 
@@ -28,7 +28,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
+            isum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
@@ -220,7 +220,7 @@ ORACLES = {
     """,
     "q_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               {dsum_sql("l_quantity", "sum_qty")},
+               {isum_sql("l_quantity", "sum_qty")},
                {dsum_sql("l_extendedprice", "sum_base_price")},
                {dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
                {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
