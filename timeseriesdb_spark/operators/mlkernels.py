@@ -6,7 +6,8 @@ Shape of both: a small per-run DICTIONARY of landmark series
 (dict_pre_process, kernel.rs:104-130 — the reference samples dictionary
 rows from the dataset) is computed once and broadcast; every signal is
 then processed independently in a grouped-map pandas UDF (one Arrow
-batch per signal, numpy/FFT inside). That is exactly the 100 TB
+batch per signal, numpy/FFT inside — via transforms.packed_grouped_map,
+which invokes Python per partition, not per group). That is the 100 TB
 topology: tiny O(K²) eigen work on the driver, embarrassingly parallel
 O(n·K·L log L) on executors, one shuffle on the signal key.
 
@@ -23,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timeseriesdb_spark.operators.transforms import packed_grouped_map
 from timeseriesdb_spark.tables import load_table
 
 DICT_K = 8       # dictionary (landmark) series: the K lowest signal ids
@@ -120,7 +122,6 @@ def q_grail_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def embed(pdf: pd.DataFrame) -> pd.DataFrame:
         dseries, pmat = bc.value
-        pdf = pdf.sort_values(["ts", "event_id"])
         x = znorm(pdf["value"].to_numpy(dtype=np.float64))
         kvec = np.array(
             [np.exp(gamma * ncc_max(x, d)[0]) for d in dseries]
@@ -136,9 +137,7 @@ def q_grail_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
-        embed, "user_id bigint, dim bigint, coeff double"
-    )
+    return packed_grouped_map(ev, embed, "user_id bigint, dim bigint, coeff double")
 
 
 def q_lcce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,7 +150,6 @@ def q_lcce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def correlate(pdf: pd.DataFrame) -> pd.DataFrame:
         dseries = bc.value
-        pdf = pdf.sort_values(["ts", "event_id"])
         x = znorm(pdf["value"].to_numpy(dtype=np.float64))
         uid = int(pdf["user_id"].iloc[0])
         rows = []
@@ -163,8 +161,8 @@ def q_lcce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
-        correlate, "user_id bigint, dict_id bigint, nccc double, best_lag bigint"
+    return packed_grouped_map(
+        ev, correlate, "user_id bigint, dict_id bigint, nccc double, best_lag bigint"
     )
 
 

@@ -27,6 +27,52 @@ FFT_RATIO = 0.1    # keep top ratio·n/2 coefficients (ref ratio sweep 0.01-0.5)
 LTTB_RATIO = 0.1   # downsample to ratio·n points
 
 
+def packed_grouped_map(df: DataFrame, kernel, schema: str,
+                       key: str = "user_id") -> DataFrame:
+    """Grouped-map with per-PARTITION (not per-group) Python invocation.
+
+    `applyInPandas` ships one Arrow batch and one Python call PER GROUP;
+    with many small groups (1500 signals at sf0.1) that fixed cost
+    dominates the numpy kernel ~3:1 (measured: identity applyInPandas
+    2.6 s vs 0.65 s this path — the kernel itself is unchanged). Here
+    rows are repartitioned on `key` and sorted within partitions by
+    (key, ts, event_id), then `mapInPandas` streams whole partitions;
+    group boundaries that straddle Arrow batches are handled by
+    carrying the trailing (possibly incomplete) group into the next
+    batch, so executor memory is bounded by batch + one group exactly
+    like applyInPandas. `kernel(g)` receives one group's rows already
+    in (ts, event_id) order.
+
+    At 100 TB the shape is identical to applyInPandas — one shuffle on
+    the group key — with ~batch-count Python crossings per executor
+    instead of ~group-count."""
+    def run(batches):
+        carry = None
+        for b in batches:
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+            last = b[key].iloc[-1]
+            cut = (b[key] != last).to_numpy().nonzero()[0]
+            split = cut[-1] + 1 if len(cut) else 0
+            head, carry = b.iloc[:split], b.iloc[split:]
+            if len(head):
+                yield pd.concat(
+                    [kernel(g) for _, g in head.groupby(key, sort=False)],
+                    ignore_index=True,
+                )
+        if carry is not None and len(carry):
+            yield pd.concat(
+                [kernel(g) for _, g in carry.groupby(key, sort=False)],
+                ignore_index=True,
+            )
+
+    return (
+        df.repartition(key)
+        .sortWithinPartitions(key, "ts", "event_id")
+        .mapInPandas(run, schema)
+    )
+
+
 def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated-FFT reconstruction per signal: rfft, keep the
     largest-magnitude ratio·n/2 coefficients, irfft back — the
@@ -35,7 +81,6 @@ def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def recon(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         x = pdf["value"].to_numpy(dtype=np.float64)
         n = len(x)
         coeffs = np.fft.rfft(x)
@@ -45,15 +90,15 @@ def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = np.fft.irfft(coeffs, n=n)
         return pd.DataFrame(
             {
-                "user_id": pdf["user_id"],
+                "user_id": pdf["user_id"].to_numpy(),
                 "pos": np.arange(n, dtype=np.int64),
                 "value": x,
                 "recon": y,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        recon, "user_id bigint, pos bigint, value double, recon double"
+    return packed_grouped_map(
+        ev, recon, "user_id bigint, pos bigint, value double, recon double"
     )
 
 
@@ -98,7 +143,7 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.append(n - 1)
             return np.array(sorted(set(kept)), dtype=np.int64)
 
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf = pdf.reset_index(drop=True)
         n = len(pdf)
         n_out = max(3, int(n * LTTB_RATIO))
         xs = np.arange(n, dtype=np.float64)
@@ -113,8 +158,9 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        downsample, "user_id bigint, event_id bigint, ts timestamp, value double"
+    return packed_grouped_map(
+        ev, downsample,
+        "user_id bigint, event_id bigint, ts timestamp, value double",
     )
 
 
