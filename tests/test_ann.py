@@ -141,3 +141,42 @@ def test_ivf_stored_cells_partition_prune(spark, tmp_path):
         for r in similarity.q_ann_ivf(spark, SF_DIR).collect()
     ]
     assert got == exp
+
+
+def test_pq_adc_equals_reconstructed_distance(spark):
+    # ADC is EXACT over the reconstruction: sum_m lut[m][code_m] must
+    # equal ||q - recon(x)||^2 recomputed in numpy from the same
+    # codebooks — pins both the JVM encoder (argmin over literal dots)
+    # and the LUT lookup path
+    import numpy as np
+
+    CB = similarity._pq_codebooks(spark, SF_DIR)
+    rows = similarity.q_ann_pq(spark, SF_DIR).collect()
+    from timeseriesdb_spark.tables import load_table
+
+    all_emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    qv = all_emb[similarity.QUERY_VEC_ID]
+    d = CB.shape[2]
+    for r in rows:
+        x = all_emb[r.vec_id]
+        codes = [getattr(r, f"code_{m}") for m in range(similarity.PQ_M)]
+        np_codes = [
+            int(((x[m * d : (m + 1) * d] - CB[m]) ** 2).sum(axis=1).argmin())
+            for m in range(similarity.PQ_M)
+        ]
+        assert codes == np_codes, (r.vec_id, codes, np_codes)
+        recon = np.concatenate([CB[m, codes[m]] for m in range(similarity.PQ_M)])
+        assert abs(r.adc_dist - ((qv - recon) ** 2).sum()) < 1e-4
+
+
+def test_pq_partial_recall_and_determinism(spark):
+    brute = set(_topk_ids(QUERIES["q_ann_topk"](spark, SF_DIR)))
+    pq1 = _topk_ids(QUERIES["q_ann_pq"](spark, SF_DIR))
+    pq2 = _topk_ids(QUERIES["q_ann_pq"](spark, SF_DIR))
+    assert pq1 == pq2  # deterministic end to end (training included)
+    assert len(pq1) == similarity.TOP_K
+    recall = len(brute & set(pq1)) / len(brute)
+    assert recall >= 0.3, recall

@@ -350,6 +350,130 @@ def ivf_probe_stored(
     )
 
 
+PQ_M = 8        # subspaces (DIM must divide evenly: 64 → 8 dims each)
+PQ_KS = 16      # centroids per subspace codebook (4-bit codes)
+PQ_ITERS = 10   # Lloyd iterations per subspace
+
+
+_PQ_CACHE: dict[str, "object"] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
+    """Per-subspace kmeans codebooks (PQ_M × PQ_KS × DIM/PQ_M), trained
+    driver-side on the same deterministic md5-order bounded sample as
+    the IVF coarse quantizer (≤ IVF_TRAIN_CAP rows ever leave the
+    cluster). Deterministic init: per subspace, sort by the subvector's
+    first coordinate and pick PQ_KS evenly spaced rows. Cached per
+    sf_dir (immutable input — same staleness caveat as mlkernels'
+    dictionary cache: clear after rewriting a dir in place)."""
+    import numpy as np
+
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_TRAIN_CAP)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    d = X.shape[1] // PQ_M
+    books = np.empty((PQ_M, PQ_KS, d))
+    for m in range(PQ_M):
+        S = X[:, m * d : (m + 1) * d]
+        order = np.argsort(S[:, 0], kind="stable")
+        C = S[order[np.linspace(0, len(S) - 1, PQ_KS).astype(int)]].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_KS):
+                msk = assign == k
+                if msk.any():
+                    C[k] = S[msk].mean(axis=0)
+        books[m] = C
+    _PQ_CACHE[sf_dir] = books
+    return books
+
+
+def pq_code_columns(CB) -> list[Column]:
+    """JVM-side PQ encoding: per subspace m the 4-bit code is
+    argmin_k ||x_m − c_mk||², computed as argmin over the expression
+    (‖c_mk‖² − 2·x_m·c_mk) — the ‖x_m‖² term is constant within the
+    argmin, so each centroid costs one literal dot. The dot is
+    UNROLLED into element_at multiply-adds (not zip_with/aggregate:
+    higher-order functions are interpreted per row, outside codegen —
+    unrolling measured 4.8 s → ~1 s at sf0.1). First-min tie-break
+    matches numpy argmin. Requires the `e` column."""
+    import numpy as np
+
+    d = CB.shape[2]
+    cols = []
+    for m in range(CB.shape[0]):
+        # generated as ONE SQL string per subspace: building ~1k column
+        # objects through py4j costs seconds of driver time PER CALL;
+        # a single expr() parses JVM-side in milliseconds
+        dists = ", ".join(
+            repr(float(np.dot(CB[m, k], CB[m, k])))
+            + " - 2.0D * ("
+            + " + ".join(
+                f"element_at(e, {m * d + j + 1}) * {float(CB[m, k, j])!r}D"
+                for j in range(d)
+            )
+            + ")"
+            for k in range(PQ_KS)
+        )
+        arr = f"array({dists})"
+        cols.append(
+            F.expr(
+                f"array_position({arr}, array_min({arr})) - 1"
+            ).alias(f"code_{m}")
+        )
+    return cols
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (the memory-scale path beside IVF:
+    64 doubles/vector → PQ_M 4-bit codes, a 128× compression that at
+    100 TB keeps the whole index in executor memory). Asymmetric
+    distance computation: the query builds one PQ_M × PQ_KS lookup
+    table of exact subspace distances ‖q_m − c_mk‖²; a database
+    vector's approximate distance is the sum of its codes' LUT
+    entries — by construction EXACTLY ‖q − recon(x)‖² over the
+    reconstructed vector (pinned in tests/test_ann.py). Everything
+    after codebook training is JVM expressions: encode (argmin over
+    literal dots), LUT lookup (element_at on a literal array), top-k
+    (TakeOrderedAndProject)."""
+    import numpy as np
+
+    CB = _pq_codebooks(spark, sf_dir)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("e").toPandas()
+    qv = np.asarray(q["e"].iloc[0], dtype=np.float64)
+    d = CB.shape[2]
+    lut = np.array(
+        [
+            [float(((qv[m * d : (m + 1) * d] - CB[m, k]) ** 2).sum()) for k in range(PQ_KS)]
+            for m in range(PQ_M)
+        ]
+    )
+    coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "label", *pq_code_columns(CB)
+    )
+    adc = sum(
+        F.element_at(_lit_vec(lut[m]), F.col(f"code_{m}").cast("int") + 1)
+        for m in range(PQ_M)
+    )
+    return (
+        coded.select(
+            "vec_id", "label", F.round(adc, 6).alias("adc_dist"),
+            *[F.col(f"code_{m}") for m in range(PQ_M)],
+        )
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, long form (label, dim, mean) —
     the class-prototype / coarse-quantizer-training aggregate every
@@ -460,6 +584,7 @@ QUERIES = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_pq": q_ann_pq,
     "q_knn_1nn": q_knn_1nn,
     "q_label_centroids": q_label_centroids,
 }
