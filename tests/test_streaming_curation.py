@@ -1,0 +1,63 @@
+"""Streaming curation parity: a replayed document stream must land
+exactly the batch pipeline's quality+exact-dedup survivors (by
+fingerprint — streaming keeps first arrival, batch keeps min doc_id),
+with split/token columns attached."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.pipeline import CurationPipeline
+from timeseriesdb_spark.streaming import curation as scur
+from timeseriesdb_spark.tables import load_table
+
+
+def test_stream_curation_matches_batch_stages(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    # stage twice — the at-least-once replay scenario
+    docs.coalesce(2).write.mode("append").parquet(src)
+    docs.coalesce(2).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        scur.curate_stream(spark, stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    pipe = CurationPipeline(spark)
+    batch = pipe.exact_dedup(pipe.quality_filter(docs))
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    batch_fps = {r.fp for r in batch.select(fp.alias("fp")).collect()}
+
+    got_fps = [r.fp for r in got.select("fp").collect()]
+    assert len(got_fps) == len(set(got_fps))  # replays landed once
+    assert set(got_fps) == batch_fps          # same surviving content
+
+    # stateless stages match the batch expressions row-for-row
+    joined = got.alias("g").join(
+        pipe.assign_splits(docs).alias("b"), "doc_id"
+    )
+    mism = joined.where(
+        (F.col("g.split") != F.col("b.split"))
+        | (F.col("g.n_tokens") != F.col("b.n_tokens"))
+    ).count()
+    assert mism == 0

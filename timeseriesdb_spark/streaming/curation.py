@@ -1,0 +1,66 @@
+"""Streaming curation — the CurationPipeline's filter/dedup/split
+stages running on the live document ingest path instead of as a batch
+rescan (the same batch-to-stream move as streaming/dedup.py for
+events).
+
+Stage disposition on a stream:
+- Quality rules and split/token assignment are stateless row
+  expressions — they run unchanged at stream speed.
+- Exact dedup becomes `dropDuplicatesWithinWatermark` on the content
+  fingerprint: state is bounded by the late-data horizon, replayed
+  batches (at-least-once sources) land once. Streaming keeps the
+  FIRST arrival per fingerprint (batch keeps min doc_id) — same
+  surviving content, potentially different survivor id; the parity
+  test asserts on fingerprint sets for exactly this reason.
+- Near-dup clustering is NOT a streaming stage: connected components
+  is a global graph computation over the corpus. A production
+  pipeline runs it as the periodic batch compaction pass
+  (pipeline.CurationPipeline.neardup_dedup) over the streamed-in
+  store — the lambda-architecture split the reference's
+  compression-daemon/recoding-daemon pair also uses
+  (compression_daemon.rs:51-161: hot path appends, cold daemon
+  rewrites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    event_time: str = "ingest_ts",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Quality-filter → watermark-bounded exact dedup → split/token
+    assignment over a documents-shaped stream carrying an
+    `event_time` column. Output schema: (doc_id, text, lang, source,
+    split, n_tokens, fp, <event_time>)."""
+    from timeseriesdb_spark.pipeline import CurationPipeline, curation_split_bounds
+
+    pipe = CurationPipeline(spark)
+    passed = pipe.quality_filter(stream)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    deduped = (
+        passed.withColumn("fp", fp)
+        .withWatermark(event_time, horizon)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    prefix = F.substring(F.md5(F.col("text")), 1, 2)
+    lo, hi = curation_split_bounds()
+    split = (
+        F.when(prefix < F.lit(lo), "train")
+        .when(prefix < F.lit(hi), "val")
+        .otherwise("test")
+    )
+    t = F.col("text")
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("bigint")
+    return deduped.select(
+        "doc_id", "text", "lang", "source",
+        split.alias("split"), n_tokens.alias("n_tokens"),
+        "fp", event_time,
+    )
