@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timeseriesdb_spark.operators.text import SPLIT_BOUNDS
 from timeseriesdb_spark.tables import load_table
+
+# q_dataset_split's hash-range boundaries: train < TRAIN_BOUND,
+# test >= TEST_BOUND (the val band between is excluded from both sides
+# of the contamination check).
+TRAIN_BOUND, TEST_BOUND = SPLIT_BOUNDS
 
 # ---------------------------------------------------------------- helpers
 
@@ -342,8 +348,130 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 4  # word n-gram width for contamination matching
+
+
+def _word_ngrams(n: int) -> Column:
+    """Lower-cased word n-grams of `text` as an array column, entirely
+    JVM-side (split / filter / transform / slice — no Python). Docs
+    shorter than n words yield an empty array in both engines."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    ngr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, ngr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    word {DECON_N}-gram with the held-out test split (the standard
+    n-gram-overlap check run before any evaluation: a train doc that
+    contains an eval n-gram leaks the benchmark). Splits reuse
+    q_dataset_split's md5-prefix ranges, so the contamination set is
+    consistent with the pipeline's own split assignment.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus (evals are MBs, corpora are TBs), so it is broadcast and
+    the check is one corpus scan + map-side hash probe — no shuffle
+    touches the 100 TB side except the final per-doc count. Emits one
+    row per contaminated train doc: distinct shared n-grams and the
+    lexicographically first one for audit."""
+    doc = load_table(spark, sf_dir, "documents")
+    hp = F.substring(F.md5(F.col("text")), 1, 2)
+    docs = doc.select(
+        "doc_id", hp.alias("hp"), _word_ngrams(DECON_N).alias("ngs")
+    )
+    train_ng = (
+        docs.where(F.col("hp") < F.lit(TRAIN_BOUND))
+        .select("doc_id", F.explode("ngs").alias("ng"))
+        .distinct()
+    )
+    bench_ng = (
+        docs.where(F.col("hp") >= F.lit(TEST_BOUND))
+        .select(F.explode("ngs").alias("ng"))
+        .distinct()
+    )
+    return (
+        train_ng.join(F.broadcast(bench_ng), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_ngrams"),
+            F.min("ng").alias("first_shared"),
+        )
+    )
+
+
+# Target token mixture per language domain. Domains absent from the
+# map are excluded from the mix (weights sum to 1 over included ones).
+MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture token budgeting — the sampling stage that hits
+    target mixture weights across domains (languages here): the total
+    budget is the largest T with weight_d * T <= available_d for every
+    domain (the scarcest domain binds), each domain's quota is
+    floor(weight_d * T), and documents fill their domain's quota in
+    deterministic content-hash order (same selection on any engine or
+    cluster shape — no RNG).
+
+    Scale shape: per-domain token totals are one partial-agg scan; the
+    binding constraint is a dimension-sized reduction (broadcast back);
+    the fill is ONE window shuffle partitioned by domain — the same
+    plan at 100 TB with (domain, shard) partitioning. Emits the kept
+    documents with their cumulative position."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("bigint")
+    toks = doc.select(
+        "doc_id",
+        F.col("lang").alias("domain"),
+        n_tokens.alias("n_tokens"),
+        F.md5(t).alias("h"),
+    )
+    weights = spark.createDataFrame(
+        sorted(MIX_WEIGHTS.items()), "domain string, weight double"
+    )
+    avail = toks.groupBy("domain").agg(F.sum("n_tokens").alias("avail_tokens"))
+    budget = (
+        avail.join(F.broadcast(weights), "domain")
+        .agg(F.min(F.col("avail_tokens") / F.col("weight")).alias("t_total"))
+    )
+    quota = (
+        avail.join(F.broadcast(weights), "domain")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "domain",
+            F.floor(F.col("weight") * F.col("t_total"))
+            .cast("bigint")
+            .alias("quota_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(quota), "domain")
+        .where(F.col("cum_tokens") <= F.col("quota_tokens"))
+        .select("doc_id", "domain", "n_tokens", "cum_tokens", "quota_tokens")
+    )
+
+
 QUERIES = {
     "q_gopher_rules": q_gopher_rules,
+    "q_decontaminate": q_decontaminate,
+    "q_domain_mix": q_domain_mix,
     "q_pack_sequences": q_pack_sequences,
     "q_repetition": q_repetition,
     "q_pii_scan": q_pii_scan,
@@ -379,7 +507,62 @@ KEEP_SQL = (
 
 _NTOK = "(length(text) - length(replace(text, ' ', '')) + 1)"
 
+_MIX_VALUES = ", ".join(
+    f"('{d}', {w})" for d, w in sorted(MIX_WEIGHTS.items())
+)
+
 ORACLES = {
+    "q_decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id, substr(md5(text), 1, 2) AS hp,
+                   list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> length(x) > 0) AS ws
+            FROM documents
+        ), ngr AS (
+            SELECT doc_id, hp,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - {DECON_N - 2}, 1)),
+                       i -> array_to_string(ws[i:i+{DECON_N - 1}], ' '))) AS ng
+            FROM toks
+        ), train_ng AS (
+            SELECT DISTINCT doc_id, ng FROM ngr WHERE hp < '{TRAIN_BOUND}'
+        ), bench_ng AS (
+            SELECT DISTINCT ng FROM ngr WHERE hp >= '{TEST_BOUND}'
+        )
+        SELECT doc_id, count(*) AS n_shared_ngrams,
+               min(ng) AS first_shared
+        FROM train_ng JOIN bench_ng USING (ng)
+        GROUP BY doc_id
+    """,
+    "q_domain_mix": f"""
+        WITH weights(domain, weight) AS (VALUES {_MIX_VALUES}),
+        toks AS (
+            SELECT doc_id, lang AS domain,
+                   CAST({_NTOK} AS BIGINT) AS n_tokens, md5(text) AS h
+            FROM documents
+        ), avail AS (
+            SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+            FROM toks GROUP BY domain
+        ), budget AS (
+            SELECT min(avail_tokens / weight) AS t_total
+            FROM avail JOIN weights USING (domain)
+        ), quota AS (
+            SELECT domain,
+                   CAST(floor(weight * t_total) AS BIGINT) AS quota_tokens
+            FROM avail JOIN weights USING (domain), budget
+        )
+        SELECT doc_id, domain, n_tokens, cum_tokens, quota_tokens
+        FROM (
+            SELECT doc_id, domain, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY domain ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM toks
+        ) JOIN quota USING (domain)
+        WHERE cum_tokens <= quota_tokens
+    """,
     "q_pack_sequences": f"""
         SELECT doc_id, source, n_tokens,
                CAST(floor(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
