@@ -29,6 +29,8 @@ HEADLINERS = [
     "q_fcm_residuals",   # predictor residuals: one window + one agg
     "q_dedup_clusters",  # iterative CC: per-round join topology
     "q_ann_ivf",         # JVM-side cell pruning before scoring
+    "q_decontaminate",   # broadcast benchmark-ngram probe
+    "q_domain_mix",      # one window shuffle + dimension broadcasts
 ]
 
 SF = "/root/testdata/sf0.01"

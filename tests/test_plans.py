@@ -174,3 +174,26 @@ def test_pack_sequences_single_shuffle(spark):
     assert "Python" not in plan, plan
     assert checks.exchange_count(df) == 1, plan
     assert set(checks.read_schema(df)) <= {"doc_id", "source", "text"}
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark):
+    # the benchmark n-gram set is eval-sized, the train side is the
+    # corpus: the overlap probe must be a broadcast hash join (a
+    # shuffle join here would move the 100 TB side on n-gram keys)
+    df = QUERIES["q_decontaminate"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_domain_mix_one_window_shuffle(spark):
+    # quota fill = one running-sum window hash-partitioned by domain;
+    # the avail/weights/budget frames are dimension-sized broadcasts.
+    # Corpus-sized exchanges: the window partition + its aggregation
+    # input; anything more means the quota join shuffled the fact side
+    df = QUERIES["q_domain_mix"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan

@@ -96,30 +96,34 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition profile (the Gopher/CCNet duplicate
     n-gram filter): fraction of word trigrams that are repeats of an
-    earlier trigram in the same document. Shuffles once on doc_id to
-    order words, aggregates per document; docs under 3 words emit no
-    row (no trigrams) in both engines."""
+    earlier trigram in the same document. A document's trigram set is
+    computed entirely inside the row (transform/slice/array_distinct
+    over the split array) — no explode, no shuffle, whole-stage
+    codegen end to end; at 100 TB this runs at scan speed like the
+    other rule filters. Docs under 3 words emit no row (no trigrams)
+    in both engines."""
     doc = load_table(spark, sf_dir, "documents")
-    words = doc.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ws = F.split("text", " ")
+    tris = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(2)),
+        lambda i: F.array_join(F.slice(ws, i, 3), " "),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        words.select(
+    return (
+        doc.where(F.size(ws) >= 3)
+        .select(
             "doc_id",
-            F.concat_ws(
-                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
-            ).alias("tri"),
-            F.lead("w", 2).over(w).alias("_w2"),
+            F.size(tris).cast("bigint").alias("n_trigrams"),
+            F.size(F.array_distinct(tris)).cast("bigint").alias("n_distinct"),
         )
-        .where(F.col("_w2").isNotNull())
-    )
-    return tri.groupBy("doc_id").agg(
-        F.count("*").alias("n_trigrams"),
-        F.countDistinct("tri").alias("n_distinct"),
-        F.round(
-            F.lit(1.0) - F.countDistinct("tri") / F.count("*").cast("double"), 6
-        ).alias("dup_frac"),
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
     )
 
 
@@ -437,8 +441,14 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.md5(t).alias("h"),
     )
-    weights = spark.createDataFrame(
-        sorted(MIX_WEIGHTS.items()), "domain string, weight double"
+    # literal VALUES relation (LocalTableScan) — not createDataFrame,
+    # which plans as a Python-RDD scan and muddies the no-Python contract
+    weights = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"('{d}', CAST({w} AS DOUBLE))" for d, w in sorted(MIX_WEIGHTS.items())
+        )
+        + " AS t(domain, weight)"
     )
     avail = toks.groupBy("domain").agg(F.sum("n_tokens").alias("avail_tokens"))
     budget = (
