@@ -180,3 +180,49 @@ def test_pq_partial_recall_and_determinism(spark):
     assert len(pq1) == similarity.TOP_K
     recall = len(brute & set(pq1)) / len(brute)
     assert recall >= 0.3, recall
+
+
+def test_semdedup_keepers_have_no_close_cellmates(spark):
+    """After semdedup, no two KEPT vectors in the same cell are within
+    the near-dup threshold (if cos(a,b) >= T with a < b, b must have
+    been dropped), and every dropped vector has a smaller-id cell-mate
+    at/above the threshold — verified against a numpy recompute."""
+    import numpy as np
+
+    from timeseriesdb_spark.operators.similarity import NEARDUP_COS, SEM_BITS
+    from timeseriesdb_spark.registry import QUERIES
+
+    out = QUERIES["q_semdedup"](spark, SF_DIR).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    cells = ((X[:, :SEM_BITS] >= 0) * (1 << np.arange(SEM_BITS - 1, -1, -1))).sum(1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(Xn @ Xn.T, 4)
+    keep = dict(zip(out.vec_id, out.keep))
+    cell_of = dict(zip(out.vec_id, out.cell))
+    assert len(out) == len(ids)
+    for i in range(len(ids)):
+        assert cell_of[ids[i]] == cells[i]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cells[i] != cells[j]:
+                continue
+            if cos[i, j] >= NEARDUP_COS and keep[ids[i]] and ids[i] < ids[j]:
+                assert not keep[ids[j]], (ids[i], ids[j], cos[i, j])
+    dropped = [v for v, k in keep.items() if not k]
+    assert dropped, "fixture should drop at least one vector"
+    idx = {v: i for i, v in enumerate(ids)}
+    for v in dropped:
+        j = idx[v]
+        mates = [
+            i
+            for i in range(len(ids))
+            if cells[i] == cells[j] and ids[i] < v and cos[i, j] >= NEARDUP_COS
+        ]
+        assert mates, f"dropped {v} has no close smaller-id cell-mate"

@@ -579,6 +579,67 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_BITS = 4  # sign-bit bucketing width → 2^SEM_BITS semantic cells
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: bucket the corpus into semantic
+    cells, compare pairs ONLY within a cell, and drop every vector
+    whose rounded cosine to a smaller-id cell-mate reaches the
+    near-dup threshold. Emits a total keep/drop decision (one row per
+    vector) like dedup_clusters does for text.
+
+    The cell key is the sign pattern of the first SEM_BITS dimensions
+    — an axis-aligned random-hyperplane hash that both engines compute
+    exactly (no trained quantizer in the key path, so the whole
+    operator is oracle-checkable end to end; the kmeans-cell variant
+    of the same shape is the IVF path, q_ann_ivf/write_ivf_store).
+
+    Scale shape: the quadratic work is fenced per cell — the
+    self-join is an equi-join on cell, so pairs never form across
+    cells and cost is O(n · cell_size), not O(n²). At 100 TB you grow
+    SEM_BITS so cell_size stays bounded (2^bits cells), exactly how
+    SemDeDup scales by increasing k; hot cells split via AQE skew
+    handling. No Python anywhere in the plan."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cell = sum(
+        (
+            F.when(
+                F.element_at(F.col("e"), k + 1) >= 0, F.lit(1 << (SEM_BITS - 1 - k))
+            ).otherwise(F.lit(0))
+            for k in range(SEM_BITS)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    cells = emb.select("vec_id", "e", "norm", cell.alias("cell"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.norm") * F.col("b.norm")), 4
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= NEARDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("dropped").isNotNull(), 0).otherwise(1)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_embedding_neardup": q_embedding_neardup,
@@ -587,6 +648,7 @@ QUERIES = {
     "q_ann_pq": q_ann_pq,
     "q_knn_1nn": q_knn_1nn,
     "q_label_centroids": q_label_centroids,
+    "q_semdedup": q_semdedup,
 }
 
 # DuckDB-side vector math: positional explode via range(1, DIM+1) and
@@ -608,7 +670,42 @@ _DOT_PAIRS_SQL = f"""
     GROUP BY a.vec_id, b.vec_id
 """
 
+_CELL_SQL = "(" + " + ".join(
+    f"CASE WHEN embedding[{k + 1}] >= 0 THEN {1 << (SEM_BITS - 1 - k)} ELSE 0 END"
+    for k in range(SEM_BITS)
+) + ")"
+
 ORACLES = {
+    "q_semdedup": f"""
+        WITH base AS (
+            SELECT vec_id, CAST({_CELL_SQL} AS INT) AS cell FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE))) AS norm
+            FROM embeddings, range(1, {DIM + 1}) t(i) GROUP BY vec_id
+        ), pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   sum(CAST(ea.embedding[i] AS DOUBLE)
+                       * CAST(eb.embedding[i] AS DOUBLE)) AS dot
+            FROM base a JOIN base b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id,
+                 range(1, {DIM + 1}) t(i)
+            GROUP BY 1, 2
+        ), dropped AS (
+            SELECT DISTINCT vb AS vec_id
+            FROM pairs
+            JOIN norms na ON na.vec_id = va
+            JOIN norms nb ON nb.vec_id = vb
+            WHERE round(dot / (na.norm * nb.norm), 4) >= {NEARDUP_COS}
+        )
+        SELECT b.vec_id, b.cell,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM base b LEFT JOIN dropped d USING (vec_id)
+    """,
     "q_label_centroids": f"""
         SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
                round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
