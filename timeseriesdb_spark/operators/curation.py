@@ -478,10 +478,90 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUTOFF_FRAC = 0.1  # drop the bottom decile per source
+
+
+def q_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality threshold — instead of a fixed score cutoff,
+    drop the bottom CUTOFF_FRAC of documents per source by quality
+    score (model-based filters are calibrated this way: the threshold
+    is a quantile of the observed distribution, so a clean source
+    keeps more than a noisy one at the same setting). percent_rank
+    with a doc_id tie-break is an exact integer ratio — engine-exact,
+    no approximate percentile in the decision path; at scale swap in
+    approx_percentile to pre-compute the cutoff in one pass if the
+    window sort is the bottleneck. ONE window shuffle by source."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t).cast("double")
+    n_spaces = (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast(
+        "double"
+    )
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    score = F.round(
+        F.lit(0.4) * F.least(n / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.4) * (n_alpha / n)
+        + F.lit(0.2) * (n_spaces / n),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    pr = F.round(F.percent_rank().over(w), 6)
+    return (
+        doc.select("doc_id", "source", score.alias("quality_score"))
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            pr.alias("pct_rank"),
+        )
+        .withColumn(
+            "keep", (F.col("pct_rank") >= F.lit(CUTOFF_FRAC)).cast("int")
+        )
+    )
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning/redaction — the rewrite stage between scanning
+    and training: emails / IPv4s / long digit runs become typed
+    placeholder tokens (the q_pii_scan patterns, single source of
+    truth) and whitespace collapses to single spaces. Per-row
+    regexp_replace chain, JVM-side, no shuffle — at 100 TB this runs
+    at scan speed and writes the curated copy; the redaction counts
+    make the pass auditable against q_pii_scan."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4))
+    n_num = F.regexp_count(t, F.lit(PII_LONG_NUMBER))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+                    PII_IPV4,
+                    "<IP>",
+                ),
+                PII_LONG_NUMBER,
+                "<NUM>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return doc.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (n_email + n_ipv4 + n_num).cast("bigint").alias("n_redactions"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+    )
+
+
 QUERIES = {
     "q_gopher_rules": q_gopher_rules,
     "q_decontaminate": q_decontaminate,
     "q_domain_mix": q_domain_mix,
+    "q_quality_cutoff": q_quality_cutoff,
+    "q_clean_text": q_clean_text,
     "q_pack_sequences": q_pack_sequences,
     "q_repetition": q_repetition,
     "q_pii_scan": q_pii_scan,
@@ -521,7 +601,51 @@ _MIX_VALUES = ", ".join(
     f"('{d}', {w})" for d, w in sorted(MIX_WEIGHTS.items())
 )
 
+_QSCORE = (
+    "round(0.4 * least(length(text) / 500.0, 1.0)"
+    " + 0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    "          / CAST(length(text) AS DOUBLE))"
+    " + 0.2 * ((length(text) - length(replace(text, ' ', '')))"
+    "          / CAST(length(text) AS DOUBLE)), 6)"
+)
+
 ORACLES = {
+    "q_quality_cutoff": f"""
+        SELECT doc_id, source, quality_score, pct_rank,
+               CAST(pct_rank >= {CUTOFF_FRAC} AS INT) AS keep
+        FROM (
+            SELECT doc_id, source, quality_score,
+                   round(percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY quality_score, doc_id), 6) AS pct_rank
+            FROM (
+                SELECT doc_id, source, {_QSCORE} AS quality_score
+                FROM documents
+            )
+        )
+    """,
+    "q_clean_text": f"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{PII_IPV4}', '<IP>', 'g'),
+                       '{PII_LONG_NUMBER}', '<NUM>', 'g'),
+                   '\\s+', ' ', 'g')) AS clean_text,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                    + len(regexp_extract_all(text, '{PII_IPV4}'))
+                    + len(regexp_extract_all(text, '{PII_LONG_NUMBER}'))
+                    AS BIGINT) AS n_redactions,
+               CAST(length(trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{PII_IPV4}', '<IP>', 'g'),
+                       '{PII_LONG_NUMBER}', '<NUM>', 'g'),
+                   '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+        FROM documents
+    """,
     "q_decontaminate": f"""
         WITH toks AS (
             SELECT doc_id, substr(md5(text), 1, 2) AS hp,
