@@ -61,3 +61,45 @@ def test_stream_curation_matches_batch_stages(spark, tmp_path):
         | (F.col("g.n_tokens") != F.col("b.n_tokens"))
     ).count()
     assert mism == 0
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Stateless stream decontamination drops exactly the docs the
+    batch q_decontaminate flags (within the train split) — and keeps
+    everything else."""
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hp = F.substring(F.md5(F.col("text")), 1, 2)
+    from timeseriesdb_spark.operators.curation import TRAIN_BOUND
+    from timeseriesdb_spark.registry import QUERIES
+
+    train = docs.where(hp < F.lit(TRAIN_BOUND))
+    train.coalesce(2).write.mode("overwrite").parquet(src)
+
+    bench = scur.benchmark_ngrams(docs)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        scur.decontaminate_stream(stream, bench)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    flagged = {
+        r.doc_id
+        for r in QUERIES["q_decontaminate"](spark, SF_DIR).collect()
+    }
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert flagged, "fixture should flag at least one doc"
+    assert kept == train_ids - flagged

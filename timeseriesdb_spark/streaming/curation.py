@@ -20,6 +20,9 @@ Stage disposition on a stream:
   compression-daemon/recoding-daemon pair also uses
   (compression_daemon.rs:51-161: hot path appends, cold daemon
   rewrites).
+- Decontamination is stateless against a STATIC benchmark n-gram set
+  (evals change rarely; the stream doesn't) — a stream-static
+  broadcast anti-join, no state store at all.
 """
 
 from __future__ import annotations
@@ -63,4 +66,49 @@ def curate_stream(
         "doc_id", "text", "lang", "source",
         split.alias("split"), n_tokens.alias("n_tokens"),
         "fp", event_time,
+    )
+
+
+def decontaminate_stream(
+    stream: DataFrame, bench_ngrams: DataFrame
+) -> DataFrame:
+    """Drop streamed documents sharing any word n-gram with a STATIC
+    benchmark set (the q_decontaminate check on the ingest path).
+
+    `bench_ngrams` is a batch frame with one `ng` column (e.g. the
+    held-out split's distinct n-grams, refreshed whenever evals
+    change). The check is a stream-static LEFT ANTI join with an
+    `array_contains(doc_ngrams, bench.ng)` condition: the static side
+    broadcasts, every micro-batch row is checked against it in place,
+    and NO state store is involved — a replayed batch re-evaluates to
+    the same answer. At real benchmark-set sizes (MBs) the broadcast
+    is trivial; for very large sets the same shape swaps the exact
+    probe for a broadcast Bloom filter (might_contain), trading a
+    bounded false-drop rate for constant memory."""
+    from timeseriesdb_spark.operators.curation import DECON_N, _word_ngrams
+
+    tagged = stream.withColumn("_ngs", _word_ngrams(DECON_N))
+    clean = tagged.join(
+        F.broadcast(bench_ngrams),
+        F.array_contains(tagged["_ngs"], bench_ngrams["ng"]),
+        "left_anti",
+    )
+    return clean.drop("_ngs")
+
+
+def benchmark_ngrams(docs: DataFrame) -> DataFrame:
+    """The static benchmark n-gram set from a batch documents frame:
+    distinct word DECON_N-grams of the test hash-range (the same
+    bounds q_decontaminate and q_dataset_split use)."""
+    from timeseriesdb_spark.operators.curation import (
+        DECON_N,
+        TEST_BOUND,
+        _word_ngrams,
+    )
+
+    hp = F.substring(F.md5(F.col("text")), 1, 2)
+    return (
+        docs.where(hp >= F.lit(TEST_BOUND))
+        .select(F.explode(_word_ngrams(DECON_N)).alias("ng"))
+        .distinct()
     )
