@@ -86,3 +86,25 @@ def test_audit_funnel_monotonic(spark):
         >= rows["3_neardup_split"]
         > 0
     )
+
+
+def test_decontaminated_run_is_clean_subset(spark):
+    """run_decontaminated() output = run() output minus exactly the
+    train docs that share an n-gram with the test range (and test/val
+    docs are untouched by the stage)."""
+    from timeseriesdb_spark.pipeline import CurationPipeline
+    from timeseriesdb_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = CurationPipeline(spark)
+    base = {r.doc_id: r.split for r in pipe.run(docs).select("doc_id", "split").collect()}
+    decon = {r.doc_id for r in pipe.run_decontaminated(docs).select("doc_id").collect()}
+    assert decon <= set(base)
+    removed = set(base) - decon
+    assert all(base[d] == "train" for d in removed), "only train docs drop"
+    # the flagged set computed on the deduped frame must drive removal
+    deduped = pipe.neardup_dedup(pipe.exact_dedup(pipe.quality_filter(docs)))
+    flagged_frame = deduped.join(
+        pipe.decontaminate(deduped).select("doc_id"), "doc_id", "anti"
+    )
+    assert removed == {r.doc_id for r in flagged_frame.select("doc_id").collect()}

@@ -106,12 +106,52 @@ class CurationPipeline:
             split.alias("split"), n_tokens.alias("n_tokens"),
         )
 
+    def decontaminate(self, docs: DataFrame) -> DataFrame:
+        """Drop train-range documents sharing a word n-gram with the
+        test-range documents of the same frame (q_decontaminate
+        semantics as a pipeline stage: the benchmark set is the
+        pipeline's own held-out split, so eval leakage is removed
+        before the corpus ships). Broadcast n-gram probe — the flagged
+        set is decision-frame-sized, the corpus moves nowhere."""
+        from timeseriesdb_spark.operators.curation import (
+            DECON_N,
+            TEST_BOUND,
+            TRAIN_BOUND,
+            _word_ngrams,
+        )
+
+        hp = F.substring(F.md5(F.col("text")), 1, 2)
+        tagged = docs.select("doc_id", hp.alias("hp"), _word_ngrams(DECON_N).alias("ngs"))
+        bench_ng = (
+            tagged.where(F.col("hp") >= F.lit(TEST_BOUND))
+            .select(F.explode("ngs").alias("ng"))
+            .distinct()
+        )
+        flagged = (
+            tagged.where(F.col("hp") < F.lit(TRAIN_BOUND))
+            .select("doc_id", F.explode("ngs").alias("ng"))
+            .join(F.broadcast(bench_ng), "ng")
+            .select("doc_id")
+            .distinct()
+        )
+        return docs.join(flagged, "doc_id", "anti")
+
     # ---- composition --------------------------------------------------
 
     def run(self, docs: DataFrame) -> DataFrame:
         """Full pipeline; lazy until written/collected."""
         return self.assign_splits(
             self.neardup_dedup(self.exact_dedup(self.quality_filter(docs)))
+        )
+
+    def run_decontaminated(self, docs: DataFrame) -> DataFrame:
+        """run() plus the decontamination stage between dedup and
+        splits — the composition a corpus that ships next to its own
+        eval split runs."""
+        return self.assign_splits(
+            self.decontaminate(
+                self.neardup_dedup(self.exact_dedup(self.quality_filter(docs)))
+            )
         )
 
     def audit(self, docs: DataFrame) -> DataFrame:
