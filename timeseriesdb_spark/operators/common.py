@@ -48,3 +48,37 @@ def isum(col: str | Column, alias: str) -> Column:
 def isum_sql(expr: str, alias: str) -> str:
     """The DuckDB-side twin of :func:`isum`."""
     return f"CAST(SUM(CAST({expr} AS BIGINT)) AS DOUBLE) AS {alias}"
+
+
+def array_ngrams(arr: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams of an array column as an array column, built from n
+    aligned ``slice``s folded with ``zip_with``/``concat_ws`` — O(n)
+    array operations per ROW instead of one ``slice`` per OUTPUT
+    element. The naive ``transform(sequence(...), i -> slice(arr, i,
+    n))`` form re-evaluates the (projection-collapsed, so typically
+    ``split(text)``) array expression once per element inside the
+    lambda, turning tokenization O(words) into O(words²) per document
+    — measured 7× slower at sf0.1. Arrays shorter than n yield an
+    empty array (greatest(size-n+1, 0) clamps the slice length), the
+    same contract both DuckDB oracles and the old form had."""
+    m = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+    z = F.slice(arr, 1, m)
+    for i in range(1, n):
+        z = F.zip_with(
+            z, F.slice(arr, i + 1, m), lambda x, y: F.concat_ws(sep, x, y)
+        )
+    return z
+
+
+def parallelize_small_scan(df, spark):
+    """Round-robin repartition ONLY when the scan under-parallelizes
+    the session (fewer input splits than cores — the single-file,
+    single-row-group shape of small test corpora). CPU-bound text
+    kernels (n-grams, hashing) are row-bound, not byte-bound, so a
+    128 MB-split scan can leave 31 of 32 cores idle. At real scale the
+    scan has >> cores splits and this is a no-op — no shuffle is added
+    on the 100 TB path."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df

@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timeseriesdb_spark.operators.common import (
+    array_ngrams,
+    parallelize_small_scan,
+)
 from timeseriesdb_spark.operators.text import SPLIT_BOUNDS
 from timeseriesdb_spark.tables import load_table
 
@@ -97,17 +101,14 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition profile (the Gopher/CCNet duplicate
     n-gram filter): fraction of word trigrams that are repeats of an
     earlier trigram in the same document. A document's trigram set is
-    computed entirely inside the row (transform/slice/array_distinct
-    over the split array) — no explode, no shuffle, whole-stage
+    computed entirely inside the row (zip_with/array_distinct over the
+    split array) — no explode, no shuffle, whole-stage
     codegen end to end; at 100 TB this runs at scan speed like the
     other rule filters. Docs under 3 words emit no row (no trigrams)
     in both engines."""
     doc = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
-    tris = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - F.lit(2)),
-        lambda i: F.array_join(F.slice(ws, i, 3), " "),
-    )
+    tris = array_ngrams(ws, 3)
     return (
         doc.where(F.size(ws) >= 3)
         .select(
@@ -357,19 +358,14 @@ DECON_N = 4  # word n-gram width for contamination matching
 
 def _word_ngrams(n: int) -> Column:
     """Lower-cased word n-grams of `text` as an array column, entirely
-    JVM-side (split / filter / transform / slice — no Python). Docs
-    shorter than n words yield an empty array in both engines."""
+    JVM-side (split / filter / zip_with — no Python; see
+    common.array_ngrams for why not transform+slice). Docs shorter
+    than n words yield an empty array in both engines."""
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda x: F.length(x) > 0,
     )
-    ngr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, ngr).otherwise(
-        F.array().cast("array<string>")
-    )
+    return array_ngrams(toks, n)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +382,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the 100 TB side except the final per-doc count. Emits one
     row per contaminated train doc: distinct shared n-grams and the
     lexicographically first one for audit."""
-    doc = load_table(spark, sf_dir, "documents")
+    doc = parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
     hp = F.substring(F.md5(F.col("text")), 1, 2)
     docs = doc.select(
         "doc_id", hp.alias("hp"), _word_ngrams(DECON_N).alias("ngs")

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timeseriesdb_spark.operators.common import array_ngrams
 from timeseriesdb_spark.tables import load_table
 
 SHINGLE_K = 3            # words per shingle
@@ -36,21 +37,14 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
 def _shingles(doc: DataFrame) -> DataFrame:
-    """DISTINCT (doc_id, shingle) word-k-shingles. slice+transform keeps
-    it JVM-side; explode is the only row expansion. Dedup happens
-    map-side via array_distinct BEFORE the explode — (doc_id, shingle)
-    distinctness is per-document, so a global distinct() shuffle would
-    move every shingle row for nothing."""
+    """DISTINCT (doc_id, shingle) word-k-shingles. zip_with n-gram
+    construction keeps it JVM-side (see common.array_ngrams for why
+    not transform+slice); explode is the only row expansion. Dedup
+    happens map-side via array_distinct BEFORE the explode — (doc_id,
+    shingle) distinctness is per-document, so a global distinct()
+    shuffle would move every shingle row for nothing."""
     words = F.split(F.col("text"), " ")
-    # sequence(0, n) with n<0 would generate a DESCENDING sequence in
-    # Spark — guard short docs to an empty shingle set instead.
-    sh = F.when(
-        F.size(words) >= SHINGLE_K,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - F.lit(SHINGLE_K)),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = array_ngrams(words, SHINGLE_K)
     return doc.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     ).where(F.length("shingle") > 0)
