@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timeseriesdb_spark.operators.common import array_ngrams
+from timeseriesdb_spark.operators.common import (
+    array_ngrams,
+    parallelize_small_scan,
+)
 from timeseriesdb_spark.tables import load_table
 
 SHINGLE_K = 3            # words per shingle
@@ -101,7 +104,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InferFiltersFromGenerate + pushdown, which re-inlines the array
     # construction into the pushed filter and rebuilds it ~3× per doc
     # (measured: 2.7s → 4.2s at sf0.1).
-    sh = _shingles(load_table(spark, sf_dir, "documents")).repartition("shingle")
+    sh = _shingles(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    ).repartition("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -180,7 +185,9 @@ _MINHASH_SQL = _minhash_sql()
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k=16 MinHash signature matrix itself (one row per doc)."""
-    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 def lsh_pairs(doc: DataFrame) -> DataFrame:
@@ -227,7 +234,9 @@ def lsh_pairs(doc: DataFrame) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-declared wrapper over :func:`lsh_pairs`."""
-    return lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return lsh_pairs(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex nibble (high bit of the nibble)
@@ -304,17 +313,19 @@ def dedup_clusters(doc: DataFrame) -> DataFrame:
     # 5000 docs; at 100 TB: millions vs billions). Singletons are
     # definitionally their own cluster and union back in at the end, so
     # every CC round shuffles |V(edges)| rows, not |corpus|.
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
-    )
     # Convergence certificate: min-label propagation can only LOWER a
     # label, so sum(comp) strictly decreases on any change and is
     # stable exactly at the fixed point — one tiny agg job per round
     # instead of an old-vs-new join (no shuffle: partial sums + a
-    # 1-row final), measured ~0.3s/round cheaper at sf0.1.
+    # 1-row final). The checkpoint is LAZY (eager=False): the
+    # convergence agg is the action that materializes it, so each
+    # round costs ONE Spark job, not two.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
         nbr = edges.join(labels, edges.dst == labels.node).select(
@@ -331,7 +342,7 @@ def dedup_clusters(doc: DataFrame) -> DataFrame:
         new_labels = (
             stepped.join(jump, "comp", "left")
             .select("node", F.coalesce("comp2", "comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
@@ -354,7 +365,9 @@ def dedup_clusters(doc: DataFrame) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-declared wrapper over :func:`dedup_clusters`."""
-    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+    return dedup_clusters(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 QUERIES = {

@@ -138,20 +138,34 @@ class CurationPipeline:
 
     # ---- composition --------------------------------------------------
 
+    def _deduped(self, docs: DataFrame) -> DataFrame:
+        """quality_filter → exact_dedup, with the surviving doc_id SET
+        materialized once (lazy localCheckpoint). The near-dup stage
+        references its input several times (shingle side, node side,
+        singleton anti-join, final survivor join); without the barrier
+        each reference re-runs the stopword counters, the fingerprint
+        md5, and the dedup groupBy shuffle. Checkpointing only the
+        doc_id column keeps the barrier corpus-row-sized but ~16
+        bytes/row — at 10B docs that is GBs across a cluster, not TBs;
+        the text column still moves zero extra times (every re-read is
+        the columnar base scan + a semi-join against this set)."""
+        kept_ids = (
+            self.exact_dedup(self.quality_filter(docs))
+            .select("doc_id")
+            .localCheckpoint(eager=False)
+        )
+        return docs.join(kept_ids, "doc_id", "semi")
+
     def run(self, docs: DataFrame) -> DataFrame:
         """Full pipeline; lazy until written/collected."""
-        return self.assign_splits(
-            self.neardup_dedup(self.exact_dedup(self.quality_filter(docs)))
-        )
+        return self.assign_splits(self.neardup_dedup(self._deduped(docs)))
 
     def run_decontaminated(self, docs: DataFrame) -> DataFrame:
         """run() plus the decontamination stage between dedup and
         splits — the composition a corpus that ships next to its own
         eval split runs."""
         return self.assign_splits(
-            self.decontaminate(
-                self.neardup_dedup(self.exact_dedup(self.quality_filter(docs)))
-            )
+            self.decontaminate(self.neardup_dedup(self._deduped(docs)))
         )
 
     def audit(self, docs: DataFrame) -> DataFrame:
