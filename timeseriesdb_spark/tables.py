@@ -54,10 +54,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name in _NS_TS_COLUMNS and field.dataType.simpleString() == "bigint":
+        if field.name not in _NS_TS_COLUMNS:
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+        elif kind == "timestamp_ntz":
+            # Some driver builds write µs TIMESTAMP_NTZ instead of
+            # TIMESTAMP(NANOS). Normalize to session-tz TIMESTAMP (UTC
+            # everywhere we run) so epoch arithmetic (unix_micros) and
+            # time windows behave identically across data generations;
+            # DuckDB surfaces the same column as naive µs, so oracle
+            # values still agree.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
