@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from timeseriesdb_spark.functions import codecs
 from timeseriesdb_spark.operators import (
     aggregates,
+    chunking,
     curation,
     dedup,
     filters,
@@ -35,6 +36,7 @@ from timeseriesdb_spark import pipeline
 _MODULES = [
     codecs,
     aggregates,
+    chunking,
     curation,
     dedup,
     filters,
