@@ -21,15 +21,27 @@ joins co-locate without a shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SIGNAL_BUCKETS = 16  # files per date partition ≈ cluster write parallelism
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # compaction target file size
 
 
+def _micros_timestamps(events: DataFrame) -> None:
+    """Write timestamps as TIMESTAMP_MICROS, not Spark's legacy INT96:
+    INT96 columns carry NO parquet min/max statistics, which silently
+    disables footer-stat time pruning on every store below. Session
+    conf (sticky, like tables.load_table's nanosAsLong): the writer
+    runs lazily, so the conf must hold at action time."""
+    events.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+
+
 def write_signal_store(events: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist events as the time-partitioned, signal-clustered store."""
+    _micros_timestamps(events)
     (
         events.withColumn("event_date", F.to_date("ts"))
         .repartition(SIGNAL_BUCKETS, F.col("user_id"))
@@ -44,6 +56,75 @@ def write_signal_store(events: DataFrame, path: str, mode: str = "overwrite") ->
 def read_signal_store(spark: SparkSession, path: str) -> DataFrame:
     """Scan the store; time/signal predicates prune partitions/files."""
     return spark.read.parquet(path)
+
+
+ZORDER_BITS = 16    # per-dimension resolution of the z-curve
+ZORDER_FILES = 16   # default file count for the clustered layout
+
+
+def zorder_value(a: Column, b: Column) -> Column:
+    """Interleave the low ZORDER_BITS bits of two already-normalized
+    integer ranks into one z-curve key (bit of `a` above bit of `b`).
+    Pure shift/mask arithmetic → whole-stage codegen, no UDF."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        terms.append(bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i)))
+    return sum(terms[1:], terms[0])
+
+
+def _rank(c: Column, lo: float, hi: float) -> Column:
+    """Order-preserving map of `c` onto [0, 2^ZORDER_BITS)."""
+    span = max(hi - lo, 1e-9)
+    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(
+        float((1 << ZORDER_BITS) - 1)
+    )
+    return F.least(
+        F.greatest(F.floor(scaled), F.lit(0)), F.lit((1 << ZORDER_BITS) - 1)
+    ).cast("long")
+
+
+def write_zorder_store(
+    events: DataFrame, path: str, n_files: int = ZORDER_FILES, mode: str = "overwrite"
+) -> None:
+    """Multi-dimensional clustering: lay events out along a (user_id,
+    ts) Z-ORDER curve so parquet footer min/max stats stay narrow in
+    BOTH dimensions at once — a point/range predicate on EITHER column
+    prunes ~sqrt-fraction of the files, where single-column sorting
+    prunes only its own column and leaves the other unprunable.
+
+    This is the layout for the second axis the date-partitioned store
+    can't serve: `write_signal_store` answers time-sliced queries of
+    many signals; this serves signal-sliced queries across long time
+    spans from the same file set. One min/max agg (a scalar job) fixes
+    the rank scale; repartitionByRange on the z-key plus an in-file
+    sort gives every file a compact z-range, hence compact per-column
+    ranges. At 100 TB the same two jobs run per ingest batch or per
+    compaction window — the z-key is one codegen expression, so the
+    cost is the range shuffle that a clustered write pays anyway."""
+    _micros_timestamps(events)
+    lo_a, hi_a, lo_b, hi_b = (
+        events.agg(
+            F.min(F.col("user_id").cast("double")),
+            F.max(F.col("user_id").cast("double")),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp")).cast("double")),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")).cast("double")),
+        ).first()
+    )
+    z = zorder_value(
+        _rank(F.col("user_id"), lo_a, hi_a),
+        _rank(F.unix_micros(F.col("ts").cast("timestamp")), lo_b, hi_b),
+    )
+    (
+        events.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.option("compression", "zstd")
+        .mode(mode)
+        .parquet(path)
+    )
 
 
 def compact_partition(spark: SparkSession, path: str, event_date: str) -> int:
