@@ -23,7 +23,7 @@ constants that build the DataFrame plan, so the two can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.operators.common import (
@@ -190,13 +190,13 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_pairs(doc: DataFrame) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 of 4 band keys, scored by
-    estimated Jaccard (fraction of equal signature components). The
-    band join is the scale path — pairs never form across buckets."""
-    sig = minhash_signatures(doc)
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame into (doc_id, signature…, band_key)
+    rows — the frame a production pipeline PERSISTS (partitioned by
+    band_key) so later batches probe it without recomputing corpus
+    signatures."""
     names = [n for n, _, _ in _sig_cols()]
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         *names,
         F.explode(
@@ -215,11 +215,23 @@ def lsh_pairs(doc: DataFrame) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    est = sum(
+
+
+def _est_jaccard() -> Column:
+    names = [n for n, _, _ in _sig_cols()]
+    return sum(
         F.when(F.col(f"a.{n}") == F.col(f"b.{n}"), 1).otherwise(0) for n in names
     ) / F.lit(float(MINHASH_K))
+
+
+def lsh_pairs(doc: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 of 4 band keys, scored by
+    estimated Jaccard (fraction of equal signature components). The
+    band join is the scale path — pairs never form across buckets."""
+    bands = lsh_bands(minhash_signatures(doc))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = _est_jaccard()
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -370,6 +382,73 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_SOURCE = "src0"  # the "already-curated corpus" slice of documents
+
+
+def incremental_neardup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental dedup of a NEW batch against an EXISTING corpus —
+    the shape a production pipeline actually runs (full-corpus
+    re-clustering per crawl is a non-starter at 100 TB). A batch doc
+    is dropped when LSH estimates est_jaccard ≥ CC_MIN_EST against any
+    corpus doc, or against an earlier (smaller doc_id) batch doc —
+    keep-first-occurrence, the standard MinHash-dedupe policy.
+
+    Scale shape: cost ∝ |batch| + band-bucket probes. The corpus side
+    here recomputes signatures from text for oracle parity, but
+    `lsh_bands(minhash_signatures(corpus))` is exactly the frame a
+    store persists partitioned by band_key, turning the probe into a
+    pruned equi-join; the batch never scans corpus text. Emits one row
+    per batch doc with integer flags (engine-stable hash types)."""
+    bands_b = lsh_bands(minhash_signatures(batch))
+    bands_c = lsh_bands(minhash_signatures(corpus))
+    est = _est_jaccard()
+    a = bands_b.alias("a")
+    corpus_hits = (
+        a.join(bands_c.alias("b"), F.col("a.band_key") == F.col("b.band_key"))
+        .where(est >= CC_MIN_EST)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    batch_hits = (
+        a.join(
+            bands_b.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .where(est >= CC_MIN_EST)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    c_flag = corpus_hits.withColumn("dup_of_corpus", F.lit(1))
+    b_flag = batch_hits.withColumn("dup_of_batch", F.lit(1))
+    return (
+        batch.select("doc_id")
+        .join(c_flag, "doc_id", "left")
+        .join(b_flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_corpus", F.lit(0)).alias("dup_of_corpus"),
+            F.coalesce("dup_of_batch", F.lit(0)).alias("dup_of_batch"),
+            F.when(
+                F.col("dup_of_corpus").isNull() & F.col("dup_of_batch").isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with documents split by source: `src0` plays
+    the existing corpus, every other source the incoming batch."""
+    doc = parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    return incremental_neardup(
+        doc.where(F.col("source") != CORPUS_SOURCE),
+        doc.where(F.col("source") == CORPUS_SOURCE),
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -377,6 +456,7 @@ QUERIES = {
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_incremental_neardup": q_incremental_neardup,
 }
 
 _NAMES = [n for n, _, _ in _sig_cols()]
@@ -410,6 +490,38 @@ def lsh_pairs_ctes(table: str = "documents") -> str:
 
 _LSH_PAIRS_CTES = lsh_pairs_ctes()
 
+_BAND_OVERLAP_SQL = " OR ".join(
+    f"a.band_{b} = b.band_{b}" for b in range(LSH_BANDS)
+)
+
+_INCREMENTAL_SQL = f"""
+    WITH sig_c AS (
+        {_minhash_sql(f"(SELECT * FROM documents WHERE source = '{CORPUS_SOURCE}')")}
+    ),
+    sig_b AS (
+        {_minhash_sql(f"(SELECT * FROM documents WHERE source <> '{CORPUS_SOURCE}')")}
+    ),
+    bc AS (SELECT *, {_BAND_KEYS_SQL} FROM sig_c),
+    bb AS (SELECT *, {_BAND_KEYS_SQL} FROM sig_b),
+    corpus_hit AS (
+        SELECT DISTINCT a.doc_id FROM bb a JOIN bc b ON ({_BAND_OVERLAP_SQL})
+        WHERE {_EST_SQL} >= {CC_MIN_EST}
+    ),
+    batch_hit AS (
+        SELECT DISTINCT a.doc_id FROM bb a
+        JOIN bb b ON a.doc_id > b.doc_id AND ({_BAND_OVERLAP_SQL})
+        WHERE {_EST_SQL} >= {CC_MIN_EST}
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
+           CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_of_batch,
+           CASE WHEN c.doc_id IS NULL AND h.doc_id IS NULL THEN 1 ELSE 0 END
+               AS keep
+    FROM (SELECT doc_id FROM documents WHERE source <> '{CORPUS_SOURCE}') d
+    LEFT JOIN corpus_hit c ON c.doc_id = d.doc_id
+    LEFT JOIN batch_hit h ON h.doc_id = d.doc_id
+"""
+
 ORACLES = {
     "q_dedup_exact": """
         SELECT md5(text) AS content_hash, count(*) AS n_copies,
@@ -435,6 +547,7 @@ ORACLES = {
               >= {JACCARD_THRESHOLD}
     """,
     "q_minhash_signatures": _MINHASH_SQL,
+    "q_incremental_neardup": _INCREMENTAL_SQL,
     "q_minhash_lsh_pairs": f"""
         WITH {_LSH_PAIRS_CTES}
         SELECT doc_a, doc_b, est_jaccard FROM pairs
