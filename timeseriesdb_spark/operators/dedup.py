@@ -394,13 +394,37 @@ def incremental_neardup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     keep-first-occurrence, the standard MinHash-dedupe policy.
 
     Scale shape: cost ∝ |batch| + band-bucket probes. The corpus side
-    here recomputes signatures from text for oracle parity, but
-    `lsh_bands(minhash_signatures(corpus))` is exactly the frame a
-    store persists partitioned by band_key, turning the probe into a
-    pruned equi-join; the batch never scans corpus text. Emits one row
-    per batch doc with integer flags (engine-stable hash types)."""
+    here recomputes signatures from text for oracle parity; use
+    :func:`write_band_store` + :func:`incremental_neardup_stored` to
+    probe a persisted, band_key-bucketed index instead — the batch
+    never scans corpus text. Emits one row per batch doc with integer
+    flags (engine-stable hash types)."""
+    return _incremental_from_bands(
+        batch, lsh_bands(minhash_signatures(corpus))
+    )
+
+
+def write_band_store(corpus: DataFrame, table: str) -> None:
+    """Persist the corpus LSH band index as a band_key-bucketed catalog
+    table — amortizes corpus signatures once; every later crawl's probe
+    join co-locates on band_key with no exchange on the corpus side."""
+    from timeseriesdb_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        lsh_bands(minhash_signatures(corpus)), table,
+        key="band_key", sort_by=None,
+    )
+
+
+def incremental_neardup_stored(
+    spark: SparkSession, batch: DataFrame, band_table: str
+) -> DataFrame:
+    """:func:`incremental_neardup` against a persisted band index."""
+    return _incremental_from_bands(batch, spark.table(band_table))
+
+
+def _incremental_from_bands(batch: DataFrame, bands_c: DataFrame) -> DataFrame:
     bands_b = lsh_bands(minhash_signatures(batch))
-    bands_c = lsh_bands(minhash_signatures(corpus))
     est = _est_jaccard()
     a = bands_b.alias("a")
     corpus_hits = (
