@@ -31,6 +31,8 @@ HEADLINERS = [
     "q_ann_ivf",         # JVM-side cell pruning before scoring
     "q_decontaminate",   # broadcast benchmark-ngram probe
     "q_domain_mix",      # one window shuffle + dimension broadcasts
+    "q_chunk_documents", # zero-shuffle generator explode
+    "q_incremental_neardup",  # band-key probe join, batch-sized state
 ]
 
 SF = "/root/testdata/sf0.01"
