@@ -103,3 +103,59 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     train_ids = {r.doc_id for r in train.select("doc_id").collect()}
     assert flagged, "fixture should flag at least one doc"
     assert kept == train_ids - flagged
+
+
+def test_rowwise_signatures_match_grouped(spark):
+    """minhash_signatures_rowwise == minhash_signatures exactly, and
+    its plan has no exchange (the property that makes it stream-legal)."""
+    from timeseriesdb_spark.operators import dedup
+    from timeseriesdb_spark.plans import checks
+
+    doc = load_table(spark, SF_DIR, "documents")
+    a = dedup.minhash_signatures(doc)
+    b = dedup.minhash_signatures_rowwise(doc)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert checks.exchange_count(b) == 0, checks.formatted_plan(b)
+
+
+def test_stream_neardup_probe_matches_batch(spark, tmp_path):
+    """Streaming corpus probe drops exactly the batch
+    incremental_neardup dup_of_corpus set, statelessly."""
+    from timeseriesdb_spark.operators import dedup
+
+    src = str(tmp_path / "nsrc")
+    out = str(tmp_path / "nout")
+    ckpt = str(tmp_path / "nckpt")
+
+    doc = load_table(spark, SF_DIR, "documents")
+    corpus = doc.where(F.col("source") == dedup.CORPUS_SOURCE)
+    batch = doc.where(F.col("source") != dedup.CORPUS_SOURCE)
+    batch.coalesce(3).write.mode("overwrite").parquet(src)
+
+    bands = dedup.lsh_bands(dedup.minhash_signatures(corpus))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        scur.neardup_probe_stream(stream, bands)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    flags = dedup.incremental_neardup(batch, corpus).collect()
+    expect = {r.doc_id for r in flags if r.dup_of_corpus == 0}
+    dropped = {r.doc_id for r in flags if r.dup_of_corpus == 1}
+    assert dropped, "fixture should have at least one corpus near-dup"
+    assert kept == expect
+    # original columns survive the probe
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(
+        spark.read.parquet(out).columns
+    )

@@ -96,6 +96,51 @@ def decontaminate_stream(
     return clean.drop("_ngs")
 
 
+def neardup_probe_stream(
+    stream: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Drop streamed documents that LSH-match the EXISTING corpus —
+    incremental_neardup's corpus check on the ingest path, stateless.
+
+    Per-row MinHash signatures (dedup.minhash_signatures_rowwise: no
+    explode/groupBy, so no streaming aggregation state) and one LEFT
+    ANTI stream-static join per band against the persisted band index
+    (dedup.write_band_store), each an equi-join on the band key with
+    the est-Jaccard refinement as a residual predicate. State store:
+    none — a replayed micro-batch re-probes to the same answer.
+    Within-stream near-dup (new docs duplicating each other) stays the
+    periodic batch compaction pass, same lambda split as clustering."""
+    from timeseriesdb_spark.operators import dedup
+
+    if threshold is None:
+        threshold = dedup.CC_MIN_EST
+    carry = tuple(c for c in stream.columns if c != "doc_id")
+    cur = dedup.minhash_signatures_rowwise(stream, carry=carry, keep_empty=True)
+    names = [n for n, _, _ in dedup._sig_cols()]
+    rows = dedup.LSH_ROWS
+    for b in range(dedup.LSH_BANDS):
+        band_key = F.concat(
+            F.lit(f"b{b}:"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"a.{n}") for n in names[b * rows : (b + 1) * rows]]
+                )
+            ),
+        )
+        est = sum(
+            F.when(F.col(f"a.{n}") == F.col(f"b.{n}"), 1).otherwise(0)
+            for n in names
+        ) / F.lit(float(dedup.MINHASH_K))
+        cur = cur.alias("a").join(
+            corpus_bands.alias("b"),
+            (band_key == F.col("b.band_key")) & (est >= F.lit(threshold)),
+            "left_anti",
+        )
+    return cur.drop(*names)
+
+
 def benchmark_ngrams(docs: DataFrame) -> DataFrame:
     """The static benchmark n-gram set from a batch documents frame:
     distinct word DECON_N-grams of the test hash-range (the same
