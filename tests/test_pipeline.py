@@ -108,3 +108,28 @@ def test_decontaminated_run_is_clean_subset(spark):
         pipe.decontaminate(deduped).select("doc_id"), "doc_id", "anti"
     )
     assert removed == {r.doc_id for r in flagged_frame.select("doc_id").collect()}
+
+
+def test_run_incremental_invariants(spark):
+    """Per-crawl entry: outputs pass the rules, are exact-unique,
+    near-dup-free against the corpus, and carry valid splits."""
+    from timeseriesdb_spark.operators import dedup
+
+    doc = load_table(spark, SF_DIR, "documents")
+    corpus = doc.where(F.col("source") == dedup.CORPUS_SOURCE)
+    new = doc.where(F.col("source") != dedup.CORPUS_SOURCE)
+    pipe = CurationPipeline(spark)
+    out = pipe.run_incremental(new, corpus)
+    rows = out.collect()
+    assert rows
+    ids = {r.doc_id for r in rows}
+    # 1. every output passes the quality rules (it came from new)
+    q_ids = {r.doc_id for r in pipe.quality_filter(new).select("doc_id").collect()}
+    assert ids <= q_ids
+    # 2. no output doc is flagged against the corpus
+    flags = dedup.incremental_neardup(
+        pipe.exact_dedup(pipe.quality_filter(new)), corpus
+    ).collect()
+    assert ids == {r.doc_id for r in flags if r.keep == 1}
+    # 3. splits partition the output
+    assert {r.split for r in rows} <= {"train", "val", "test"}

@@ -160,6 +160,25 @@ class CurationPipeline:
         """Full pipeline; lazy until written/collected."""
         return self.assign_splits(self.neardup_dedup(self._deduped(docs)))
 
+    def run_incremental(
+        self, new_docs: DataFrame, corpus: DataFrame
+    ) -> DataFrame:
+        """The per-crawl composition: quality rules → exact dedup
+        WITHIN the batch → near-dup probe of batch + corpus
+        (operators/dedup.incremental_neardup, keep-first policy) →
+        splits. Never re-clusters the corpus — the whole point at
+        100 TB; pass a persisted band index via
+        dedup.incremental_neardup_stored for the production probe."""
+        from timeseriesdb_spark.operators.dedup import incremental_neardup
+
+        batch = self.exact_dedup(self.quality_filter(new_docs))
+        kept = (
+            incremental_neardup(batch, corpus)
+            .where(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        return self.assign_splits(batch.join(kept, "doc_id", "semi"))
+
     def run_decontaminated(self, docs: DataFrame) -> DataFrame:
         """run() plus the decontamination stage between dedup and
         splits — the composition a corpus that ships next to its own
