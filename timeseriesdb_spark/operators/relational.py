@@ -102,6 +102,21 @@ def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — completes the grouping-sets family next to
+    ROLLUP/PIVOT: all four (returnflag, linestatus) grouping sets in
+    one pass. Same partial+final shape as any grouped agg; the cube
+    expansion happens map-side (Expand node), so it costs one scan and
+    one shuffle regardless of how many sets it emits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(rev, "revenue"),
+        F.count("*").alias("n_rows"),
+        F.grouping_id().alias("gid"),
+    )
+
+
 def q_except_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops (§2.6): signals with 'purchase' events EXCEPT signals
     with 'error' events — the HashSet union/difference surface
@@ -170,6 +185,7 @@ QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_pivot_event_types": q_pivot_event_types,
     "q_grouping_rollup": q_grouping_rollup,
+    "q_grouping_cube": q_grouping_cube,
     "q_except_signals": q_except_signals,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -212,6 +228,15 @@ ORACLES = {
                     AS BIGINT) AS gid
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_grouping_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               count(*) AS n_rows,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_except_signals": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'

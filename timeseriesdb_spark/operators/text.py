@@ -180,6 +180,53 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_PAIR = 5  # report collocations seen at least this often
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored word collocations over the corpus — the phrase/
+    tokenizer-merge analysis (what BPE merges and phrase detectors
+    rank): pmi = ln( p(ab) / (p(a)·p(b)) ) over adjacent word pairs.
+    Counts are exact integers; totals fold as literals (two count jobs
+    at plan build, the q_tfidf_top_terms pattern); the single ln is
+    rounded to the 6-decimal grid. Two shuffles (bigram agg, unigram
+    agg) + two broadcast joins — at 100 TB both aggs are partial-final
+    over the corpus scan."""
+    from timeseriesdb_spark.operators.common import array_ngrams
+
+    doc = load_table(spark, sf_dir, "documents")
+    warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    words = doc.select(F.explode(warr).alias("w"))
+    bigrams = doc.select(
+        F.explode(array_ngrams(warr, 2)).alias("bg")
+    )
+    n_uni = float(words.count())
+    n_bi = float(bigrams.count())
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    bi = bigrams.groupBy("bg").agg(F.count("*").alias("c_ab")).where(
+        F.col("c_ab") >= PMI_MIN_PAIR
+    )
+    parts = F.split("bg", " ")
+    bi = bi.withColumn("w1", parts.getItem(0)).withColumn("w2", parts.getItem(1))
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.lit(n_bi))
+        / ((F.col("c_a") / F.lit(n_uni)) * (F.col("c_b") / F.lit(n_uni)))
+    )
+    return (
+        bi.join(ca, "w1")
+        .join(cb, "w2")
+        .select(
+            "bg",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"),
+        )
+    )
+
+
 SPLIT_BOUNDS = ("cc", "e6")  # md5-hex prefixes: ~80% train, 10% val, 10% test
 
 
@@ -201,6 +248,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_pmi_bigrams": q_pmi_bigrams,
     "q_dataset_split": q_dataset_split,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_props_extract": q_props_extract,
@@ -227,6 +275,41 @@ for _lang, _ in LANG_MARKERS:
 _PRED += "ELSE 'und' END"
 
 ORACLES = {
+    "q_pmi_bigrams": f"""
+        WITH toks AS (
+            SELECT doc_id, w, i FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        seq AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+            FROM toks
+        ),
+        bg2 AS (
+            SELECT bg FROM (
+                SELECT w || ' ' || lead(w, 1)
+                       OVER (PARTITION BY doc_id ORDER BY j) AS bg
+                FROM seq
+            ) WHERE bg IS NOT NULL
+        ),
+        uni AS (SELECT w, count(*) AS c FROM seq GROUP BY w),
+        bic AS (
+            SELECT bg, count(*) AS c_ab FROM bg2 GROUP BY bg
+            HAVING count(*) >= {PMI_MIN_PAIR}
+        ),
+        nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seq),
+        nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg2)
+        SELECT bg, c_ab, ua.c AS c_a, ub.c AS c_b,
+               round(ln((c_ab / nb.n) / ((ua.c / nu.n) * (ub.c / nu.n))), 6)
+                   + 0.0 AS pmi
+        FROM bic
+        JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+        JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
+        CROSS JOIN nu CROSS JOIN nb
+    """,
     "q_token_count": """
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_txt,
