@@ -350,3 +350,88 @@ class SignalEngine:
             .write.mode("overwrite")
             .parquet(out_path)
         )
+
+
+class CorpusEngine:
+    """The documents-side lifecycle — bootstrap a curated corpus, keep
+    it deduped as crawls arrive, and serve the training-pipeline reads:
+
+    bootstrap(raw)         full curation (quality → exact dedup →
+                           near-dup CC → splits), written
+                           split-partitioned
+    ingest_increment(new)  per-crawl curation against the EXISTING
+                           corpus (CurationPipeline.run_incremental) —
+                           appends survivors, never re-clusters
+    build_band_index(t)    persist the LSH band index (bucketed by
+                           band_key) for stored-probe dedup and the
+                           streaming probe
+    split(name)/chunks()/stats()   the read surface: split reads prune
+                           on the partition column; chunks feed the
+                           embedding pipeline; stats is the funnel
+                           dashboard scan
+
+    Everything returns lazy DataFrames; the split partition column is
+    the only layout the reads depend on."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _pipe(self):
+        from timeseriesdb_spark.pipeline import CurationPipeline
+
+        return CurationPipeline(self.spark)
+
+    def bootstrap(self, raw_docs: DataFrame, mode: str = "overwrite") -> None:
+        """Full batch curation of a raw crawl into the corpus store."""
+        (
+            self._pipe()
+            .run(raw_docs)
+            .write.partitionBy("split")
+            .option("compression", "zstd")
+            .mode(mode)
+            .parquet(self.path)
+        )
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def split(self, name: str) -> DataFrame:
+        """One split; the predicate is a partition filter (pruned scan)."""
+        return self.docs().where(F.col("split") == name)
+
+    def ingest_increment(self, new_docs: DataFrame) -> None:
+        """Curate a new crawl against the current corpus and append the
+        survivors. Corpus text is re-read for the probe here; at scale,
+        maintain the band index (build_band_index) and probe it via
+        dedup.incremental_neardup_stored instead — same decision, no
+        corpus re-scan."""
+        (
+            self._pipe()
+            .run_incremental(new_docs, self.docs())
+            .write.partitionBy("split")
+            .option("compression", "zstd")
+            .mode("append")
+            .parquet(self.path)
+        )
+
+    def build_band_index(self, table: str) -> None:
+        """Persist the corpus LSH band index as a band_key-bucketed
+        catalog table (dedup.write_band_store)."""
+        from timeseriesdb_spark.operators.dedup import write_band_store
+
+        write_band_store(self.docs(), table)
+
+    def chunks(self) -> DataFrame:
+        """Sliding-window chunks of the corpus (embedding front door)."""
+        from timeseriesdb_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(self.docs())
+
+    def stats(self) -> DataFrame:
+        """The curation funnel dashboard: per (split, source) doc and
+        token totals — one pruned grouped scan."""
+        return self.docs().groupBy("split", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
