@@ -117,3 +117,73 @@ def test_spark_scaled_int_matches_mirror(spark, corpus):
     }
     exp = {i: int(np.floor(v * 1000.0)) for i, v in enumerate(floats)}
     assert got == exp
+
+
+# ---- chunker mirror ----------------------------------------------------
+
+
+def _chunks_py(text: str, w: int, stride: int) -> list[tuple[int, str, int]]:
+    """Pure-python mirror of chunking.chunk_documents for one doc."""
+    words = text.split(" ")
+    out = []
+    for start in range(0, len(words), stride):
+        piece = words[start : start + w]
+        out.append((start // stride, " ".join(piece), len(piece)))
+    return out
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=8), min_size=0, max_size=60
+    )
+)
+def test_chunker_mirror_covers_and_reconstructs(tokens):
+    """Coverage + losslessness of the sliding-window mirror on
+    arbitrary token streams (including empty tokens from runs of
+    spaces, which the splitter surfaces as '' words)."""
+    from timeseriesdb_spark.operators.chunking import CHUNK_STRIDE, CHUNK_WORDS
+
+    text = " ".join(tokens)
+    chunks = _chunks_py(text, CHUNK_WORDS, CHUNK_STRIDE)
+    words = text.split(" ")
+    assert chunks, "split always yields at least one word"
+    # dense ids, full coverage, exact reconstruction from stride prefixes
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    assert sum(c[2] for c in chunks) >= len(words)
+    rebuilt = " ".join(
+        " ".join(c[1].split(" ")[:CHUNK_STRIDE]) for c in chunks
+    )
+    assert rebuilt == text
+
+
+def test_chunker_mirror_matches_spark(spark):
+    """Mirror == Spark on a corpus slice incl. adversarial rows —
+    multi-space runs, single word, empty-ish strings."""
+    from tests.conftest import SF_DIR
+    from timeseriesdb_spark.operators.chunking import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        chunk_documents,
+    )
+    from timeseriesdb_spark.tables import load_table
+
+    doc = load_table(spark, SF_DIR, "documents").limit(30).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (100001, "one"),
+            (100002, "two  spaces   runs"),
+            (100003, " leading and trailing "),
+            (100004, "a " * 40 + "tail"),
+        ],
+        "doc_id long, text string",
+    )
+    doc = doc.unionByName(extra)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(doc).collect()
+    }
+    expect = {}
+    for row in doc.collect():
+        for cid, ctext, n in _chunks_py(row.text, CHUNK_WORDS, CHUNK_STRIDE):
+            expect[(row.doc_id, cid)] = (ctext, n)
+    assert got == expect
