@@ -92,3 +92,39 @@ def test_window_max_matches_query(spark, engine):
     got = engine.window_max(16).orderBy("user_id", "win")
     exp = QUERIES["q_window_max"](spark, SF_DIR).orderBy("user_id", "win")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+
+
+def test_smart_agg_routes_and_matches(spark, engine, tmp_path):
+    """Aligned ranges answer from the rollup, misaligned fall back to
+    raw — identical values either way (the router changes I/O only)."""
+    rp = str(tmp_path / "rollup_sa")
+    engine.build_rollup(rp, bucket="1 hour")
+
+    t0, t1 = "2024-01-03 00:00:00", "2024-01-10 00:00:00"
+    for which in ("count", "min", "max", "sum"):
+        via_router = {
+            r.user_id: r[which]
+            for r in engine.smart_agg(which, rp, t0, t1).collect()
+        }
+        raw = {
+            r.user_id: r[which]
+            for r in engine.agg(which, t0=t0, t1=t1).collect()
+        }
+        assert via_router == raw, which
+
+    # aligned range: plan reads the rollup schema, not the raw store's
+    plan = engine.smart_agg("max", rp, t0, t1)._jdf.queryExecution().toString()
+    assert "bucket_start" in plan
+    assert "event_id" not in plan
+
+    # misaligned range: falls back to the raw store, same answer
+    m0, m1 = "2024-01-03 00:30:00", "2024-01-09 12:30:00"
+    got = {
+        r.user_id: r["max"] for r in engine.smart_agg("max", rp, m0, m1).collect()
+    }
+    exp = {
+        r.user_id: r["max"] for r in engine.agg("max", t0=m0, t1=m1).collect()
+    }
+    assert got == exp
+    plan = engine.smart_agg("max", rp, m0, m1)._jdf.queryExecution().toString()
+    assert "bucket_start" not in plan

@@ -177,6 +177,52 @@ class SignalEngine:
             raise ValueError(f"rollup agg must be one of {sorted(merged)}")
         return r.groupBy("user_id").agg(merged[which])
 
+    def smart_agg(
+        self,
+        which: str,
+        rollup_path: str,
+        t0: str | None = None,
+        t1: str | None = None,
+        bucket: str = "1 hour",
+    ) -> DataFrame:
+        """Rollup-aware aggregate routing — the reference's AggStats
+        short-circuit (buffer_pool.rs:621-636 answers whole-segment
+        aggregates from cached stats without decoding): when the
+        requested [t0, t1) range aligns to rollup bucket boundaries,
+        answer by merging per-bucket partials (reads KB of summary
+        rows); otherwise fall back to the raw store scan. Both paths
+        return identical values for count/min/max (and sum, decimal-
+        routed), pinned by test — the router changes I/O, never the
+        answer."""
+        from datetime import datetime
+
+        def _aligned(s: str | None) -> bool:
+            if s is None:
+                return True
+            sec = {"1 hour": 3600, "1 day": 86400}.get(bucket)
+            if sec is None:
+                return False
+            dt = datetime.fromisoformat(s)
+            return (dt.timestamp() % sec) == 0
+
+        if _aligned(t0) and _aligned(t1):
+            r = self.spark.read.parquet(rollup_path)
+            if t0 is not None:
+                r = r.filter(F.col("bucket_start") >= F.lit(t0))
+            if t1 is not None:
+                r = r.filter(F.col("bucket_start") < F.lit(t1))
+            merged = {
+                "count": F.sum("cnt").alias(which),
+                "min": F.min("min_value").alias(which),
+                "max": F.max("max_value").alias(which),
+                "sum": F.sum("dsum").cast("double").alias(which),
+            }
+            if which not in merged:
+                raise ValueError(f"smart_agg supports {sorted(merged)}")
+            return r.groupBy("user_id").agg(merged[which])
+        out = self.agg(which, t0=t0, t1=t1)
+        return out.select("user_id", F.col(which).alias(which))
+
     def maintain_rollup_stream(
         self,
         stream: DataFrame,
