@@ -100,3 +100,36 @@ def test_hll_rollup_merge_equals_direct(spark):
         F.abs(F.col("rolled") - F.col("exact")) > F.col("exact") * 0.02 + 1
     )
     assert off.count() == 0
+
+
+def test_chunking_is_stream_legal(spark, tmp_path):
+    """chunk_documents is a pure stateless projection+generator, so it
+    runs unchanged on a stream and lands the batch result exactly."""
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    doc = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    doc.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        chunking.chunk_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunking.chunk_documents(doc).collect()
+    }
+    assert got == exp

@@ -66,3 +66,37 @@ def test_streamed_rollup_equals_batch(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_stream_distinct_sketches_match_batch(spark, tmp_path):
+    """Stream-maintained HLL partials union-merge to exactly the batch
+    one-pass estimate, and a replayed batch does not change it."""
+    from timeseriesdb_spark.api import SignalEngine
+    from timeseriesdb_spark.registry import QUERIES
+    from timeseriesdb_spark.tables import load_table
+
+    src = str(tmp_path / "hsrc")
+    sk = str(tmp_path / "hsk")
+    ckpt = str(tmp_path / "hckpt")
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev.coalesce(3).write.mode("append").parquet(src)
+
+    eng = SignalEngine(spark, str(tmp_path / "unused"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = eng.maintain_distinct_stream(stream, sk, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: r.approx_distinct
+        for r in eng.distinct_estimate(sk).collect()
+    }
+    exp = {
+        r.user_id: r.approx_distinct
+        for r in QUERIES["q_distinct_hll"](spark, SF_DIR).collect()
+    }
+    assert got == exp

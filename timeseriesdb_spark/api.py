@@ -254,6 +254,41 @@ class SignalEngine:
             .start()
         )
 
+    def maintain_distinct_stream(
+        self, stream: DataFrame, sketch_path: str, checkpoint: str
+    ):
+        """Incremental distinct-sketch maintenance — the mergeable-HLL
+        twin of maintain_rollup_stream: each micro-batch writes its own
+        per-(signal, day) sketches into its batch_id partition
+        (idempotent under replay), and distinct_estimate answers any
+        later distinct query by union-merging partials. This is the one
+        aggregate plain partial stats cannot carry; the sketch's
+        associative merge restores the rollup property."""
+        from timeseriesdb_spark.operators.chunking import (
+            daily_distinct_sketches,
+        )
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            daily_distinct_sketches(batch_df).write.mode("overwrite").parquet(
+                f"{sketch_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def distinct_estimate(self, sketch_path: str) -> DataFrame:
+        """Per-signal distinct estimate from maintained sketches."""
+        r = self.spark.read.parquet(sketch_path)
+        return r.groupBy("user_id").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct"
+            )
+        )
+
     def apply_retention(
         self, tier_path: str, cutoff_date: str, chunk: int = 8
     ) -> None:
