@@ -180,6 +180,33 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#  BPE-ish pre-tokenization: letter runs, digit runs, single symbols —
+#  the split a byte-pair tokenizer applies before merges (space as the
+#  literal separator so the pattern means the same in Java regex and
+#  DuckDB's RE2).
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenizer counts per document — the BPE-style budget
+    estimate next to q_token_count's whitespace/char heuristics. One
+    regexp_count per row at scan speed; the ratio to whitespace words
+    flags symbol-heavy documents (code, tables) whose token cost
+    explodes under a real tokenizer."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_ws = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("bigint")
+    n_re = F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+    return doc.select(
+        "doc_id",
+        n_re.alias("n_regex_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_re / n_ws.cast("double"), 6).alias("tokens_per_word"),
+    )
+
+
 PMI_MIN_PAIR = 5  # report collocations seen at least this often
 
 
@@ -248,6 +275,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_regex_tokens": q_regex_tokens,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_dataset_split": q_dataset_split,
     "q_tfidf_top_terms": q_tfidf_top_terms,
@@ -275,6 +303,17 @@ for _lang, _ in LANG_MARKERS:
 _PRED += "ELSE 'und' END"
 
 ORACLES = {
+    "q_regex_tokens": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))
+                    AS BIGINT) AS n_regex_tokens,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_ws_tokens,
+               round(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS DOUBLE), 6) AS tokens_per_word
+        FROM documents
+    """,
     "q_pmi_bigrams": f"""
         WITH toks AS (
             SELECT doc_id, w, i FROM (
