@@ -321,18 +321,35 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode — (doc_id, w) distinctness is per-document, so a global
     # distinct() would shuffle every word row for nothing (same
     # reasoning as _shingles; measured 1.2 s → 0.9 s at sf0.1)
+    #
+    # Bit extraction is integer arithmetic, not string ops: the digest's
+    # 32 hex chars become four 32-bit longs (conv is evaluated once per
+    # word in the projection; the 32 per-bit sums are shift/mask over
+    # those attributes) — nibble j's high bit is bit (7-j%8)*4+3 of
+    # chunk j//8. Same bits, same fingerprints as the substring/isin
+    # form, ~2× faster at sf0.1.
+    h = F.md5("w")
     words = (
         doc.select(
             "doc_id",
             F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
         )
         .where(F.length("w") > 0)
-        .withColumn("h", F.md5("w"))
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring(h, 8 * c + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"v{c}")
+                for c in range(SIMHASH_BITS // 8)
+            ],
+        )
     )
-    hexset = "89abcdef"  # nibble high-bit set ⇔ hex char in this set
     bit_sums = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*list(hexset)), 1).otherwise(0)
+            F.shiftright(F.col(f"v{j // 8}"), (7 - j % 8) * 4 + 3).bitwiseAND(
+                F.lit(1)
+            )
         ).alias(f"c{j:02d}")
         for j in range(SIMHASH_BITS)
     ]
@@ -660,13 +677,15 @@ ORACLES = {
         "WITH words AS (SELECT DISTINCT doc_id, w FROM ("
         "  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
         ") WHERE length(w) > 0), "
-        "h AS (SELECT doc_id, md5(w) AS h FROM words), "
+        "h AS (SELECT doc_id, "
+        + ", ".join(
+            f"CAST(('0x' || substr(md5(w), {8 * c + 1}, 8)) AS BIGINT) AS v{c}"
+            for c in range(SIMHASH_BITS // 8)
+        )
+        + " FROM words), "
         "agg AS (SELECT doc_id, count(*) AS n_w, "
         + ", ".join(
-            f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
-            "('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS c{j:02d}".format(
-                j=j
-            )
+            f"sum((v{j // 8} >> {(7 - j % 8) * 4 + 3}) & 1) AS c{j:02d}"
             for j in range(SIMHASH_BITS)
         )
         + " FROM h GROUP BY doc_id) "
