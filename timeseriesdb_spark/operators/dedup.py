@@ -316,7 +316,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     high bit of the j-th hex nibble of md5(word); the document bit is
     the majority vote. Emitted as a 32-char '01' string (engine-safe:
     no 64-bit unsigned arithmetic needed)."""
-    doc = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_fingerprints(doc: DataFrame) -> DataFrame:
     # per-doc word dedup happens map-side via array_distinct BEFORE the
     # explode — (doc_id, w) distinctness is per-document, so a global
     # distinct() would shuffle every word row for nothing (same
@@ -363,6 +366,37 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS: group documents by exact fingerprint
+    — one hash shuffle, linear in the corpus, every doc gets a cluster
+    size and a survivor flag (min doc_id keeps).
+
+    Why clusters and not Hamming-distance PAIRS: pair output is
+    quadratic inside equal-fingerprint groups BY DEFINITION — on a
+    low-entropy corpus (this synthetic table: tiny vocabulary, so
+    fingerprints collide en masse) the pigeonhole block-join emits
+    ~3.5M pairs from 5k docs (measured: 250 s at sf0.1) while this
+    grouping answers the same keep/drop question in one linear pass.
+    At web scale the same hot-bucket risk exists for boilerplate-heavy
+    crawls; the cluster representation is the scale-safe contract, and
+    pairwise refinement (when needed) runs per-cluster with a size cap
+    — the q_semdedup cell-fencing pattern."""
+    doc = parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    sim = simhash_fingerprints(doc)
+    sizes = sim.groupBy("simhash").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    return sim.join(sizes, "simhash").select(
+        "doc_id",
+        "simhash",
+        "cluster_size",
+        F.when(F.col("doc_id") == F.col("keep_doc_id"), 1)
+        .otherwise(0)
+        .alias("is_survivor"),
+    )
 
 
 CC_MAX_ITERS = 12   # safety bound; min-label + pointer-jump converges in
@@ -553,6 +587,7 @@ QUERIES = {
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_clusters": q_simhash_clusters,
     "q_dedup_clusters": q_dedup_clusters,
     "q_incremental_neardup": q_incremental_neardup,
 }
@@ -591,6 +626,31 @@ _LSH_PAIRS_CTES = lsh_pairs_ctes()
 _BAND_OVERLAP_SQL = " OR ".join(
     f"a.band_{b} = b.band_{b}" for b in range(LSH_BANDS)
 )
+
+_SIMHASH_SQL = (
+    "WITH words AS (SELECT DISTINCT doc_id, w FROM ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+    ") WHERE length(w) > 0), "
+    "h AS (SELECT doc_id, "
+    + ", ".join(
+        f"CAST(('0x' || substr(md5(w), {8 * c + 1}, 8)) AS BIGINT) AS v{c}"
+        for c in range(SIMHASH_BITS // 8)
+    )
+    + " FROM words), "
+    "agg AS (SELECT doc_id, count(*) AS n_w, "
+    + ", ".join(
+        f"sum((v{j // 8} >> {(7 - j % 8) * 4 + 3}) & 1) AS c{j:02d}"
+        for j in range(SIMHASH_BITS)
+    )
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, "
+    + " || ".join(
+        f"CASE WHEN c{j:02d} * 2 >= n_w THEN '1' ELSE '0' END"
+        for j in range(SIMHASH_BITS)
+    )
+    + " AS simhash FROM agg"
+)
+
 
 _INCREMENTAL_SQL = f"""
     WITH sig_c AS (
@@ -673,27 +733,17 @@ ORACLES = {
         JOIN (SELECT cluster_id, count(*) AS cluster_size
               FROM comp GROUP BY cluster_id) s USING (cluster_id)
     """,
-    "q_simhash": (
-        "WITH words AS (SELECT DISTINCT doc_id, w FROM ("
-        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
-        ") WHERE length(w) > 0), "
-        "h AS (SELECT doc_id, "
-        + ", ".join(
-            f"CAST(('0x' || substr(md5(w), {8 * c + 1}, 8)) AS BIGINT) AS v{c}"
-            for c in range(SIMHASH_BITS // 8)
+    "q_simhash": _SIMHASH_SQL,
+    "q_simhash_clusters": f"""
+        WITH sim AS ({_SIMHASH_SQL}),
+        sizes AS (
+            SELECT simhash, count(*) AS cluster_size,
+                   min(doc_id) AS keep_doc_id
+            FROM sim GROUP BY simhash
         )
-        + " FROM words), "
-        "agg AS (SELECT doc_id, count(*) AS n_w, "
-        + ", ".join(
-            f"sum((v{j // 8} >> {(7 - j % 8) * 4 + 3}) & 1) AS c{j:02d}"
-            for j in range(SIMHASH_BITS)
-        )
-        + " FROM h GROUP BY doc_id) "
-        "SELECT doc_id, "
-        + " || ".join(
-            f"CASE WHEN c{j:02d} * 2 >= n_w THEN '1' ELSE '0' END"
-            for j in range(SIMHASH_BITS)
-        )
-        + " AS simhash FROM agg"
-    ),
+        SELECT s.doc_id, s.simhash, z.cluster_size,
+               CASE WHEN s.doc_id = z.keep_doc_id THEN 1 ELSE 0 END
+                   AS is_survivor
+        FROM sim s JOIN sizes z USING (simhash)
+    """,
 }
