@@ -59,3 +59,54 @@ def test_clusters_total_and_canonical(spark):
     for cid, members in by_cluster.items():
         assert cid == min(m.doc_id for m in members)  # canonical = min id
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_cluster_pairs_adversarial_topologies(spark):
+    """CC core on hand-adversarial graphs: a long chain (worst case for
+    label propagation depth — pointer jumping must converge within
+    CC_MAX_ITERS), disjoint cliques, a star, and isolated nodes."""
+    chain = [(i, i + 1) for i in range(300)]
+    clique = [(1000 + a, 1000 + b) for a in range(8) for b in range(a + 1, 8)]
+    star = [(2000, 2000 + k) for k in range(1, 20)]
+    pairs = chain + clique + star
+    nodes = list(range(0, 301)) + [1000 + k for k in range(8)] + [
+        2000 + k for k in range(20)
+    ] + [9999, 10000]  # isolated
+
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_pairs(docs, pdf).collect()
+    }
+    exp = _union_find(nodes, pairs)
+    assert got == exp
+    # chain collapses to one component labeled by its min node
+    assert {got[i] for i in range(301)} == {0}
+    assert got[9999] == 9999 and got[10000] == 10000
+
+
+def test_cluster_pairs_random_graphs(spark):
+    """Randomized graphs (fixed seeds — deterministic) vs union-find."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        nodes = list(range(rng.randint(2, 120)))
+        n_edges = rng.randint(0, 150)
+        pairs = [
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(n_edges)
+            if len(nodes) >= 2
+        ]
+        docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+        pdf = spark.createDataFrame(
+            pairs or [(0, 0)], "doc_a long, doc_b long"
+        )
+        if not pairs:
+            pdf = pdf.limit(0)
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.cluster_pairs(docs, pdf).collect()
+        }
+        assert got == _union_find(nodes, pairs), f"seed {seed}"

@@ -424,6 +424,14 @@ def dedup_clusters(doc: DataFrame) -> DataFrame:
     nothing on the driver but the changed-row counter."""
     docs = doc.select("doc_id")
     pairs = lsh_pairs(doc).filter(F.col("est_jaccard") >= CC_MIN_EST)
+    return cluster_pairs(docs, pairs)
+
+
+def cluster_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary undirected pair frame
+    (doc_a, doc_b) against a node universe `docs(doc_id)` — the CC
+    core of :func:`dedup_clusters`, exposed so any candidate generator
+    (LSH, simhash blocks, semantic cells) feeds the same clustering."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
