@@ -640,9 +640,32 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the block-pair GEMM's cos ≥ thr
+    pairs fed through the SAME connected-components core as the LSH
+    dedup (dedup.cluster_pairs — generator-agnostic clustering), so
+    transitive chains of near-identical vectors collapse to one
+    canonical survivor (min vec_id == cluster_id) per group. Every
+    vector gets a row — the total keep/drop decision over embeddings."""
+    from timeseriesdb_spark.operators.dedup import cluster_pairs
+
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    pairs = q_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return cluster_pairs(emb_ids, pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id"),
+        "cluster_size",
+    )
+
+
 QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_clusters": q_embedding_clusters,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
@@ -742,6 +765,31 @@ ORACLES = {
         JOIN norms na ON na.vec_id = d.va
         JOIN norms nb ON nb.vec_id = d.vb
         WHERE round(d.dot / (na.norm * nb.norm), 4) >= {NEARDUP_COS}
+    """,
+    "q_embedding_clusters": f"""
+        WITH RECURSIVE norms AS ({_NORMS_SQL}), dots AS ({_DOT_PAIRS_SQL}),
+        p AS (
+            SELECT d.va, d.vb
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.va
+            JOIN norms nb ON nb.vec_id = d.vb
+            WHERE round(d.dot / (na.norm * nb.norm), 4) >= {NEARDUP_COS}
+        ),
+        edges AS (
+            SELECT va AS a, vb AS b FROM p
+            UNION ALL
+            SELECT vb AS a, va AS b FROM p
+        ),
+        r AS (
+            SELECT vec_id AS v, vec_id AS m FROM embeddings
+            UNION
+            SELECT e.b AS v, r.m AS m FROM r JOIN edges e ON e.a = r.v
+        ),
+        comp AS (SELECT v AS vec_id, min(m) AS cluster_id FROM r GROUP BY v)
+        SELECT c.vec_id, c.cluster_id, s.cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id) s USING (cluster_id)
     """,
     "q_knn_1nn": f"""
         WITH d2 AS (
