@@ -254,6 +254,84 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_N = 3  # word n-gram width for the source-overlap matrix
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct word-3-gram Jaccard
+    between every pair of sources — the diagnostic a curation run
+    consults before mixing corpora (high overlap ⇒ boilerplate or
+    mirrored content; the same check as q_decontaminate but
+    corpus-to-corpus instead of corpus-to-benchmark). Shape: distinct
+    (source, ngram) inverted index (|sources| ≈ dozens, so the matrix
+    is tiny), intersections from one self-join on the ngram key."""
+    from timeseriesdb_spark.operators.common import array_ngrams
+
+    doc = load_table(spark, sf_dir, "documents")
+    warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    ngrams = doc.select(
+        "source", F.explode(F.array_distinct(array_ngrams(warr, OVERLAP_N))).alias("ng")
+    ).distinct()
+    sizes = ngrams.groupBy("source").agg(F.count("*").alias("n_ng"))
+    a, b = ngrams.alias("a"), ngrams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.ng") == F.col("b.ng"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_ng").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_ng").alias("n_b"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+HASH_DIM = 64  # feature-hashing bucket count (the hashing trick)
+
+
+def q_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors — the
+    featurization behind fastText-style quality classifiers at corpus
+    scale: no vocabulary to build or broadcast, each word maps to
+    bucket md5(w) % D with a ±1 sign from the next hash bit, summed
+    per document. Emitted sparse as (doc_id, bucket, weight) rows —
+    the layout a downstream trainer consumes; densification is a
+    pivot away. One explode + one (doc, bucket) aggregation."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(HASH_DIM))
+    sign = F.when(
+        F.pmod(F.floor(h / F.lit(HASH_DIM)), F.lit(2)) == 0, 1
+    ).otherwise(-1)
+    return (
+        words.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
 SPLIT_BOUNDS = ("cc", "e6")  # md5-hex prefixes: ~80% train, 10% val, 10% test
 
 
@@ -277,6 +355,8 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_regex_tokens": q_regex_tokens,
     "q_pmi_bigrams": q_pmi_bigrams,
+    "q_source_overlap": q_source_overlap,
+    "q_hashing_features": q_hashing_features,
     "q_dataset_split": q_dataset_split,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_props_extract": q_props_extract,
@@ -348,6 +428,64 @@ ORACLES = {
         JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
         JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
         CROSS JOIN nu CROSS JOIN nb
+    """,
+    "q_source_overlap": f"""
+        WITH toks AS (
+            SELECT doc_id, source, w, i FROM (
+                SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        seq AS (
+            SELECT doc_id, source, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+            FROM toks
+        ),
+        ngrams AS (
+            SELECT DISTINCT source, ng FROM (
+                SELECT source,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win AS ng
+                FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY j)
+            ) WHERE ng IS NOT NULL
+        ),
+        sizes AS (SELECT source, count(*) AS n_ng FROM ngrams GROUP BY source),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_inter
+            FROM ngrams a JOIN ngrams b
+              ON a.ng = b.ng AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_inter,
+               round(n_inter
+                     / CAST(sa.n_ng + sb.n_ng - n_inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+    """,
+    "q_hashing_features": f"""
+        WITH words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+            FROM words
+        )
+        SELECT doc_id, bucket, weight FROM (
+            SELECT doc_id, h % {HASH_DIM} AS bucket,
+                   CAST(sum(CASE WHEN CAST(floor(h / {HASH_DIM}.0) AS BIGINT)
+                                      % 2 = 0
+                            THEN 1 ELSE -1 END) AS BIGINT) AS weight
+            FROM h GROUP BY doc_id, h % {HASH_DIM}
+        ) WHERE weight <> 0
     """,
     "q_token_count": """
         SELECT doc_id,
