@@ -488,19 +488,27 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )
+    # The mean is rounded in EXACT integer arithmetic: the decimal sum
+    # is an integer count of 1e-6 units, and half-up rounding of u/n
+    # units is floor((2|u|+n)/(2n)) — engine round(double, 6) differs
+    # at half-way boundaries (caught by the sf0.1 sweep: one centroid
+    # landed on ...5e-7 and Spark/DuckDB rounded opposite ways).
+    u = (F.col("_s") * F.lit(1_000_000)).cast("long")
+    n = F.col("n_vecs")
+    q = F.expr("(2 * abs(_u) + n_vecs) div (2 * n_vecs)")
+    signed = F.when(u < 0, -q).otherwise(q)
     return (
         ex.groupBy(F.col("label"), F.col("dim").cast("bigint").alias("dim"))
         .agg(
             F.count("*").alias("n_vecs"),
             F.sum(F.col("x").cast("double").cast("decimal(38,6)")).alias("_s"),
         )
+        .withColumn("_u", u)
         .select(
             "label",
             "dim",
             "n_vecs",
-            F.round(F.col("_s").cast("double") / F.col("n_vecs"), 6).alias(
-                "mean_val"
-            ),
+            (signed.cast("double") / F.lit(1_000_000.0)).alias("mean_val"),
         )
     )
 
@@ -730,12 +738,18 @@ ORACLES = {
         FROM base b LEFT JOIN dropped d USING (vec_id)
     """,
     "q_label_centroids": f"""
-        SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
-               round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-                                   AS DECIMAL(38,6))) AS DOUBLE)
-                     / count(*), 6) AS mean_val
-        FROM embeddings, range(1, {DIM + 1}) t(i)
-        GROUP BY label, i
+        SELECT label, dim, n_vecs,
+               CAST(CASE WHEN u < 0 THEN -((2 * abs(u) + n_vecs)
+                                           // (2 * n_vecs))
+                         ELSE (2 * abs(u) + n_vecs) // (2 * n_vecs) END
+                    AS DOUBLE) / 1000000.0 AS mean_val
+        FROM (
+            SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
+                   CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS u
+            FROM embeddings, range(1, {DIM + 1}) t(i)
+            GROUP BY label, i
+        )
     """,
     "q_ann_topk": f"""
         WITH norms AS ({_NORMS_SQL}),
