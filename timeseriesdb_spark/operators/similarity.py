@@ -648,11 +648,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_COS = 0.5  # edge threshold for clustering — deliberately above
+                   # NEARDUP_COS: transitive closure AMPLIFIES loose
+                   # pairs (at 0.35 one chain swallowed 1964 of 5000
+                   # vectors at sf0.1 — useless as a drop decision and
+                   # a dense graph for CC; at 0.5 clusters are true
+                   # near-identical groups)
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup CLUSTERS: the block-pair GEMM's cos ≥ thr
-    pairs fed through the SAME connected-components core as the LSH
-    dedup (dedup.cluster_pairs — generator-agnostic clustering), so
-    transitive chains of near-identical vectors collapse to one
+    """Embedding near-dup CLUSTERS: the block-pair GEMM's
+    cos ≥ CLUSTER_COS pairs fed through the SAME connected-components
+    core as the LSH dedup (dedup.cluster_pairs — generator-agnostic
+    clustering), so chains of near-identical vectors collapse to one
     canonical survivor (min vec_id == cluster_id) per group. Every
     vector gets a row — the total keep/drop decision over embeddings."""
     from timeseriesdb_spark.operators.dedup import cluster_pairs
@@ -660,8 +668,10 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ids = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
-    pairs = q_embedding_neardup(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    pairs = (
+        q_embedding_neardup(spark, sf_dir)
+        .where(F.col("cos_sim") >= CLUSTER_COS)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
     return cluster_pairs(emb_ids, pairs).select(
         F.col("doc_id").alias("vec_id"),
@@ -787,7 +797,7 @@ ORACLES = {
             FROM dots d
             JOIN norms na ON na.vec_id = d.va
             JOIN norms nb ON nb.vec_id = d.vb
-            WHERE round(d.dot / (na.norm * nb.norm), 4) >= {NEARDUP_COS}
+            WHERE round(d.dot / (na.norm * nb.norm), 4) >= {CLUSTER_COS}
         ),
         edges AS (
             SELECT va AS a, vb AS b FROM p
