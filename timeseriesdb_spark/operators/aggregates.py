@@ -22,7 +22,7 @@ back as a 1-row join; never a sort, never a driver collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.operators.common import dsum, dsum_sql
@@ -233,8 +233,65 @@ def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORR_LAGS = 3  # report lag-1..3 autocorrelation per signal
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal lag-k autocorrelation (k = 1..AUTOCORR_LAGS) — the
+    self-similarity profile behind seasonality detection and the
+    FCM/DFCM predictor viability check (a high lag-1 autocorr is
+    exactly when last-value prediction compresses well). One window
+    pass computes all lags (single sort per signal), stack() unpivots
+    to (k, v, v_lag) rows, and the Pearson components follow the
+    q_signal_corr decimal discipline — engine-exact at any
+    parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "value",
+        *[
+            F.lag("value", k).over(w).alias(f"l{k}")
+            for k in range(1, AUTOCORR_LAGS + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, l{k}" for k in range(1, AUTOCORR_LAGS + 1)
+    )
+    stacked = lagged.select(
+        "user_id",
+        "value",
+        F.expr(f"stack({AUTOCORR_LAGS}, {stack_args}) AS (k, vk)"),
+    ).where(F.col("vk").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    comps = stacked.groupBy("user_id", "k").agg(
+        F.count("*").alias("n"),
+        dec(F.col("value")).alias("sx"),
+        dec(F.col("vk")).alias("sy"),
+        dec(F.col("value") * F.col("vk")).alias("sxy"),
+        dec(F.col("value") * F.col("value")).alias("sxx"),
+        dec(F.col("vk") * F.col("vk")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        comps.where((vx > 0) & (vy > 0))
+        .select(
+            "user_id",
+            F.col("k").cast("bigint").alias("k"),
+            "n",
+            (F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4) + F.lit(0.0)).alias(
+                "autocorr"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_signal_corr": q_signal_corr,
+    "q_autocorr": q_autocorr,
     "q_count": q_count,
     "q_sum": q_sum,
     "q_min": q_min,
@@ -253,7 +310,39 @@ _SUM_V = dsum_sql("value", "sum_value")
 
 _DEC = "CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
 
+_AC_UNION = " UNION ALL ".join(
+    f"SELECT user_id, {k} AS k, value AS v, l{k} AS vk FROM l "
+    f"WHERE l{k} IS NOT NULL"
+    for k in range(1, AUTOCORR_LAGS + 1)
+)
+_AC_LAGS = ", ".join(
+    f"lag(value, {k}) OVER win AS l{k}" for k in range(1, AUTOCORR_LAGS + 1)
+)
+
 ORACLES = {
+    "q_autocorr": f"""
+        WITH l AS (
+            SELECT user_id, value, {_AC_LAGS}
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS ({_AC_UNION}),
+        comps AS (
+            SELECT user_id, CAST(k AS BIGINT) AS k, count(*) AS n,
+                   {_DEC.format(c='v')} AS sx,
+                   {_DEC.format(c='vk')} AS sy,
+                   {_DEC.format(c='v * vk')} AS sxy,
+                   {_DEC.format(c='v * v')} AS sxx,
+                   {_DEC.format(c='vk * vk')} AS syy
+            FROM s GROUP BY user_id, k
+        )
+        SELECT user_id, k, n,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                     4) + 0.0 AS autocorr
+        FROM comps
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
     "q_signal_corr": f"""
         WITH aligned AS (
             SELECT user_id, date_trunc('hour', ts) AS h,
