@@ -233,6 +233,28 @@ def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_BINS = 8
+
+
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram per signal (ntile) — the complement of
+    q_histogram's equi-width bins and the shape optimizer statistics
+    use (selectivity from depth-balanced boundaries). Deterministic:
+    the ntile order includes event_id as tie-break, so both engines
+    assign identical bins. One window shuffle; at 100 TB swap exact
+    ntile for approx_percentile boundaries — same output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    binned = ev.select(
+        "user_id", "value", F.ntile(EQUIDEPTH_BINS).over(w).alias("bin")
+    )
+    return binned.groupBy("user_id", "bin").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
 AUTOCORR_LAGS = 3  # report lag-1..3 autocorrelation per signal
 
 
@@ -292,6 +314,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_signal_corr": q_signal_corr,
     "q_autocorr": q_autocorr,
+    "q_equidepth_bins": q_equidepth_bins,
     "q_count": q_count,
     "q_sum": q_sum,
     "q_min": q_min,
@@ -320,6 +343,17 @@ _AC_LAGS = ", ".join(
 )
 
 ORACLES = {
+    "q_equidepth_bins": f"""
+        SELECT user_id, bin, count(*) AS n, min(value) AS lo,
+               max(value) AS hi
+        FROM (
+            SELECT user_id, value,
+                   ntile({EQUIDEPTH_BINS})
+                       OVER (PARTITION BY user_id
+                             ORDER BY value, event_id) AS bin
+            FROM events
+        ) GROUP BY user_id, bin
+    """,
     "q_autocorr": f"""
         WITH l AS (
             SELECT user_id, value, {_AC_LAGS}
