@@ -188,6 +188,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-weighted sampling without replacement
+    (exponential clocks / A-ES): each doc draws u from its content
+    hash, key = -ln(u)/w with w = its token count, and the K smallest
+    keys are the sample — longer documents proportionally more likely,
+    reproducible on any engine and cluster shape (no RNG). The global
+    top-k is TakeOrderedAndProject over one scan (bounded memory);
+    keys are rounded with a doc_id tie-break so the boundary member is
+    engine-stable."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("double")
+    h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        doc.select("doc_id", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
 VOCAB_TOP = 50
 
 
@@ -562,6 +589,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_pii_scan": q_pii_scan,
     "q_stratified_sample": q_stratified_sample,
+    "q_weighted_sample": q_weighted_sample,
     "q_vocab_topk": q_vocab_topk,
     "q_interval_join": q_interval_join,
     "q_regional_revenue": q_regional_revenue,
@@ -753,6 +781,17 @@ ORACLES = {
                    len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) AS n
             FROM documents
         ) GROUP BY source
+    """,
+    "q_weighted_sample": f"""
+        SELECT doc_id,
+               round(-ln((CAST(CAST(('0x' || substr(md5(text), 1, 8))
+                                AS BIGINT) AS DOUBLE) + 0.5)
+                         / 4294967296.0)
+                     / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS DOUBLE), 9) AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT {WSAMPLE_K}
     """,
     "q_stratified_sample": f"""
         SELECT source, lang, count(*) AS n_docs,
