@@ -137,6 +137,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+CONTAIN_THRESHOLD = 0.5  # report (a ⊂ b)-style overlap at/above this
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / |A| — catches what
+    Jaccard structurally cannot: a short document quoted inside a much
+    longer one scores near 1.0 here but near 0 on Jaccard (the union
+    is dominated by the long side). Emitted directionally (doc_a's
+    shingles contained in doc_b, a ≠ b both directions) over the same
+    inverted-index shuffle join as q_ngram_jaccard — candidate pairs
+    only ever form on shared shingles."""
+    sh = _shingles(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    ).repartition("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("n_a").cast("double"), 6),
+        )
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )
+
+
 SLICES_PER_MD5 = 4  # 4 × 8 hex chars (32 bits) per digest
 
 
@@ -592,6 +630,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_ngram_containment": q_ngram_containment,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
@@ -714,6 +753,22 @@ ORACLES = {
     """,
     "q_minhash_signatures": _MINHASH_SQL,
     "q_incremental_neardup": _INCREMENTAL_SQL,
+    "q_ngram_containment": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter,
+               round(n_inter / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE round(n_inter / CAST(sa.n_sh AS DOUBLE), 6)
+              >= {CONTAIN_THRESHOLD}
+    """,
     "q_minhash_lsh_pairs": f"""
         WITH {_LSH_PAIRS_CTES}
         SELECT doc_a, doc_b, est_jaccard FROM pairs
