@@ -332,6 +332,44 @@ def q_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity score: mean IDF of its (distinct) terms —
+    high means the document is built from corpus-rare vocabulary
+    (jargon, other languages, spam tokens), a standard quality/outlier
+    signal next to q_quality_score's surface features. Determinism:
+    each term's idf is rounded FIRST (ln is per-term, not
+    order-dependent), then the per-doc mean runs through the decimal
+    sum, so accumulation order cannot flip the hash. Two shuffles
+    (term df, per-doc mean); N folds as a literal like tfidf."""
+    doc = load_table(spark, sf_dir, "documents")
+    n_docs = doc.count()
+    words = doc.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).where(F.length("w") > 0)
+    df_ = words.groupBy("w").agg(F.count("*").alias("df"))
+    ridf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    # integer-exact half-up mean (the q_label_centroids lesson: engine
+    # round(double/count, 6) can disagree at half-way boundaries); idf
+    # is non-negative so no sign branch
+    agg = (
+        words.join(df_, "w")
+        .select("doc_id", ridf.alias("idf"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            (F.sum(F.col("idf").cast("decimal(38,6)")) * F.lit(1_000_000))
+            .cast("long")
+            .alias("_u"),
+        )
+    )
+    q = F.expr("(2 * _u + n_terms) div (2 * n_terms)")
+    return agg.select(
+        "doc_id",
+        "n_terms",
+        (q.cast("double") / F.lit(1_000_000.0)).alias("mean_idf"),
+    )
+
+
 SPLIT_BOUNDS = ("cc", "e6")  # md5-hex prefixes: ~80% train, 10% val, 10% test
 
 
@@ -357,6 +395,7 @@ QUERIES = {
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_source_overlap": q_source_overlap,
     "q_hashing_features": q_hashing_features,
+    "q_idf_rarity": q_idf_rarity,
     "q_dataset_split": q_dataset_split,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_props_extract": q_props_extract,
@@ -428,6 +467,30 @@ ORACLES = {
         JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
         JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
         CROSS JOIN nu CROSS JOIN nb
+    """,
+    "q_idf_rarity": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        df AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+        scored AS (
+            SELECT doc_id,
+                   round(ln((SELECT CAST(count(*) AS DOUBLE)
+                             FROM documents) / df.df), 6) AS idf
+            FROM words JOIN df USING (w)
+        )
+        SELECT doc_id, n_terms,
+               CAST((2 * u + n_terms) // (2 * n_terms) AS DOUBLE)
+                   / 1000000.0 AS mean_idf
+        FROM (
+            SELECT doc_id, count(*) AS n_terms,
+                   CAST(sum(CAST(idf AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS u
+            FROM scored GROUP BY doc_id
+        )
     """,
     "q_source_overlap": f"""
         WITH toks AS (
