@@ -208,6 +208,54 @@ def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidate per signal: the running sum of
+    (value − signal mean) peaks in magnitude where the level shifts —
+    the classic drift detector, here fully declarative. Exactness
+    chain: the mean is integer-exact half-up (engine round(double)
+    disagrees at boundaries), each residual rounds to decimal once,
+    and the cumulative sum is decimal (associative) over the
+    deterministic (ts, event_id) order — so the argmax row is the
+    same row in any engine at any parallelism. Shape: one agg + one
+    broadcast join + one window shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * F.lit(1_000_000))
+        .cast("long")
+        .alias("_u"),
+    )
+    signed_units = F.expr(
+        "CASE WHEN _u < 0 THEN -((2 * abs(_u) + _n) div (2 * _n)) "
+        "ELSE (2 * abs(_u) + _n) div (2 * _n) END"
+    )
+    means = stats.select(
+        "user_id",
+        (signed_units.cast("double") / F.lit(1_000_000.0)).alias("_m"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cusum = ev.join(F.broadcast(means), "user_id").withColumn(
+        "_c",
+        F.sum((F.col("value") - F.col("_m")).cast("decimal(38,6)")).over(w),
+    )
+    rank = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("_c")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        with_cusum.withColumn("rn", F.row_number().over(rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("change_ts"),
+            F.col("_c").cast("double").alias("cusum"),
+        )
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per signal (median + p90).
     Spark `percentile` and DuckDB `quantile_cont` implement the same
@@ -424,6 +472,7 @@ QUERIES = {
     "q_value_mode": q_value_mode,
     "q_derivative": q_derivative,
     "q_quantiles": q_quantiles,
+    "q_cusum_changepoint": q_cusum_changepoint,
     "q_moving_avg": q_moving_avg,
     "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
@@ -542,6 +591,37 @@ ORACLES = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) WHERE rate_per_sec IS NOT NULL
+    """,
+    "q_cusum_changepoint": """
+        WITH stats AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS u
+            FROM events GROUP BY user_id
+        ),
+        means AS (
+            SELECT user_id,
+                   CAST(CASE WHEN u < 0
+                             THEN -((2 * abs(u) + n) // (2 * n))
+                             ELSE (2 * abs(u) + n) // (2 * n) END
+                        AS DOUBLE) / 1000000.0 AS m
+            FROM stats
+        ),
+        c AS (
+            SELECT e.user_id, e.ts, e.event_id,
+                   sum(CAST(e.value - m.m AS DECIMAL(38,6)))
+                       OVER (PARTITION BY e.user_id
+                             ORDER BY e.ts, e.event_id
+                             ROWS UNBOUNDED PRECEDING) AS cus
+            FROM events e JOIN means m USING (user_id)
+        )
+        SELECT user_id, ts AS change_ts, CAST(cus AS DOUBLE) AS cusum
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY abs(cus) DESC, ts, event_id)
+                          AS rn
+            FROM c
+        ) WHERE rn = 1
     """,
     "q_quantiles": """
         SELECT user_id,
