@@ -208,6 +208,34 @@ def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal z-score standardization — the feature-prep transform
+    before any distance-based analytics (kNN/kmeans drift scoring all
+    assume comparable scales). Mean and variance come from decimal
+    component sums (n·Σx² − (Σx)², the q_signal_corr discipline), the
+    z itself is one rounded double op per row via a broadcast join of
+    the per-signal stats — no second scan, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dec(F.col("value")).alias("sx"),
+        dec(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)
+    stats = stats.where(var > 0).select(
+        "user_id",
+        (F.col("sx") / n).alias("_mu"),
+        F.sqrt(var).alias("_sd"),
+    )
+    z = F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 6) + F.lit(0.0)
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .select("user_id", "event_id", z.alias("zscore"))
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point candidate per signal: the running sum of
     (value − signal mean) peaks in magnitude where the level shifts —
@@ -473,6 +501,7 @@ QUERIES = {
     "q_derivative": q_derivative,
     "q_quantiles": q_quantiles,
     "q_cusum_changepoint": q_cusum_changepoint,
+    "q_zscore": q_zscore,
     "q_moving_avg": q_moving_avg,
     "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
@@ -591,6 +620,24 @@ ORACLES = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) WHERE rate_per_sec IS NOT NULL
+    """,
+    "q_zscore": """
+        WITH stats AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sxx
+            FROM events GROUP BY user_id
+        ),
+        ms AS (
+            SELECT user_id, sx / n AS mu,
+                   sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS sd
+            FROM stats
+            WHERE (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) > 0
+        )
+        SELECT e.user_id, e.event_id,
+               round((e.value - m.mu) / m.sd, 6) + 0.0 AS zscore
+        FROM events e JOIN ms m USING (user_id)
     """,
     "q_cusum_changepoint": """
         WITH stats AS (
