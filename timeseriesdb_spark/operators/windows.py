@@ -208,6 +208,33 @@ def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal hour-of-day seasonal profile (24 buckets) — the
+    diurnal-pattern query behind seasonality-aware forecasting and
+    anomaly baselines ("is this value high FOR 3am?"). One grouped
+    scan; the bucket mean uses the integer-exact half-up arithmetic
+    so the profile hashes identically in any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * F.lit(1_000_000))
+        .cast("long")
+        .alias("_u"),
+    )
+    signed_units = F.expr(
+        "CASE WHEN _u < 0 THEN -((2 * abs(_u) + n) div (2 * n)) "
+        "ELSE (2 * abs(_u) + n) div (2 * n) END"
+    )
+    return agg.select(
+        "user_id",
+        "hour_of_day",
+        "n",
+        (signed_units.cast("double") / F.lit(1_000_000.0)).alias("mean_value"),
+    )
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal z-score standardization — the feature-prep transform
     before any distance-based analytics (kNN/kmeans drift scoring all
@@ -502,6 +529,7 @@ QUERIES = {
     "q_quantiles": q_quantiles,
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_zscore": q_zscore,
+    "q_seasonal_profile": q_seasonal_profile,
     "q_moving_avg": q_moving_avg,
     "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
@@ -620,6 +648,19 @@ ORACLES = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) WHERE rate_per_sec IS NOT NULL
+    """,
+    "q_seasonal_profile": """
+        SELECT user_id, hour_of_day, n,
+               CAST(CASE WHEN u < 0 THEN -((2 * abs(u) + n) // (2 * n))
+                         ELSE (2 * abs(u) + n) // (2 * n) END
+                    AS DOUBLE) / 1000000.0 AS mean_value
+        FROM (
+            SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS u
+            FROM events GROUP BY 1, 2
+        )
     """,
     "q_zscore": """
         WITH stats AS (
