@@ -174,3 +174,44 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
         assert (missing["sess_start"] >= horizon).all(), (
             f"non-tail sessions missing:\n{missing.head()}"
         )
+
+
+def test_stream_anomaly_flags_match_batch(spark, tmp_path):
+    """Streaming seasonal-baseline anomaly check lands exactly the
+    batch flags — stateless stream-static join, replay-safe."""
+    from timeseriesdb_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "asrc")
+    out = str(tmp_path / "aout")
+    ckpt = str(tmp_path / "ackpt")
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev.coalesce(3).write.mode("overwrite").parquet(src)
+    baseline = ing.seasonal_baseline(ev)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ing.flag_anomalies_stream(stream, baseline, k=2.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.is_anomaly)
+        for r in spark.read.parquet(out).select("event_id", "is_anomaly").collect()
+    }
+    exp = {
+        (r.event_id, r.is_anomaly)
+        for r in ing.flag_anomalies_stream(ev, baseline, k=2.0)
+        .select("event_id", "is_anomaly")
+        .collect()
+    }
+    assert got == exp
+    assert any(f == 1 for _, f in exp), "fixture should flag something"

@@ -174,3 +174,48 @@ def ingest_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def seasonal_baseline(events: DataFrame) -> DataFrame:
+    """Per-(signal, hour-of-day) mean/std baseline from a batch frame —
+    the static side of the streaming anomaly check. Decimal component
+    sums (the q_signal_corr discipline) keep the baseline identical at
+    any parallelism; refresh it on whatever cadence the corpus drifts
+    (daily compaction is typical)."""
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    stats = events.groupBy(
+        "user_id", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n"),
+        dec(F.col("value")).alias("sx"),
+        dec(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)
+    return stats.where(var > 0).select(
+        "user_id",
+        "hour_of_day",
+        (F.col("sx") / n).alias("mu"),
+        F.sqrt(var).alias("sd"),
+    )
+
+
+def flag_anomalies_stream(
+    stream: DataFrame, baseline: DataFrame, k: float = 3.0
+) -> DataFrame:
+    """Flag streamed events more than k·sd from their signal's
+    hour-of-day baseline — "is this value high FOR 3am" on the ingest
+    path. A stream-static equi-join on (user_id, hour bucket): the
+    baseline broadcasts, every micro-batch row is checked in place, NO
+    state store (a replayed batch re-evaluates identically). Events
+    whose (signal, hour) has no baseline pass through unflagged —
+    a cold-start signal should alert via volume, not crash the query."""
+    withhour = stream.withColumn("hour_of_day", F.hour("ts").cast("bigint"))
+    joined = withhour.join(
+        F.broadcast(baseline), ["user_id", "hour_of_day"], "left"
+    )
+    flag = (
+        F.col("sd").isNotNull()
+        & (F.abs(F.col("value") - F.col("mu")) > F.lit(k) * F.col("sd"))
+    ).cast("int")
+    return joined.withColumn("is_anomaly", flag).drop("mu", "sd")
