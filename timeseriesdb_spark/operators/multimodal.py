@@ -147,7 +147,51 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 8, 8  # target "thumbnail" grid for the stub
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads — the remaining member of
+    the decode/feature/frame-sample family: payload → fixed (W, H)
+    grid of byte means (a real impl decodes pixels and interpolates;
+    this deterministic stub strides the raw bytes into W·H cells, same
+    signature and batch shape). Emits scalar rows (doc_id, px, py,
+    value) so the rows-only canonicalizer can hash it; the grid
+    reassembles via pivot/collect when a model consumes it."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    w, h = RESIZE_W, RESIZE_H
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def cells(payload: bytes) -> list[float]:
+            n_cells = w * h
+            step = max(1, len(payload) // n_cells)
+            out = []
+            for c in range(n_cells):
+                chunk = payload[c * step : (c + 1) * step]
+                out.append(
+                    round(sum(chunk) / (255.0 * len(chunk)), 6) if chunk else 0.0
+                )
+            return out
+
+        for pdf in batches:
+            rows = {"doc_id": [], "px": [], "py": [], "value": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for c, v in enumerate(cells(bytes(p))):
+                    rows["doc_id"].append(doc_id)
+                    rows["px"].append(c % w)
+                    rows["py"].append(c // w)
+                    rows["value"].append(v)
+            yield pd.DataFrame(rows)
+
+    return doc.mapInPandas(
+        resize, "doc_id bigint, px bigint, py bigint, value double"
+    )
+
+
 QUERIES = {
+    "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
 }
