@@ -208,6 +208,32 @@ def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_SLA_S = 3600  # report gaps longer than this many seconds
+
+
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal ingest-health report: event count, max inter-arrival
+    gap, and how many gaps exceeded the SLA — the data-quality monitor
+    a TSDB runs before trusting downstream rollups (a silent feed
+    outage shows up here first). All arithmetic is integer
+    microseconds (exact in any engine); one window pass + one grouped
+    agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us, 1).over(w)
+    per_row = ev.select("user_id", gap.alias("gap_us"))
+    return per_row.groupBy("user_id").agg(
+        (F.count("*")).alias("n_events"),
+        (F.max("gap_us").cast("double") / F.lit(1_000_000.0)).alias(
+            "max_gap_s"
+        ),
+        F.sum(
+            F.when(F.col("gap_us") > GAP_SLA_S * 1_000_000, 1).otherwise(0)
+        ).alias("n_gaps_over_sla"),
+    )
+
+
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal hour-of-day seasonal profile (24 buckets) — the
     diurnal-pattern query behind seasonality-aware forecasting and
@@ -530,6 +556,7 @@ QUERIES = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_zscore": q_zscore,
     "q_seasonal_profile": q_seasonal_profile,
+    "q_gap_report": q_gap_report,
     "q_moving_avg": q_moving_avg,
     "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
@@ -648,6 +675,20 @@ ORACLES = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ) WHERE rate_per_sec IS NOT NULL
+    """,
+    "q_gap_report": f"""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts), 1)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s,
+               CAST(sum(CASE WHEN gap_us > {GAP_SLA_S * 1_000_000}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_sla
+        FROM g GROUP BY user_id
     """,
     "q_seasonal_profile": """
         SELECT user_id, hour_of_day, n,
