@@ -85,6 +85,46 @@ def q_ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal run-length profile of the scaled value — the run
+    structure behind the RLE/majority codec decision that
+    q_compressibility's repeat RATIO cannot see (a 50% repeat ratio is
+    one long run or thousands of 2-runs; only the former encodes
+    well). n_runs / longest run / integer-exact mean run, from one
+    boundary-flag window pass and a (signal, run) aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _signal_window()
+    v = scaled_int(F.col("value"))
+    prev = F.lag(v, 1).over(w)
+    boundary = F.when(prev.isNull() | (v != prev), 1).otherwise(0)
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = ev.select(
+        "user_id", F.sum(boundary).over(run_w).alias("run_id")
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    agg = per_run.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_events"),
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("max_run"),
+    )
+    mean_units = F.expr(
+        "(2 * n_events * 1000000 + n_runs) div (2 * n_runs)"
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_runs",
+        "max_run",
+        (mean_units.cast("double") / F.lit(1_000_000.0)).alias("mean_run"),
+    )
+
+
 def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal compressibility profile — the reference's CR
     predictors (predict/cr_predictor.rs:15-107) estimate each codec's
@@ -166,10 +206,44 @@ QUERIES = {
     "q_delta_zigzag": q_delta_zigzag,
     "q_ts_delta": q_ts_delta,
     "q_compressibility": q_compressibility,
+    "q_run_lengths": q_run_lengths,
     "q_fcm_residuals": q_fcm_residuals,
 }
 
 ORACLES = {
+    "q_run_lengths": f"""
+        WITH flags AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(CAST(floor(value * {float(10**SCALE_P)})
+                                      AS BIGINT), 1)
+                             OVER win IS DISTINCT FROM
+                             CAST(floor(value * {float(10**SCALE_P)})
+                                  AS BIGINT)
+                        THEN 1 ELSE 0 END AS boundary
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id,
+                   sum(boundary) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM flags
+        ),
+        per_run AS (
+            SELECT user_id, run_id, count(*) AS run_len
+            FROM runs GROUP BY user_id, run_id
+        ),
+        agg AS (
+            SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_events,
+                   count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run
+            FROM per_run GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_runs, max_run,
+               CAST((2 * n_events * 1000000 + n_runs) // (2 * n_runs)
+                    AS DOUBLE) / 1000000.0 AS mean_run
+        FROM agg
+    """,
     "q_compressibility": f"""
         WITH s AS (
             SELECT user_id, ts, event_id,
