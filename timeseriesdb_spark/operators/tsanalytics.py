@@ -1,0 +1,262 @@
+"""Monitoring-grade time-series analytics over the events signal store:
+counter rates with reset detection, keyed interval (point-in-window)
+joins, EWMA smoothing, and mergeable histogram rollups.
+
+These extend the reference's window/aggregate surface (SURVEY.md
+§2.4-2.5 — influx max_groupby windows, AggStats rollups
+buffer_pool.rs:757-790) with the operators a Prometheus/Influx-style
+consumer of the same data runs daily. All per-signal state rides the
+one (user_id) shuffle; nothing orders globally.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from timeseriesdb_spark.tables import load_table
+
+FOLLOW_MIN = 30     # interval-join window after a trigger event, minutes
+EWMA_ALPHA = 0.2    # smoothing factor
+HIST_BIN_W = 25.0   # histogram bin width over `value`
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style increase()/rate() with counter-reset handling.
+
+    Per signal, delta = value − lag(value); a negative delta is a
+    counter reset, contributing the post-reset value (the PromQL
+    rule). Grouped per (signal, day): total increase, reset count,
+    and rate = increase / elapsed seconds within the day's samples.
+
+    One shuffle (the per-signal window); the day grouping reuses the
+    same partitioning. Deltas are IEEE-exact (double subtraction);
+    the sum is decimal so partial-aggregation order can't change the
+    result. rate divides two exact quantities once, at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    inc = (
+        F.when(delta.isNull(), F.lit(0.0))
+        .when(delta < 0, F.col("value"))
+        .otherwise(delta)
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.round(inc, 6).cast("decimal(38,6)").alias("inc"),
+            F.when(delta < 0, 1).otherwise(0).alias("is_reset"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("inc").cast("double").alias("increase"),
+            F.sum("is_reset").alias("n_resets"),
+            ((F.max("us") - F.min("us")) / F.lit(1_000_000)).alias(
+                "span_sec"
+            ),
+        )
+    )
+
+
+def q_follow_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed follow-window (point-after-trigger) join: events landing within 30 minutes AFTER a
+    purchase by the same user (attribution / "what follows a
+    trigger" — the point-in-window join every telemetry store needs;
+    the reference's backward-scan-first-match is the degenerate
+    last-point case, tsbs/mod.rs:29-48).
+
+    Equi-join on the signal key carries the shuffle; the time-range
+    predicate is a residual filter evaluated join-side, so no
+    quadratic blow-up beyond each user's own events. For a KEYLESS
+    interval join at 100 TB, bucket both sides by coarse time chunk
+    (floor(ts/30min)), join on the chunk ± 1, and apply the same
+    residual — same plan shape, bounded fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    trig = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("trigger_id"),
+            F.col("ts").alias("t_ts"),
+        )
+    )
+    follow = ev.alias("e").join(
+        trig,
+        (F.col("e.user_id") == F.col("t_user"))
+        & (F.col("e.ts") > F.col("t_ts"))
+        & (
+            F.col("e.ts")
+            <= F.col("t_ts") + F.expr(f"INTERVAL {FOLLOW_MIN} MINUTES")
+        ),
+    )
+    return follow.groupBy("trigger_id").agg(
+        F.count("*").alias("n_follow"),
+        F.sum(
+            F.round(F.col("e.value"), 6).cast("decimal(38,6)")
+        ).cast("double").alias("sum_value"),
+    )
+
+
+_EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per signal (α = 0.2,
+    adjust=False semantics: s_0 = v_0; s_t = α·v_t + (1−α)·s_{t−1}).
+
+    A linear recurrence is inherently sequential per signal, so this
+    is a grouped-map pandas UDF (Arrow-batched, numpy under pandas'
+    C ewm kernel) — the one shape Spark's built-ins can't express.
+    At 100 TB the same kernel runs per (signal, day-partition) chunk
+    with the previous chunk's tail as carry-in state — the
+    applyInPandasWithState form of streaming/segmenter.py; here each
+    signal fits one group. Rows-only check; pytest pins the kernel
+    against pandas ewm directly."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "ewma": s.round(6),
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, _EWMA_SCHEMA)
+    )
+
+
+def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distribution sketch: per-(signal, day) equi-width
+    histogram partials, merged across days per signal by summing bin
+    counts — proven equal to the direct one-pass histogram by the
+    oracle. The distribution twin of q_summary_merge's min/max/sum
+    rollup: any time-range distribution query (quantiles, outlier
+    mass) answers from partials, never a raw re-scan. Emits the
+    merged bins plus each signal's cumulative-majority bin (the
+    smallest bin where the running count passes half — a median
+    estimate with bin resolution, exact integer arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(HIST_BIN_W))
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            bin_.alias("bin"),
+        )
+        .groupBy("user_id", "day", "bin")
+        .agg(F.count("*").alias("partial_n"))
+    )
+    merged = daily.groupBy("user_id", "bin").agg(
+        F.sum("partial_n").alias("n")
+    )
+    cum = Window.partitionBy("user_id").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("user_id")
+    return (
+        merged.withColumn("cum_n", F.sum("n").over(cum))
+        .withColumn("total_n", F.sum("n").over(tot))
+        .withColumn(
+            "is_median_bin",
+            (F.col("cum_n") * 2 >= F.col("total_n"))
+            & ((F.col("cum_n") - F.col("n")) * 2 < F.col("total_n")),
+        )
+        .select("user_id", "bin", "n", "cum_n", "is_median_bin")
+    )
+
+
+QUERIES = {
+    "q_counter_rate": q_counter_rate,
+    "q_follow_window": q_follow_window,
+    "q_ewma": q_ewma,
+    "q_histogram_rollup": q_histogram_rollup,
+}
+
+ORACLES = {
+    "q_counter_rate": """
+        WITH d AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta,
+                   value,
+                   epoch_us(ts) AS us
+            FROM events
+        )
+        SELECT user_id, day,
+               CAST(sum(CAST(round(
+                   CASE WHEN delta IS NULL THEN 0.0
+                        WHEN delta < 0 THEN value
+                        ELSE delta END, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) AS increase,
+               CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_resets,
+               (max(us) - min(us)) / 1000000.0 AS span_sec
+        FROM d GROUP BY user_id, day
+    """,
+    "q_follow_window": f"""
+        SELECT t.event_id AS trigger_id,
+               count(*) AS n_follow,
+               CAST(sum(CAST(round(e.value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) AS sum_value
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase') t
+        JOIN events e
+          ON e.user_id = t.user_id
+         AND e.ts > t.ts
+         AND e.ts <= t.ts + INTERVAL {FOLLOW_MIN} MINUTE
+        GROUP BY t.event_id
+    """,
+    "q_histogram_rollup": f"""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(floor(value / {HIST_BIN_W}) AS BIGINT) AS bin,
+                   count(*) AS partial_n
+            FROM events GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT user_id, bin, CAST(sum(partial_n) AS BIGINT) AS n
+            FROM daily GROUP BY user_id, bin
+        ),
+        c AS (
+            SELECT user_id, bin, n,
+                   CAST(sum(n) OVER (PARTITION BY user_id ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_n,
+                   CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+                     AS total_n
+            FROM merged
+        )
+        SELECT user_id, bin, n, cum_n,
+               (cum_n * 2 >= total_n AND (cum_n - n) * 2 < total_n)
+                 AS is_median_bin
+        FROM c
+    """,
+}

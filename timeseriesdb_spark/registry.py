@@ -26,9 +26,11 @@ from timeseriesdb_spark.operators import (
     multimodal,
     outlier,
     relational,
+    search,
     similarity,
     text,
     transforms,
+    tsanalytics,
     windows,
 )
 from timeseriesdb_spark import pipeline
@@ -46,9 +48,11 @@ _MODULES = [
     multimodal,
     outlier,
     relational,
+    search,
     similarity,
     text,
     transforms,
+    tsanalytics,
     windows,
     pipeline,
 ]
