@@ -414,21 +414,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc.select(
         "doc_id", hp.alias("hp"), _word_ngrams(DECON_N).alias("ngs")
     )
-    train_ng = (
-        docs.where(F.col("hp") < F.lit(TRAIN_BOUND))
-        .select("doc_id", F.explode("ngs").alias("ng"))
-        .distinct()
+    train_ng = docs.where(F.col("hp") < F.lit(TRAIN_BOUND)).select(
+        "doc_id", F.explode("ngs").alias("ng")
     )
     bench_ng = (
         docs.where(F.col("hp") >= F.lit(TEST_BOUND))
         .select(F.explode("ngs").alias("ng"))
         .distinct()
     )
+    # Probe BEFORE deduplicating the corpus side: the broadcast hash
+    # probe is map-side and highly selective, so the (doc_id, ng)
+    # distinct runs on the few surviving hits instead of exchanging
+    # every exploded n-gram of the corpus (count_distinct folds that
+    # dedup into the final aggregation — one shuffle total).
     return (
         train_ng.join(F.broadcast(bench_ng), "ng")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shared_ngrams"),
+            F.count_distinct("ng").alias("n_shared_ngrams"),
             F.min("ng").alias("first_shared"),
         )
     )

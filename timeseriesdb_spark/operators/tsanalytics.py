@@ -192,14 +192,144 @@ def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STL_K = 12  # centered trend half-window (rows)
+
+
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition: value = trend + seasonal +
+    residual. Trend is a centered ±K-row moving mean per signal
+    (decimal window sum / count, the q_moving_avg discipline —
+    sliding float accumulation differs between engines); seasonal is
+    the per-(signal, hour-of-day) mean of the detrended series (the
+    q_seasonal_profile axis); residual is what remains. The full
+    decomposition the reference's lossy tiers (PAA trend, seasonal
+    profile) each approximate one component of.
+
+    Two shuffles: the per-signal window, then the (signal, hour)
+    partial agg; the seasonal join keys on (signal, hour) so AQE
+    reuses/broadcasts per stats. Every division is double/int over
+    engine-identical operands — bit-stable without a UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-STL_K, STL_K)
+    )
+    # Means below are round-half-up(u / (1e6·n), 6) in pure integer
+    # arithmetic: engine round(double) disagrees exactly at half-way
+    # quotients (the q_idf_rarity lesson), and detrended values are
+    # signed, so the division is sign-branched (half AWAY from zero).
+    u_t = (
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+        * F.lit(1_000_000)
+    ).cast("long")
+    c_t = F.count("value").over(w)
+    base = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.hour("ts").alias("hr"),
+            "value",
+            u_t.alias("_ut"),
+            c_t.alias("_ct"),
+        )
+        .withColumn(
+            "_qt",
+            F.when(
+                F.col("_ut") >= 0,
+                F.expr("(2 * _ut + _ct) div (2 * _ct)"),
+            ).otherwise(F.expr("-((2 * -_ut + _ct) div (2 * _ct))")),
+        )
+        .withColumn("trend", F.col("_qt").cast("double") / F.lit(1e6))
+        .withColumn("detr", F.col("value") - F.col("trend"))
+    )
+    seasonal = (
+        base.select(
+            "user_id",
+            "hr",
+            F.round("detr", 6).cast("decimal(38,6)").alias("rd"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(
+            (F.sum("rd") * F.lit(1_000_000)).cast("long").alias("_us"),
+            F.count("*").alias("_cs"),
+        )
+        .withColumn(
+            "_qs",
+            F.when(
+                F.col("_us") >= 0,
+                F.expr("(2 * _us + _cs) div (2 * _cs)"),
+            ).otherwise(F.expr("-((2 * -_us + _cs) div (2 * _cs))")),
+        )
+        .select(
+            "user_id",
+            "hr",
+            (F.col("_qs").cast("double") / F.lit(1e6)).alias("seasonal"),
+        )
+    )
+    return (
+        base.join(seasonal, ["user_id", "hr"])
+        .select(
+            "user_id",
+            "event_id",
+            "trend",
+            "seasonal",
+            # + 0.0 folds round()'s -0.0 to 0.0 (repr-hash parity)
+            (F.round(F.col("detr") - F.col("seasonal"), 6) + F.lit(0.0)).alias(
+                "resid"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_counter_rate": q_counter_rate,
     "q_follow_window": q_follow_window,
     "q_ewma": q_ewma,
     "q_histogram_rollup": q_histogram_rollup,
+    "q_stl_decompose": q_stl_decompose,
 }
 
 ORACLES = {
+    "q_stl_decompose": f"""
+        WITH base AS (
+            SELECT user_id, event_id, hour(ts) AS hr, value,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w
+                        * 1000000 AS BIGINT) AS ut,
+                   count(value) OVER w AS ct
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {STL_K} PRECEDING
+                                  AND {STL_K} FOLLOWING)
+        ),
+        t AS (
+            SELECT *,
+                   CAST(CASE WHEN ut >= 0
+                        THEN (2 * ut + ct) // (2 * ct)
+                        ELSE -((2 * -ut + ct) // (2 * ct)) END
+                     AS DOUBLE) / 1000000.0 AS trend
+            FROM base
+        ),
+        d AS (SELECT *, value - trend AS detr FROM t),
+        s0 AS (
+            SELECT user_id, hr,
+                   CAST(sum(CAST(round(detr, 6) AS DECIMAL(38,6)))
+                        * 1000000 AS BIGINT) AS us,
+                   count(*) AS cs
+            FROM d GROUP BY user_id, hr
+        ),
+        s AS (
+            SELECT user_id, hr,
+                   CAST(CASE WHEN us >= 0
+                        THEN (2 * us + cs) // (2 * cs)
+                        ELSE -((2 * -us + cs) // (2 * cs)) END
+                     AS DOUBLE) / 1000000.0 AS seasonal
+            FROM s0
+        )
+        SELECT d.user_id, d.event_id, d.trend, s.seasonal,
+               round(d.detr - s.seasonal, 6) + 0.0 AS resid
+        FROM d JOIN s ON d.user_id = s.user_id AND d.hr = s.hr
+    """,
     "q_counter_rate": """
         WITH d AS (
             SELECT user_id, date_trunc('day', ts) AS day,
