@@ -197,3 +197,32 @@ def test_domain_mix_one_window_shuffle(spark):
     assert "Python" not in plan, plan
     assert checks.has_broadcast_join(df), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_broadcasts_term_stats(spark):
+    # df (vocab-sized) and the per-doc dl join must not shuffle the
+    # corpus-side tf rows twice: at least one broadcast join, no
+    # Python, and the term filter reaches the scan of the exploded
+    # source (isin folds to In predicate on the split output)
+    df = QUERIES["q_bm25"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.has_broadcast_join(df), plan
+
+
+def test_gap_days_single_shuffle_spine(spark):
+    # calendar generation is per-signal sequence() — no cross join
+    # against a global calendar table, no nested-loop join
+    df = QUERIES["q_gap_days"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stl_two_corpus_shuffles(spark):
+    # per-signal window + (signal, hour) agg; the seasonal join keys
+    # on (signal, hour) — no Python in the whole decomposition
+    df = QUERIES["q_stl_decompose"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan

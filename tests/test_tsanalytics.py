@@ -41,6 +41,44 @@ def test_ewma_matches_pandas_recurrence(spark):
     assert got["ewma"].iloc[0] == round(raw["value"].iloc[0], 6)
 
 
+def test_holt_forecast_exact_on_linear_series(spark, tmp_path):
+    """A perfectly linear series v_t = a + b·t must forecast exactly on
+    the line: Holt's recurrence is exact for linear signals (level
+    tracks the line, trend converges to b immediately with the
+    v1−v0 seed)."""
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.tsanalytics import (
+        HOLT_H,
+        q_holt_forecast,
+    )
+
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "user_id": [7] * n,
+            "event_type": ["view"] * n,
+            "value": [10.0 + 2.5 * t for t in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    d = str(tmp_path / "lin")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    out = (
+        q_holt_forecast(spark, d)
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert len(out) == HOLT_H
+    last = 10.0 + 2.5 * (n - 1)
+    for _, row in out.iterrows():
+        assert abs(row["forecast"] - (last + 2.5 * row["h"])) < 1e-6
+        assert abs(row["trend"] - 2.5) < 1e-6
+
+
 def test_counter_rate_increase_nonnegative(spark):
     pdf = q_counter_rate(spark, SF_DIR).toPandas()
     assert (pdf["increase"] >= 0).all()

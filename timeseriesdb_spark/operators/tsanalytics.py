@@ -192,6 +192,77 @@ def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_ALPHA = 0.5   # level smoothing
+HOLT_BETA = 0.3    # trend smoothing
+HOLT_H = 3         # forecast horizon (steps)
+
+_HOLT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("h", LongType()),
+        StructField("forecast", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast per signal: double-exponential
+    smoothing (l_t = α·v_t + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, seeded l_0=v_0,
+    b_0=v_1−v_0), then ŷ_{T+h} = l_T + h·b_T for h=1..H — the
+    capacity-planning forecast a monitoring store serves next to
+    rate() and the seasonal profile.
+
+    Same execution shape as q_ewma: a sequential recurrence per
+    signal → grouped-map pandas UDF over the one signal-key shuffle,
+    state-carried per chunk at scale. Rows-only check; pytest pins
+    the kernel: a perfectly linear series forecasts exactly on the
+    line."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        uid = int(pdf["user_id"].iloc[0])
+        if len(v) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "h", "forecast", "level", "trend"]
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "h": "int64",
+                    "forecast": "float64",
+                    "level": "float64",
+                    "trend": "float64",
+                }
+            )
+        level, trend = v[0], v[1] - v[0]
+        for x in v[1:]:
+            prev = level
+            level = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (level - prev) + (1 - HOLT_BETA) * trend
+        hs = np.arange(1, HOLT_H + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(HOLT_H, uid, dtype=np.int64),
+                "h": hs,
+                "forecast": np.round(level + hs * trend, 6),
+                "level": np.full(HOLT_H, round(level, 6)),
+                "trend": np.full(HOLT_H, round(trend, 6)),
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(holt, _HOLT_SCHEMA)
+    )
+
+
 STL_K = 12  # centered trend half-window (rows)
 
 
@@ -288,6 +359,7 @@ QUERIES = {
     "q_ewma": q_ewma,
     "q_histogram_rollup": q_histogram_rollup,
     "q_stl_decompose": q_stl_decompose,
+    "q_holt_forecast": q_holt_forecast,
 }
 
 ORACLES = {

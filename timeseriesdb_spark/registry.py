@@ -25,6 +25,7 @@ from timeseriesdb_spark.operators import (
     mlscoring,
     multimodal,
     outlier,
+    profiling,
     relational,
     search,
     similarity,
@@ -47,6 +48,7 @@ _MODULES = [
     mlscoring,
     multimodal,
     outlier,
+    profiling,
     relational,
     search,
     similarity,
