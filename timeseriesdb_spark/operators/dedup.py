@@ -627,9 +627,51 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-passage coverage: the fraction of a
+    document's distinct word-3-shingles that also occur in at least
+    one OTHER document — the RefinedWeb/Gopher "duplicate n-gram
+    fraction" proxy for exact-substring dedup. Unlike the pairwise
+    queries (q_ngram_jaccard reports WHO overlaps), this is the
+    per-doc quality column a curation pass thresholds on: coverage
+    near 1 means the document is assembled from passages that exist
+    elsewhere in the corpus.
+
+    Shape: the inverted index is built once (shingle-key shuffle),
+    shingle document-frequency rides the same exchange (AQE reuse,
+    the q_ngram_jaccard pattern), and the per-doc rollup is the only
+    other shuffle. dup_frac is an integer/integer division → engine
+    exact. At 100 TB: identical plan; hot boilerplate shingles skew
+    the df join → AQE skew-join, or drop stop-shingles first."""
+    sh = _shingles(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    ).repartition("shingle")
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    dup = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        sh.hint("shuffle_hash")
+        .join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup.alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            (
+                F.col("n_dup").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_ngram_containment": q_ngram_containment,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -732,6 +774,17 @@ ORACLES = {
         SELECT md5(text) AS content_hash, count(*) AS n_copies,
                min(doc_id) AS keep_doc_id
         FROM documents GROUP BY md5(text)
+    """,
+    "q_dup_ngram_coverage": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        SELECT doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS dup_frac
+        FROM sh JOIN df USING (shingle)
+        GROUP BY doc_id
     """,
     "q_ngram_jaccard": f"""
         WITH sh AS ({_SHINGLES_SQL}),

@@ -91,6 +91,44 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K)
 
 
+QUANT_SCALE = 1000  # fixed-point quantization step (≈ int16 range for unit vecs)
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors by QUANTIZED dot product: each component is
+    fixed-point-quantized to round(x·1000) (the int8/int16 scalar
+    quantization every production vector store applies before scoring),
+    and ranking runs on the exact INTEGER dot product of quantized
+    vectors. Two things make this the oracle-checkable member of the
+    ANN family: integer addition is associative (no float-sum
+    association gap between engines, unlike q_ann_topk's rows-only
+    cosine), and the quantization itself is the scale story — a 100 TB
+    corpus scores int16 dots at 4× the memory bandwidth of float64.
+    Same plan as q_ann_topk: one scan, broadcast probe vector,
+    TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"),
+    )
+    emb_q = emb.withColumn("qe", qz)
+    probe = emb_q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qe").alias("qq")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb_q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 NEARDUP_BLOCK_BYTES = 32 << 20  # target packed-block payload (~32 MB)
 NEARDUP_MIN_BLOCKS = 8          # parallelism floor for small corpora
 
@@ -682,6 +720,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_ann_topk": q_ann_topk,
+    "q_ann_quantized": q_ann_quantized,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_clusters": q_embedding_clusters,
     "q_ann_lsh": q_ann_lsh,
@@ -717,6 +756,28 @@ _CELL_SQL = "(" + " + ".join(
 ) + ")"
 
 ORACLES = {
+    "q_ann_quantized": f"""
+        WITH q AS (
+            SELECT i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE})
+                        AS BIGINT) AS qx
+            FROM embeddings, range(1, {DIM + 1}) t(i)
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        d AS (
+            SELECT e.vec_id, e.label,
+                   CAST(sum(CAST(round(CAST(e.embedding[t.ti] AS DOUBLE)
+                                       * {QUANT_SCALE}) AS BIGINT) * q.qx)
+                        AS BIGINT) AS qdot
+            FROM embeddings e
+            CROSS JOIN range(1, {DIM + 1}) t(ti)
+            JOIN q ON q.i = t.ti
+            WHERE e.vec_id != {QUERY_VEC_ID}
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label, qdot FROM d
+        ORDER BY qdot DESC, vec_id LIMIT {TOP_K}
+    """,
     "q_semdedup": f"""
         WITH base AS (
             SELECT vec_id, CAST({_CELL_SQL} AS INT) AS cell FROM embeddings

@@ -370,6 +370,55 @@ def q_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log10 unigram probability — the CCNet-style
+    LM-perplexity proxy: score each token by the corpus unigram
+    distribution and average. Low (very negative) means the document
+    is built from improbable token sequences (gibberish, rare-script
+    spam); high means boilerplate-common vocabulary. The quality
+    signal that ranks next to q_quality_score (surface features) and
+    q_idf_rarity (distinct-term rarity) — this one weights by actual
+    token frequency, so a document repeating one rare word scores
+    differently from one made of many.
+
+    Determinism: p(term) = tf/N is a ratio of two integers (identical
+    doubles in both engines), log10 rounds to 6dp per TERM before any
+    accumulation, the per-doc sum is decimal, and the mean is the
+    sign-branched integer half-up division (log-probs are ≤ 0).
+    Shape: one term-count shuffle, the unigram table broadcasts back
+    onto the token stream (vocab-sized — at 100 TB cap it with a
+    min-tf floor), one per-doc shuffle."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    n_total = words.count()
+    tf = words.groupBy("w").agg(F.count("*").alias("tf"))
+    logp = F.round(
+        F.log10(F.col("tf").cast("double") / F.lit(float(n_total))), 6
+    )
+    agg = (
+        words.join(F.broadcast(tf), "w")
+        .select("doc_id", logp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(F.col("lp").cast("decimal(38,6)")) * F.lit(1_000_000))
+            .cast("long")
+            .alias("_u"),
+        )
+    )
+    q = F.expr(
+        "CASE WHEN _u >= 0 THEN (2 * _u + n_tokens) div (2 * n_tokens) "
+        "ELSE -((2 * -_u + n_tokens) div (2 * n_tokens)) END"
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (q.cast("double") / F.lit(1_000_000.0)).alias("mean_logp10"),
+    )
+
+
 SPLIT_BOUNDS = ("cc", "e6")  # md5-hex prefixes: ~80% train, 10% val, 10% test
 
 
@@ -396,6 +445,7 @@ QUERIES = {
     "q_source_overlap": q_source_overlap,
     "q_hashing_features": q_hashing_features,
     "q_idf_rarity": q_idf_rarity,
+    "q_unigram_logprob": q_unigram_logprob,
     "q_dataset_split": q_dataset_split,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_props_extract": q_props_extract,
@@ -467,6 +517,34 @@ ORACLES = {
         JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
         JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
         CROSS JOIN nu CROSS JOIN nb
+    """,
+    "q_unigram_logprob": """
+        WITH words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        tf AS (SELECT w, count(*) AS tf FROM words GROUP BY w),
+        scored AS (
+            SELECT doc_id,
+                   round(log10(CAST(tf.tf AS DOUBLE) /
+                               (SELECT CAST(count(*) AS DOUBLE)
+                                FROM words)), 6) AS lp
+            FROM words JOIN tf USING (w)
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CAST(lp AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS u
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN u >= 0
+                         THEN (2 * u + n_tokens) // (2 * n_tokens)
+                         ELSE -((2 * -u + n_tokens) // (2 * n_tokens)) END
+                    AS DOUBLE) / 1000000.0 AS mean_logp10
+        FROM agg
     """,
     "q_idf_rarity": """
         WITH words AS (

@@ -32,6 +32,8 @@ WINDOW_ROWS = 16   # scaled-down influx window (ref 1680 rows at full size)
 PAA_CHUNK = 8      # PAA chunk size (ref sweeps 4-64)
 RRD_K = 7          # keep every k-th row
 LAST_N = 5         # last-N per signal
+SAX_CHUNK = 8      # SAX PAA frame width (rows)
+SAX_BP = 0.6745    # N(0,1) quartile breakpoint → 4-symbol alphabet
 
 
 def _with_pos(ev: DataFrame) -> DataFrame:
@@ -78,6 +80,71 @@ def q_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("pos") / F.lit(PAA_CHUNK)).alias("chunk"),
         )
         .agg(F.round(F.avg("value"), 6).alias("chunk_avg"))
+    )
+
+
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization per signal: z-normalize, PAA into SAX_CHUNK-row
+    frames, map each frame mean to one of 4 symbols at the N(0,1)
+    quartile breakpoints (±0.6745, 0), and assemble the per-signal SAX
+    word — the symbolic index the reference's PAA + 1-NN pair
+    (segment.rs:516-555, knn/mod.rs:204-242) feeds in the SAX/iSAX
+    literature; the word is what a similarity index stores instead of
+    raw values.
+
+    Exactness: mean/std come from decimal component sums (the q_zscore
+    discipline) and frame means from decimal sum / count — every
+    comparison against mu + bp·sd runs on bit-identical doubles in
+    both engines, so symbol assignment cannot flip. Shape: one
+    signal-key shuffle (position window + frame agg reuse it), stats
+    broadcast back, final per-signal word agg on the same key. At
+    100 TB the word would assemble per (signal, day) so no single
+    group grows unboundedly."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dec(F.col("value")).alias("sx"),
+        dec(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)
+    stats = stats.where(var > 0).select(
+        "user_id",
+        (F.col("sx") / n).alias("_mu"),
+        F.sqrt(var).alias("_sd"),
+    )
+    frames = (
+        _with_pos(ev)
+        .groupBy(
+            "user_id",
+            F.floor(F.col("pos") / F.lit(SAX_CHUNK)).alias("chunk"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+    )
+    sym = (
+        frames.join(F.broadcast(stats), "user_id")
+        .select(
+            "user_id",
+            "chunk",
+            F.when(F.col("m") < F.col("_mu") - F.lit(SAX_BP) * F.col("_sd"), "a")
+            .when(F.col("m") < F.col("_mu"), "b")
+            .when(F.col("m") < F.col("_mu") + F.lit(SAX_BP) * F.col("_sd"), "c")
+            .otherwise("d")
+            .alias("sym"),
+        )
+    )
+    return sym.groupBy("user_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(chunk, sym))),"
+            " x -> x.sym))"
+        ).alias("sax_word"),
     )
 
 
@@ -563,6 +630,7 @@ QUERIES = {
     "q_window_max": q_window_max,
     "q_window_max_time": q_window_max_time,
     "q_paa": q_paa,
+    "q_sax": q_sax,
     "q_rrd_sample": q_rrd_sample,
     "q_last_n": q_last_n,
 }
@@ -602,6 +670,39 @@ _GRID_SQL = """
 """
 
 ORACLES = {
+    "q_sax": f"""
+        WITH stats AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sxx
+            FROM events GROUP BY user_id
+        ),
+        ms AS (
+            SELECT user_id, sx / n AS mu,
+                   sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS sd
+            FROM stats
+            WHERE (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) > 0
+        ),
+        pos AS ({_POS}),
+        frames AS (
+            SELECT user_id, pos // {SAX_CHUNK} AS chunk,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS m
+            FROM pos GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT f.user_id, f.chunk,
+                   CASE WHEN m < mu - {SAX_BP} * sd THEN 'a'
+                        WHEN m < mu THEN 'b'
+                        WHEN m < mu + {SAX_BP} * sd THEN 'c'
+                        ELSE 'd' END AS sym
+            FROM frames f JOIN ms USING (user_id)
+        )
+        SELECT user_id, count(*) AS n_chunks,
+               string_agg(sym, '' ORDER BY chunk) AS sax_word
+        FROM sym GROUP BY user_id
+    """,
     "q_anomaly_mad": _ANOMALY_SQL,
     "q_topk_per_signal": f"""
         SELECT user_id, event_id, value, rn FROM (
