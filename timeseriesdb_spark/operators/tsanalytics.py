@@ -15,13 +15,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from timeseriesdb_spark.tables import load_table
 
@@ -109,32 +102,27 @@ def q_follow_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EWMA_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("ewma", DoubleType()),
-    ]
-)
-
-
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per signal (α = 0.2,
     adjust=False semantics: s_0 = v_0; s_t = α·v_t + (1−α)·s_{t−1}).
 
     A linear recurrence is inherently sequential per signal, so this
-    is a grouped-map pandas UDF (Arrow-batched, numpy under pandas'
-    C ewm kernel) — the one shape Spark's built-ins can't express.
-    At 100 TB the same kernel runs per (signal, day-partition) chunk
-    with the previous chunk's tail as carry-in state — the
-    applyInPandasWithState form of streaming/segmenter.py; here each
-    signal fits one group. Rows-only check; pytest pins the kernel
-    against pandas ewm directly."""
+    is a grouped-map pandas kernel (Arrow-batched, numpy under pandas'
+    C ewm kernel) — the one shape Spark's built-ins can't express —
+    run through transforms.packed_grouped_map so Python is crossed
+    per PARTITION, not per group (1500 tiny groups at sf0.1 made the
+    per-group applyInPandas fixed cost dominate — measured
+    3.9 s → 1.5 s at sf0.1, kernel unchanged). At 100 TB the same kernel runs
+    per (signal, day-partition) chunk with the previous chunk's tail
+    as carry-in state — the applyInPandasWithState form of
+    streaming/smoothing.py; here each signal fits one group.
+    Rows-only check; pytest pins the kernel against pandas ewm
+    directly."""
+    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+
     ev = load_table(spark, sf_dir, "events")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
         s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
         return pd.DataFrame(
             {
@@ -145,10 +133,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        ev.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(ewma, _EWMA_SCHEMA)
+    return packed_grouped_map(
+        ev.select("user_id", "event_id", "ts", "value"),
+        ewma,
+        "user_id bigint, event_id bigint, ts timestamp, ewma double",
     )
 
 
@@ -196,17 +184,6 @@ HOLT_ALPHA = 0.5   # level smoothing
 HOLT_BETA = 0.3    # trend smoothing
 HOLT_H = 3         # forecast horizon (steps)
 
-_HOLT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("h", LongType()),
-        StructField("forecast", DoubleType()),
-        StructField("level", DoubleType()),
-        StructField("trend", DoubleType()),
-    ]
-)
-
-
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend forecast per signal: double-exponential
     smoothing (l_t = α·v_t + (1−α)(l_{t−1}+b_{t−1});
@@ -216,16 +193,18 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate() and the seasonal profile.
 
     Same execution shape as q_ewma: a sequential recurrence per
-    signal → grouped-map pandas UDF over the one signal-key shuffle,
-    state-carried per chunk at scale. Rows-only check; pytest pins
-    the kernel: a perfectly linear series forecasts exactly on the
-    line."""
+    signal → grouped-map pandas kernel over the one signal-key
+    shuffle (per-partition Python crossing via packed_grouped_map,
+    the q_ewma fix), state-carried per chunk at scale. Rows-only
+    check; pytest pins the kernel: a perfectly linear series
+    forecasts exactly on the line."""
+    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+
     ev = load_table(spark, sf_dir, "events")
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(["ts", "event_id"])
         v = pdf["value"].to_numpy(dtype=np.float64)
         uid = int(pdf["user_id"].iloc[0])
         if len(v) < 2:
@@ -256,10 +235,10 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        ev.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(holt, _HOLT_SCHEMA)
+    return packed_grouped_map(
+        ev.select("user_id", "event_id", "ts", "value"),
+        holt,
+        "user_id bigint, h bigint, forecast double, level double, trend double",
     )
 
 

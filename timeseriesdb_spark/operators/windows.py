@@ -83,6 +83,37 @@ def q_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+M4_WIDTH = 32  # rows per M4 pixel-bucket
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (signal, row-bucket) keep min, max, first
+    and last — the error-free line-visualization aggregation from the
+    M4 literature (each pixel column needs exactly those 4 values),
+    and the natural companion of the reference's lossy aging tiers
+    (PAA keeps the mean — segment.rs:516; RRD every-k-th —
+    rrd_sample.rs:20; M4 keeps the envelope). first/last resolve by
+    the deterministic row position (min_by/max_by on pos), so the
+    result is engine-exact with no timestamp tie ambiguity. One
+    signal-key shuffle: the position window and the bucket agg share
+    it."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _with_pos(ev)
+        .groupBy(
+            "user_id",
+            F.floor(F.col("pos") / F.lit(M4_WIDTH)).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", "pos").alias("v_first"),
+            F.max_by("value", "pos").alias("v_last"),
+        )
+    )
+
+
 def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization per signal: z-normalize, PAA into SAX_CHUNK-row
     frames, map each frame mean to one of 4 symbols at the N(0,1)
@@ -631,6 +662,7 @@ QUERIES = {
     "q_window_max_time": q_window_max_time,
     "q_paa": q_paa,
     "q_sax": q_sax,
+    "q_m4_downsample": q_m4_downsample,
     "q_rrd_sample": q_rrd_sample,
     "q_last_n": q_last_n,
 }
@@ -670,6 +702,16 @@ _GRID_SQL = """
 """
 
 ORACLES = {
+    "q_m4_downsample": f"""
+        SELECT user_id, pos // {M4_WIDTH} AS bucket,
+               count(*) AS n,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               arg_min(value, pos) AS v_first,
+               arg_max(value, pos) AS v_last
+        FROM ({_POS})
+        GROUP BY 1, 2
+    """,
     "q_sax": f"""
         WITH stats AS (
             SELECT user_id, count(*) AS n,
