@@ -311,6 +311,122 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CM_DEPTH = 4        # independent hash rows
+CM_WIDTH_CHARS = 2  # bucket = 2 hex chars of the seeded md5 → width 256
+CM_PROBE_KEYS = list(range(10))  # point-query keys (floor(value) items)
+
+
+def _cm_key() -> F.Column:
+    """Sketched item: floor(value) as its decimal string — identical
+    text in Spark and DuckDB for any sign."""
+    return F.floor(F.col("value")).cast("bigint").cast("string")
+
+
+def _cm_bucket(d: int, key: F.Column) -> F.Column:
+    return F.substring(F.md5(F.concat(F.lit(f"{d}|"), key)), 1, CM_WIDTH_CHARS)
+
+
+def _cm_counters(ev: DataFrame) -> DataFrame:
+    """Mergeable Count-Min partials: per (signal, day, depth, bucket)
+    counts. One scan; the depth axis is a 4-way generator explode
+    (rows, not columns, so the groupBy stays narrow)."""
+    key = _cm_key()
+    cells = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cm_bucket(d, key).alias("bucket"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return cells.groupBy(
+        "user_id", "day", F.col("cell.depth").alias("depth"),
+        F.col("cell.bucket").alias("bucket"),
+    ).agg(F.count("*").alias("partial_n"))
+
+
+def q_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency-sketch rollup: per-(signal, day) counter
+    partials merged across days per signal — the frequency twin of
+    q_summary_merge (min/max/sum), q_histogram_rollup (distribution)
+    and q_distinct_hll (cardinality). CM is LINEAR: merged counters ==
+    one-pass counters structurally (sum is associative), which the
+    oracle proves by computing the direct sketch; any time-range
+    frequency question then answers from stored partials, never a raw
+    re-scan. Depth rows use seeded md5 regions (the MinHash lane
+    discipline), buckets are hex-string cells so both engines agree
+    without base conversion. At 100 TB: one scan + one (signal, day,
+    depth, bucket) partial agg — counters per signal-day are bounded
+    at depth·width = 1024 cells regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _cm_counters(ev)
+        .groupBy("user_id", "depth", "bucket")
+        .agg(F.sum("partial_n").alias("n"))
+    )
+
+
+def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point queries against the merged sketch: for each probe item,
+    est = min over depth rows of its bucket counter — with the exact
+    count joined alongside, witnessing the CM guarantee est ≥ exact
+    (collisions only ever inflate). The probe side is a literal frame
+    (broadcast, no shuffle); at scale the sketch side reads the
+    persisted rollup instead of rebuilding it."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        _cm_counters(ev)
+        .groupBy("user_id", "depth", "bucket")
+        .agg(F.sum("partial_n").alias("n"))
+    )
+    import hashlib
+
+    probes = spark.createDataFrame(
+        [
+            (
+                str(k),
+                d,
+                hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:CM_WIDTH_CHARS],
+            )
+            for k in CM_PROBE_KEYS
+            for d in range(CM_DEPTH)
+        ],
+        "key string, depth int, bucket string",
+    )
+    # a depth whose bucket has NO counter row is a zero counter → est 0
+    est = (
+        merged.join(F.broadcast(probes), ["depth", "bucket"])
+        .groupBy("user_id", "key")
+        .agg(
+            F.when(F.count("*") == CM_DEPTH, F.min("n"))
+            .otherwise(F.lit(0))
+            .alias("est_n")
+        )
+    )
+    exact = (
+        ev.select("user_id", _cm_key().alias("key"))
+        .where(F.col("key").isin([str(k) for k in CM_PROBE_KEYS]))
+        .groupBy("user_id", "key")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    return (
+        est.join(exact, ["user_id", "key"], "left")
+        .select(
+            "user_id",
+            "key",
+            "est_n",
+            F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+        )
+    )
+
+
 QUERIES = {
     "q_signal_corr": q_signal_corr,
     "q_autocorr": q_autocorr,
@@ -327,7 +443,28 @@ QUERIES = {
     "q_summary_rollup": q_summary_rollup,
     "q_summary_merge": q_summary_merge,
     "q_top_signals": q_top_signals,
+    "q_countmin_rollup": q_countmin_rollup,
+    "q_countmin_estimate": q_countmin_estimate,
 }
+
+_CM_KEY_SQL = "CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)"
+_CM_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT user_id, date_trunc('day', ts) AS day, {d} AS depth, "
+    f"substr(md5('{d}|' || {_CM_KEY_SQL}), 1, {CM_WIDTH_CHARS}) AS bucket "
+    "FROM events"
+    for d in range(CM_DEPTH)
+)
+_CM_MERGED_SQL = f"""
+        daily AS (
+            SELECT user_id, day, depth, bucket, count(*) AS partial_n
+            FROM ({_CM_CELLS_SQL}) GROUP BY 1, 2, 3, 4
+        ),
+        merged AS (
+            SELECT user_id, depth, bucket,
+                   CAST(sum(partial_n) AS BIGINT) AS n
+            FROM daily GROUP BY 1, 2, 3
+        )
+"""
 
 _SUM_V = dsum_sql("value", "sum_value")
 
@@ -343,6 +480,36 @@ _AC_LAGS = ", ".join(
 )
 
 ORACLES = {
+    "q_countmin_rollup": f"""
+        WITH {_CM_MERGED_SQL}
+        SELECT user_id, depth, bucket, n FROM merged
+    """,
+    "q_countmin_estimate": f"""
+        WITH {_CM_MERGED_SQL},
+        probes AS (
+            SELECT CAST(k AS VARCHAR) AS key, d AS depth,
+                   substr(md5(CAST(d AS VARCHAR) || '|'
+                              || CAST(k AS VARCHAR)),
+                          1, {CM_WIDTH_CHARS}) AS bucket
+            FROM (VALUES {",".join(f"({k})" for k in CM_PROBE_KEYS)}) kk(k),
+                 (VALUES {",".join(f"({d})" for d in range(CM_DEPTH))}) dd(d)
+        ),
+        est AS (
+            SELECT m.user_id, p.key,
+                   CAST(CASE WHEN count(*) = {CM_DEPTH}
+                             THEN min(m.n) ELSE 0 END AS BIGINT) AS est_n
+            FROM merged m
+            JOIN probes p ON m.depth = p.depth AND m.bucket = p.bucket
+            GROUP BY m.user_id, p.key
+        ),
+        exact AS (
+            SELECT user_id, {_CM_KEY_SQL} AS key, count(*) AS exact_n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.user_id, e.key, e.est_n,
+               CAST(coalesce(x.exact_n, 0) AS BIGINT) AS exact_n
+        FROM est e LEFT JOIN exact x USING (user_id, key)
+    """,
     "q_equidepth_bins": f"""
         SELECT user_id, bin, count(*) AS n, min(value) AS lo,
                max(value) AS hi

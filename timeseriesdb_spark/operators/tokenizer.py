@@ -1,0 +1,105 @@
+"""BPE tokenizer training over the documents corpus — the missing
+piece between token-count proxies (q_token_count / q_regex_tokens)
+and a real training-data pipeline: learn the merge table itself.
+
+Scale architecture (how industrial BPE trainers shard): the ONLY
+corpus-sized pass is the distributed word-frequency count (one
+groupBy over exploded tokens — at 100 TB this is the same shuffle as
+q_vocab_topk). The merge-learning loop then runs on the BOUNDED
+word-frequency table (top BPE_MAX_VOCAB words — a few MB regardless
+of corpus size), because BPE statistics are fully determined by
+(word, freq) pairs, not by token positions. Collecting a bounded,
+frequency-capped vocabulary is the legitimate driver-side step; the
+anti-pattern the 100 TB rule forbids is collecting corpus-sized data.
+
+Determinism: ties in pair frequency break lexicographically, the
+vocab cap breaks ties by (freq DESC, word ASC), so the merge table is
+identical on any cluster at any parallelism. Not SQL-expressible (an
+argmax-per-level recursion) → rows-only driver check; pytest pins the
+kernel on the classic low/lower/newest/widest corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+BPE_MERGES = 20        # merge-table size to learn
+BPE_MAX_VOCAB = 10000  # bounded word-frequency table (driver cap)
+END_OF_WORD = "</w>"
+
+
+def learn_bpe_merges(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge-learning kernel: standard BPE on a (word, freq)
+    table. Each word is a symbol sequence (chars + end-of-word
+    marker); per round, count adjacent symbol pairs weighted by word
+    freq, merge the most frequent pair (ties → lexicographically
+    smallest) left-to-right non-overlapping in every word. Returns
+    (rank, left, right, pair_count) rows."""
+    seqs: dict[tuple[str, ...], int] = {}
+    for w, freq in vocab:
+        key = tuple(w) + (END_OF_WORD,)
+        seqs[key] = seqs.get(key, 0) + freq
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for syms, freq in seqs.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] += freq
+        if not counts:
+            break
+        best_n = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == best_n)
+        merged = a + b
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for syms, freq in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_seqs[key] = new_seqs.get(key, 0) + freq
+        seqs = new_seqs
+        merges.append((rank, a, b, best_n))
+    return merges
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES merges from the corpus: distributed
+    word-frequency count, bounded-vocab collect, driver-side merge
+    loop (see module docstring for why that split IS the scale
+    design)."""
+    doc = load_table(spark, sf_dir, "documents")
+    vocab_rows = (
+        doc.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(BPE_MAX_VOCAB)
+        .collect()
+    )
+    merges = learn_bpe_merges(
+        [(r["w"], r["freq"]) for r in vocab_rows], BPE_MERGES
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+QUERIES = {
+    "q_bpe_merges": q_bpe_merges,
+}
+
+ORACLES: dict[str, str] = {}  # argmax-per-level recursion → rows-only

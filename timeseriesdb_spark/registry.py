@@ -30,6 +30,7 @@ from timeseriesdb_spark.operators import (
     search,
     similarity,
     text,
+    tokenizer,
     transforms,
     tsanalytics,
     windows,
@@ -53,6 +54,7 @@ _MODULES = [
     search,
     similarity,
     text,
+    tokenizer,
     transforms,
     tsanalytics,
     windows,
