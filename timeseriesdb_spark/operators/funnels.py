@@ -1,0 +1,156 @@
+"""Event-funnel and cohort-retention analytics over the events table —
+the product-analytics surface (sessionize/follow-window's siblings):
+ordered multi-stage funnels and the cohort × day-offset retention
+matrix every event store serves.
+
+Scale design: every aggregation keys on user_id (or the tiny
+(cohort_day, offset) pair after a per-user reduction), so the heavy
+work rides one signal-key shuffle; stage conditions are conditional
+aggregations (no self-join per stage — an N-stage funnel is N
+min-filters in ONE grouped pass per step, not N scans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+FUNNEL_STAGES = ["view", "click", "purchase"]  # ordered
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel per user: first 'view', then the first
+    'click' strictly after it, then the first 'purchase' strictly
+    after that. Emits per-user stage timestamps and the stage count
+    reached — the drop-off report.
+
+    Stage k+1's min is conditioned on stage k's timestamp, so each
+    step is one conditional agg over the SAME user_id partitioning
+    (the first agg's shuffle is reused by the joins — broadcast-sized
+    per-user frames at any scale since they're one row per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1, s2, s3 = FUNNEL_STAGES
+    t1 = (
+        ev.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull(), 1)
+        .when(F.col("t_purchase").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            stage.alias("stage"),
+        )
+    )
+
+
+COHORT_EVENT = "signup"  # cohort anchor
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-signup day,
+    counted distinct on each day-offset they were active (any event).
+    Rows (cohort_day, offset_days, n_users) — the triangle chart.
+
+    Two shuffles: per-user first-signup agg (user key), then the
+    distinct (cohort, offset, user) reduction; the cohort join is a
+    one-row-per-user broadcast-able frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == COHORT_EVENT)
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "offset_days"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+QUERIES = {
+    "q_funnel": q_funnel,
+    "q_retention_cohorts": q_retention_cohorts,
+}
+
+_S1, _S2, _S3 = FUNNEL_STAGES
+
+ORACLES = {
+    "q_funnel": f"""
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = '{_S1}' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = '{_S2}' AND e.ts > t1.t_view
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = '{_S3}' AND e.ts > t2.t_click
+            GROUP BY e.user_id
+        )
+        SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+               CAST(CASE WHEN t1.t_view IS NULL THEN 0
+                         WHEN t2.t_click IS NULL THEN 1
+                         WHEN t3.t_purchase IS NULL THEN 2
+                         ELSE 3 END AS INT) AS stage
+        FROM t1
+        LEFT JOIN t2 USING (user_id)
+        LEFT JOIN t3 USING (user_id)
+    """,
+    "q_retention_cohorts": f"""
+        WITH cohort AS (
+            SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+            FROM events WHERE event_type = '{COHORT_EVENT}'
+            GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        )
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.day) AS INT)
+                   AS offset_days,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohort c USING (user_id)
+        WHERE a.day >= c.cohort_day
+        GROUP BY 1, 2
+    """,
+}

@@ -92,9 +92,94 @@ def q_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DQ_QTY_LO, DQ_QTY_HI = 1.0, 50.0  # valid l_quantity range
+DQ_SCHEMA = "table_name string, check_name string, violations bigint, total bigint"
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report (the Deequ/expectations pattern):
+    completeness, uniqueness, range, referential-integrity and
+    non-emptiness checks as (table, check, violations, total) rows —
+    the gate a pipeline runs before promoting a batch, next to
+    q_column_profile's statistics.
+
+    Shape: per-table checks share ONE scan via a single multi-aggregate
+    (the q_column_profile discipline); the FK check is a broadcast-able
+    anti-join count. Every result frame is one row, so the final union
+    is free. At 100 TB each check stays a partial-aggregated scan —
+    nothing row-sized ever leaves the executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    doc = load_table(spark, sf_dir, "documents")
+
+    li_wide = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+        ).alias("v_null"),
+        F.sum(
+            F.when(
+                ~F.col("l_quantity").between(DQ_QTY_LO, DQ_QTY_HI), 1
+            ).otherwise(0)
+        ).alias("v_range"),
+    )
+    ord_wide = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias(
+            "v_dup"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("v_price"),
+    )
+    fk = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+        .crossJoin(li_wide.select("total"))
+    )
+    doc_wide = doc.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(
+                F.col("text").isNull()
+                | (F.length(F.trim(F.col("text"))) == 0),
+                1,
+            ).otherwise(0)
+        ).alias("v_empty"),
+    )
+
+    def row(src: DataFrame, table: str, check: str, vcol: str) -> DataFrame:
+        return src.select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            F.col(vcol).cast("bigint").alias("violations"),
+            F.col("total").cast("bigint").alias("total"),
+        )
+
+    parts = [
+        row(li_wide, "lineitem", "not_null:l_orderkey", "v_null"),
+        row(
+            li_wide,
+            "lineitem",
+            f"range:l_quantity[{DQ_QTY_LO},{DQ_QTY_HI}]",
+            "v_range",
+        ),
+        row(fk, "lineitem", "fk:l_orderkey->orders", "v_fk"),
+        row(ord_wide, "orders", "unique:o_orderkey", "v_dup"),
+        row(ord_wide, "orders", "positive:o_totalprice", "v_price"),
+        row(doc_wide, "documents", "nonempty:text", "v_empty"),
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
 QUERIES = {
     "q_column_profile": q_column_profile,
     "q_gap_days": q_gap_days,
+    "q_dq_checks": q_dq_checks,
 }
 
 _PROFILE_SQL = "\nUNION ALL\n".join(
@@ -110,7 +195,52 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
     for c in PROFILE_COLS
 )
 
+_DQ_SQL = f"""
+    WITH li AS (
+        SELECT count(*) AS total,
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_null,
+               CAST(sum(CASE WHEN NOT (l_quantity BETWEEN {DQ_QTY_LO}
+                                  AND {DQ_QTY_HI}) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_range
+        FROM lineitem
+    ),
+    ord AS (
+        SELECT count(*) AS total,
+               count(o_orderkey) - count(DISTINCT o_orderkey) AS v_dup,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_price
+        FROM orders
+    ),
+    fk AS (
+        SELECT count(*) AS v_fk FROM lineitem l
+        ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    doc AS (
+        SELECT count(*) AS total,
+               CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        FROM documents
+    )
+    SELECT 'lineitem' AS table_name, 'not_null:l_orderkey' AS check_name,
+           v_null AS violations, total FROM li
+    UNION ALL
+    SELECT 'lineitem', 'range:l_quantity[{DQ_QTY_LO},{DQ_QTY_HI}]',
+           v_range, total FROM li
+    UNION ALL
+    SELECT 'lineitem', 'fk:l_orderkey->orders', CAST(v_fk AS BIGINT),
+           total FROM fk, li
+    UNION ALL
+    SELECT 'orders', 'unique:o_orderkey', CAST(v_dup AS BIGINT),
+           total FROM ord
+    UNION ALL
+    SELECT 'orders', 'positive:o_totalprice', v_price, total FROM ord
+    UNION ALL
+    SELECT 'documents', 'nonempty:text', v_empty, total FROM doc
+"""
+
 ORACLES = {
+    "q_dq_checks": _DQ_SQL,
     "q_column_profile": _PROFILE_SQL,
     "q_gap_days": """
         WITH active AS (

@@ -81,16 +81,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval for a fixed query term set.
-
-    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
-    idf(t) = ln((N−df+0.5)/(df+0.5) + 1). N and avgdl fold as scalar
-    literals (one tiny agg job at plan build — the q_tfidf_top_terms
-    pattern); per-term scores are rounded to 6dp then decimal-summed
-    per doc so the total is engine- and order-exact. Ranking breaks
-    ties by doc_id; the result is the global top-k (tiny set —
-    single-partition sort only over docs containing a query term)."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc decimal BM25 total (`doc_id`, `score_d`) for the fixed
+    query term set — shared by q_bm25's top-k and q_hybrid_rrf's text
+    leg. See q_bm25 for the scoring/determinism discipline."""
     doc = load_table(spark, sf_dir, "documents")
     nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     corpus = doc.agg(
@@ -123,12 +117,25 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_score = F.round(idf * tf_part, 6).cast("decimal(38,6)")
 
-    scored = (
+    return (
         tf.join(df_, "w")
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score_d"))
     )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query term set.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N−df+0.5)/(df+0.5) + 1). N and avgdl fold as scalar
+    literals (one tiny agg job at plan build — the q_tfidf_top_terms
+    pattern); per-term scores are rounded to 6dp then decimal-summed
+    per doc so the total is engine- and order-exact. Ranking breaks
+    ties by doc_id; the result is the global top-k (tiny set —
+    single-partition sort only over docs containing a query term)."""
+    scored = _bm25_scored(spark, sf_dir)
     rank = Window.orderBy(F.col("score_d").desc(), F.col("doc_id"))
     return (
         scored.withColumn("rn", F.row_number().over(rank))
@@ -139,40 +146,93 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60     # reciprocal-rank-fusion damping constant
+RRF_POOL = 20  # per-leg candidate pool depth
+RRF_TOP = 10   # fused results returned
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and quantized-dot-product
+    (vector) candidate lists fused with Reciprocal Rank Fusion —
+    score = Σ_legs 1/(K + rank). The standard production pattern for
+    combining an inverted index with an ANN index over the same
+    corpus (documents ⋈ embeddings on doc_id = vec_id here).
+
+    Determinism: both legs rank on exact quantities (decimal BM25
+    totals, integer quantized dots) with id tie-breaks, and the RRF
+    terms 1/(K+rank) are identical-operand IEEE divisions, so the
+    fused ordering is engine-exact. Absent legs report rank 0 (keeps
+    the column integral; the fused score contributes nothing). Shape:
+    each leg is its own bounded top-RRF_POOL (tiny), fused by a
+    doc_id full-outer join of two ≤RRF_POOL-row frames — free at any
+    corpus size."""
+    from timeseriesdb_spark.operators.similarity import (
+        QUANT_SCALE,
+        QUERY_VEC_ID,
+    )
+
+    scored = _bm25_scored(spark, sf_dir)
+    wt = Window.orderBy(F.col("score_d").desc(), F.col("doc_id"))
+    text_ranks = (
+        scored.withColumn("rank_text", F.row_number().over(wt))
+        .filter(F.col("rank_text") <= RRF_POOL)
+        .select("doc_id", "rank_text")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"),
+    )
+    emb_q = emb.withColumn("qe", qz)
+    probe = emb_q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qe").alias("qq")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wv = Window.orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    vec_ranks = (
+        emb_q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", qdot.alias("qdot"))
+        .withColumn("rank_vec", F.row_number().over(wv))
+        .filter(F.col("rank_vec") <= RRF_POOL)
+        .select(F.col("vec_id").alias("doc_id"), "rank_vec")
+    )
+
+    fused = text_ranks.join(vec_ranks, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_text")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("rank_text", F.lit(0)).alias("rank_text"),
+            F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
 QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_bm25": q_bm25,
+    "q_hybrid_rrf": q_hybrid_rrf,
 }
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-ORACLES = {
-    "q_inverted_index": f"""
-        WITH words AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents
-        ),
-        tf AS (
-            SELECT w, doc_id, count(*) AS tf FROM words
-            WHERE length(w) > 0 GROUP BY w, doc_id
-        ),
-        ranked AS (
-            SELECT w, doc_id,
-                   row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
-            FROM tf
-        )
-        SELECT s.w AS term, s.df, s.total_tf, h.postings_head
-        FROM (SELECT w, count(*) AS df,
-                     CAST(sum(tf) AS BIGINT) AS total_tf
-              FROM tf GROUP BY w) s
-        JOIN (SELECT w, string_agg(CAST(doc_id AS VARCHAR), ','
-                                   ORDER BY doc_id) AS postings_head
-              FROM ranked
-              WHERE rn <= {POSTINGS_HEAD} GROUP BY w) h
-        USING (w)
-    """,
-    "q_bm25": f"""
-        WITH words AS (
+# Shared BM25 CTE chain (words → … → scored) used by q_bm25 and the
+# q_hybrid_rrf text leg — one source, so the fragments cannot drift.
+_BM25_SCORED_CTES = f"""
+        words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
             FROM documents
         ),
@@ -201,6 +261,35 @@ ORACLES = {
             JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus
             GROUP BY tf.doc_id
         )
+"""
+
+ORACLES = {
+    "q_inverted_index": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT w, doc_id, count(*) AS tf FROM words
+            WHERE length(w) > 0 GROUP BY w, doc_id
+        ),
+        ranked AS (
+            SELECT w, doc_id,
+                   row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+            FROM tf
+        )
+        SELECT s.w AS term, s.df, s.total_tf, h.postings_head
+        FROM (SELECT w, count(*) AS df,
+                     CAST(sum(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY w) s
+        JOIN (SELECT w, string_agg(CAST(doc_id AS VARCHAR), ','
+                                   ORDER BY doc_id) AS postings_head
+              FROM ranked
+              WHERE rn <= {POSTINGS_HEAD} GROUP BY w) h
+        USING (w)
+    """,
+    "q_bm25": f"""
+        WITH {_BM25_SCORED_CTES}
         SELECT doc_id, CAST(score_d AS DOUBLE) AS score, rn
         FROM (SELECT doc_id, score_d,
                      row_number() OVER (ORDER BY score_d DESC, doc_id) AS rn
@@ -208,3 +297,64 @@ ORACLES = {
         WHERE rn <= {BM25_TOP}
     """,
 }
+
+
+def _rrf_oracle() -> str:
+    from timeseriesdb_spark.operators.similarity import (
+        DIM,
+        QUANT_SCALE,
+        QUERY_VEC_ID,
+    )
+
+    return f"""
+        WITH {_BM25_SCORED_CTES},
+        tr AS (
+            SELECT doc_id, rank_text FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score_d DESC, doc_id)
+                           AS rank_text
+                FROM scored)
+            WHERE rank_text <= {RRF_POOL}
+        ),
+        qv AS (
+            SELECT i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE})
+                        AS BIGINT) AS qx
+            FROM embeddings, range(1, {DIM + 1}) t(i)
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        vd AS (
+            SELECT e.vec_id,
+                   CAST(sum(CAST(round(CAST(e.embedding[t.ti] AS DOUBLE)
+                                       * {QUANT_SCALE}) AS BIGINT) * qv.qx)
+                        AS BIGINT) AS qdot
+            FROM embeddings e
+            CROSS JOIN range(1, {DIM + 1}) t(ti)
+            JOIN qv ON qv.i = t.ti
+            WHERE e.vec_id != {QUERY_VEC_ID}
+            GROUP BY e.vec_id
+        ),
+        vr AS (
+            SELECT vec_id AS doc_id, rank_vec FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY qdot DESC, vec_id)
+                           AS rank_vec
+                FROM vd)
+            WHERE rank_vec <= {RRF_POOL}
+        ),
+        fused AS (
+            SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+                   CAST(COALESCE(tr.rank_text, 0) AS BIGINT) AS rank_text,
+                   CAST(COALESCE(vr.rank_vec, 0) AS BIGINT) AS rank_vec,
+                   round(COALESCE(CAST(1.0 AS DOUBLE)
+                                  / ({RRF_K} + tr.rank_text), 0.0)
+                       + COALESCE(CAST(1.0 AS DOUBLE)
+                                  / ({RRF_K} + vr.rank_vec), 0.0), 6) AS rrf
+            FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+        )
+        SELECT doc_id, rank_text, rank_vec, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+ORACLES["q_hybrid_rrf"] = _rrf_oracle()

@@ -20,6 +20,7 @@ from timeseriesdb_spark.operators import (
     curation,
     dedup,
     filters,
+    funnels,
     joins,
     mlkernels,
     mlscoring,
@@ -44,6 +45,7 @@ _MODULES = [
     curation,
     dedup,
     filters,
+    funnels,
     joins,
     mlkernels,
     mlscoring,
