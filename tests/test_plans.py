@@ -226,3 +226,46 @@ def test_stl_two_corpus_shuffles(spark):
     df = QUERIES["q_stl_decompose"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
     assert "Python" not in plan, plan
+
+
+def test_m4_single_shuffle_jvm(spark):
+    # position window + bucket agg share the one signal-key exchange;
+    # min_by/max_by stay JVM-side
+    df = QUERIES["q_m4_downsample"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_dup_ngram_coverage_never_broadcasts_shingles(spark):
+    # the inverted-index df join must stay a shuffle join — a
+    # broadcast of the exploded shingle set dies at corpus scale
+    df = QUERIES["q_dup_ngram_coverage"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_countmin_rollup_single_shuffle_per_level(spark):
+    # cells → daily partials → merged: the generator explode adds no
+    # exchange; both aggs stay JVM-side
+    df = QUERIES["q_countmin_rollup"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 2, plan
+
+
+def test_funnel_stays_jvm_no_cartesian(spark):
+    df = QUERIES["q_funnel"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_broadcasts_tiny_legs(spark):
+    # both rank legs are ≤RRF_POOL rows; the fuse must not shuffle the
+    # corpus — no nested loop, no Python
+    df = QUERIES["q_hybrid_rrf"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,65 @@
+"""Streamed Count-Min maintenance parity: counter partials written
+per micro-batch, merged at read, must equal the one-pass batch sketch
+EXACTLY (CM is linear — partitioning the rows cannot change any
+counter), and every point estimate must dominate the exact count."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.api import SignalEngine
+from timeseriesdb_spark.operators.aggregates import (
+    CM_PROBE_KEYS,
+    q_countmin_estimate,
+)
+from timeseriesdb_spark.tables import load_table
+
+
+def test_streamed_cm_equals_batch_sketch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    edges = pd.date_range(lo, hi, periods=5)
+    for i in range(4):
+        chunk = ev.filter(
+            (F.col("ts") >= str(edges[i]))
+            & (F.col("ts") < str(edges[i + 1]) if i < 3 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    eng = SignalEngine(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = eng.maintain_frequency_stream(stream, sketch, ckpt)
+    q.awaitTermination(180)
+
+    got = (
+        eng.frequency_estimate(sketch, CM_PROBE_KEYS)
+        .toPandas()
+        .sort_values(["user_id", "key"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        q_countmin_estimate(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "key"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[["user_id", "key", "est_n"]],
+        exp[["user_id", "key", "est_n"]],
+        check_dtype=False,
+    )
+    # CM guarantee: estimates never under-count
+    assert (exp["est_n"] >= exp["exact_n"]).all()

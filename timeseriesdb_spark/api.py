@@ -280,6 +280,46 @@ class SignalEngine:
             .start()
         )
 
+    def maintain_frequency_stream(
+        self, stream: DataFrame, sketch_path: str, checkpoint: str
+    ):
+        """Incremental frequency-sketch maintenance — the Count-Min
+        twin of maintain_distinct_stream: each micro-batch writes its
+        per-(signal, day, depth, bucket) counter partials into its own
+        batch_id partition (idempotent under replay), and
+        frequency_estimate answers point queries by summing partials
+        then taking the min over depths. CM is linear, so the
+        partitioned partials ARE the sketch — streamed maintenance
+        equals the one-pass batch sketch exactly
+        (tests/test_streaming_sketches.py)."""
+        from timeseriesdb_spark.operators.aggregates import _cm_counters
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            _cm_counters(batch_df).write.mode("overwrite").parquet(
+                f"{sketch_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def frequency_estimate(self, sketch_path: str, keys) -> DataFrame:
+        """Per-signal Count-Min point estimates for `keys` from
+        maintained counter partials."""
+        from timeseriesdb_spark.operators.aggregates import (
+            cm_point_estimates,
+        )
+
+        merged = (
+            self.spark.read.parquet(sketch_path)
+            .groupBy("user_id", "depth", "bucket")
+            .agg(F.sum("partial_n").alias("n"))
+        )
+        return cm_point_estimates(self.spark, merged, keys)
+
     def distinct_estimate(self, sketch_path: str) -> DataFrame:
         """Per-signal distinct estimate from maintained sketches."""
         r = self.spark.read.parquet(sketch_path)

@@ -373,19 +373,14 @@ def q_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point queries against the merged sketch: for each probe item,
-    est = min over depth rows of its bucket counter — with the exact
-    count joined alongside, witnessing the CM guarantee est ≥ exact
-    (collisions only ever inflate). The probe side is a literal frame
-    (broadcast, no shuffle); at scale the sketch side reads the
-    persisted rollup instead of rebuilding it."""
-    ev = load_table(spark, sf_dir, "events")
-    merged = (
-        _cm_counters(ev)
-        .groupBy("user_id", "depth", "bucket")
-        .agg(F.sum("partial_n").alias("n"))
-    )
+def cm_point_estimates(
+    spark: SparkSession, merged: DataFrame, keys
+) -> DataFrame:
+    """Point queries against a merged CM counter frame (`user_id`,
+    `depth`, `bucket`, `n`): per probe item, est = min over depth rows
+    of its bucket counter. The probe side is a literal frame
+    (broadcast, no shuffle). Shared by q_countmin_estimate and the
+    engine's streamed-sketch read path (api.frequency_estimate)."""
     import hashlib
 
     probes = spark.createDataFrame(
@@ -395,13 +390,13 @@ def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d,
                 hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:CM_WIDTH_CHARS],
             )
-            for k in CM_PROBE_KEYS
+            for k in keys
             for d in range(CM_DEPTH)
         ],
         "key string, depth int, bucket string",
     )
     # a depth whose bucket has NO counter row is a zero counter → est 0
-    est = (
+    return (
         merged.join(F.broadcast(probes), ["depth", "bucket"])
         .groupBy("user_id", "key")
         .agg(
@@ -410,6 +405,21 @@ def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_n")
         )
     )
+
+
+def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point queries against the merged sketch: for each probe item,
+    est = min over depth rows of its bucket counter — with the exact
+    count joined alongside, witnessing the CM guarantee est ≥ exact
+    (collisions only ever inflate). At scale the sketch side reads the
+    persisted rollup instead of rebuilding it."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        _cm_counters(ev)
+        .groupBy("user_id", "depth", "bucket")
+        .agg(F.sum("partial_n").alias("n"))
+    )
+    est = cm_point_estimates(spark, merged, CM_PROBE_KEYS)
     exact = (
         ev.select("user_id", _cm_key().alias("key"))
         .where(F.col("key").isin([str(k) for k in CM_PROBE_KEYS]))
