@@ -33,6 +33,10 @@ HEADLINERS = [
     "q_domain_mix",      # one window shuffle + dimension broadcasts
     "q_chunk_documents", # zero-shuffle generator explode
     "q_incremental_neardup",  # band-key probe join, batch-sized state
+    "q_m4_downsample",   # one signal-key shuffle: window + bucket agg
+    "q_countmin_rollup", # generator explode + two-level partial agg
+    "q_hybrid_rrf",      # two bounded rank legs, tiny full-outer fuse
+    "q_funnel",          # conditional stage aggs over one user key
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -195,4 +195,34 @@ QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
 }
-ORACLES: dict[str, str] = {}  # stubbed decode → rows-only check
+
+
+def _hexbyte(pos: int) -> str:
+    """DuckDB expression for 0-based byte `pos` of the hex digest
+    column `hx` (pure strpos arithmetic — no base-conversion builtin
+    needed)."""
+    c1 = f"substr(hx, {2 * pos + 1}, 1)"
+    c2 = f"substr(hx, {2 * pos + 2}, 1)"
+    return (
+        f"((strpos('0123456789abcdef', {c1}) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {c2}) - 1))"
+    )
+
+
+# q_multimodal_meta IS oracle-checkable while the decode stub is the
+# deterministic sha256 fake: DuckDB's sha256(VARCHAR) hashes the same
+# UTF-8 bytes mapInPandas receives, so the metadata derivation mirrors
+# exactly. When REAL_DECODE flips to a real image decoder, DELETE this
+# oracle (the driver falls back to the rows-only check). resize/
+# features stay rows-only (their numpy kernels aren't SQL).
+ORACLES: dict[str, str] = {
+    "q_multimodal_meta": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(64 + {_hexbyte(0)} % 192 AS BIGINT) AS width,
+               CAST(64 + {_hexbyte(1)} % 192 AS BIGINT) AS height,
+               CASE {_hexbyte(2)} % 3 WHEN 0 THEN 'png'
+                    WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        FROM (SELECT doc_id, text, sha256(text) AS hx FROM documents)
+    """,
+}

@@ -156,6 +156,47 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROMO_TYPE = "ECONOMY"  # the Q14 "PROMO%" class in this catalog
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per ship-month, the share of revenue from one
+    part class — a conditional aggregate over the lineitem ⋈ part
+    broadcast join. Numerator and denominator are decimal sums
+    (order-exact); the share is one double division of two exact
+    quantities, so the percentage is engine-identical. At 100 TB:
+    part broadcasts (dimension-sized), lineitem streams once, the
+    month agg partial-aggregates map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(
+        F.lit(0.0)
+    )
+    month = F.date_trunc("month", F.col("l_shipdate"))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            dsum(promo_rev, "promo_revenue"),
+            dsum(rev, "total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue")
+                / F.col("total_revenue"),
+                6,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 orders by revenue for one market
     segment — broadcast-dim semi path + grouped agg + bounded top-k
@@ -195,6 +236,7 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_promo_revenue": q_promo_revenue,
     "q_forecast_revenue": q_forecast_revenue,
     "q_shipping_priority": q_shipping_priority,
     "q_pivot_event_types": q_pivot_event_types,
@@ -208,6 +250,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_promo_revenue": f"""
+        SELECT ship_month, promo_revenue, total_revenue,
+               round(CAST(100.0 AS DOUBLE) * promo_revenue
+                     / total_revenue, 6) AS promo_share_pct
+        FROM (
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   {dsum_sql(
+                       f"CASE WHEN p_type = '{PROMO_TYPE}' "
+                       "THEN l_extendedprice * (1 - l_discount) "
+                       "ELSE 0.0 END",
+                       "promo_revenue",
+                   )},
+                   {dsum_sql(
+                       "l_extendedprice * (1 - l_discount)",
+                       "total_revenue",
+                   )}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        )
+    """,
     "q_forecast_revenue": f"""
         SELECT {dsum_sql("l_extendedprice * l_discount", "revenue")}
         FROM lineitem

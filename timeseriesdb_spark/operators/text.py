@@ -14,7 +14,7 @@ any Python UDF in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.tables import load_table
@@ -254,6 +254,59 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_MIN_CONTEXT = 50  # min context-word occurrences to emit predictions
+LM_TOP = 3           # next-word candidates per context
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model head: for each frequent context word, the
+    top next-word candidates with conditional probability
+    p(w2|w1) = c(w1 w2)/c(w1 ·) — the count-based LM table a
+    next-token-prediction pipeline materializes (the probability twin
+    of q_pmi_bigrams' association score: PMI ranks collocations,
+    this predicts continuations).
+
+    Counts are exact integers; p is one integer/integer double
+    division (engine-identical); the per-context top-k is a
+    row_number over (count DESC, w2) — fully deterministic. Context
+    totals come from counting bigram STARTS (not unigrams), so the
+    probabilities sum to 1 per emitted context. Two shuffles: the
+    bigram agg, then the per-context window on the same w1 key."""
+    from timeseriesdb_spark.operators.common import array_ngrams
+
+    doc = load_table(spark, sf_dir, "documents")
+    warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    bigrams = doc.select(F.explode(array_ngrams(warr, 2)).alias("bg"))
+    parts = F.split("bg", " ")
+    bi = (
+        bigrams.select(
+            parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_pair"))
+    )
+    wc = Window.partitionBy("w1")
+    wr = Window.partitionBy("w1").orderBy(
+        F.col("c_pair").desc(), F.col("w2")
+    )
+    return (
+        bi.withColumn("c_ctx", F.sum("c_pair").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter((F.col("c_ctx") >= LM_MIN_CONTEXT) & (F.col("rn") <= LM_TOP))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_ctx",
+            (
+                F.col("c_pair").cast("double")
+                / F.col("c_ctx").cast("double")
+            ).alias("p_next"),
+            "rn",
+        )
+    )
+
+
 OVERLAP_N = 3  # word n-gram width for the source-overlap matrix
 
 
@@ -442,6 +495,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_regex_tokens": q_regex_tokens,
     "q_pmi_bigrams": q_pmi_bigrams,
+    "q_bigram_lm": q_bigram_lm,
     "q_source_overlap": q_source_overlap,
     "q_hashing_features": q_hashing_features,
     "q_idf_rarity": q_idf_rarity,
@@ -517,6 +571,42 @@ ORACLES = {
         JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
         JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
         CROSS JOIN nu CROSS JOIN nb
+    """,
+    "q_bigram_lm": f"""
+        WITH toks AS (
+            SELECT doc_id, w, i FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        clean AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+            FROM toks
+        ),
+        pairs AS (
+            SELECT w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY j) AS w2
+            FROM clean
+        ),
+        bi AS (
+            SELECT w1, w2, count(*) AS c_pair FROM pairs
+            WHERE w2 IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair,
+                   CAST(sum(c_pair) OVER (PARTITION BY w1) AS BIGINT)
+                       AS c_ctx,
+                   row_number() OVER (PARTITION BY w1
+                                      ORDER BY c_pair DESC, w2) AS rn
+            FROM bi
+        )
+        SELECT w1, w2, c_pair, c_ctx,
+               CAST(c_pair AS DOUBLE) / c_ctx AS p_next,
+               CAST(rn AS INT) AS rn
+        FROM r WHERE c_ctx >= {LM_MIN_CONTEXT} AND rn <= {LM_TOP}
     """,
     "q_unigram_logprob": """
         WITH words AS (
