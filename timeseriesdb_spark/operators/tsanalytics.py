@@ -332,6 +332,63 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (signal, day): trapezoidal
+    integration over irregular samples — Σ (v_i + v_{i−1})/2 · Δt_i
+    divided by the covered span. THE aggregate a plain avg() gets
+    wrong on irregular series (a burst of samples at one level must
+    not outweigh a long quiet stretch); the canonical TSDB operator
+    (Influx/Timescale time_weight) the reference's regular-rate
+    generators never needed.
+
+    Exactness chain — PURE INTEGER accumulation (no per-row round of
+    an arbitrary double, which ties at grid boundaries): values sit on
+    the 0.01 grid, so v·100 is an exact bigint, Δt is integer µs, each
+    trapezoid term (v+pv)·Δt_us is a bigint product, and the day sums
+    are bigint — associative, overflow-safe (≤ 1e5 value-units × µs
+    per covered second), engine-identical at any parallelism. The only
+    float ops are two final divisions of identical operands. One
+    signal-key window shuffle; the day grouping reuses it.
+    Day-boundary segments attribute to the later row's day (the
+    counter_rate convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    vu = F.round(F.col("value") * 100).cast("long")  # exact: 0.01 grid
+    prev_vu = F.lag(vu).over(w)
+    prev_us = F.lag(us).over(w)
+    dt_us = us - prev_us
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            ((vu + prev_vu) * dt_us).alias("term_u"),
+            F.coalesce(dt_us, F.lit(0)).alias("dt_us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("term_u").alias("_tu"),
+            F.sum("dt_us").alias("_du"),
+        )
+        .where(F.col("_du") > 0)
+        .select(
+            "user_id",
+            "day",
+            # term_u is in (value·100)·µs; /2 (trapezoid) /100 /1e6
+            (F.col("_tu").cast("double") / F.lit(2e8)).alias(
+                "weighted_area"
+            ),
+            (F.col("_du").cast("double") / F.lit(1e6)).alias("span_s"),
+            F.round(
+                (F.col("_tu").cast("double") / F.lit(200.0))
+                / F.col("_du").cast("double"),
+                6,
+            ).alias("twa"),
+        )
+    )
+
+
 QUERIES = {
     "q_counter_rate": q_counter_rate,
     "q_follow_window": q_follow_window,
@@ -339,6 +396,7 @@ QUERIES = {
     "q_histogram_rollup": q_histogram_rollup,
     "q_stl_decompose": q_stl_decompose,
     "q_holt_forecast": q_holt_forecast,
+    "q_time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLES = {
@@ -380,6 +438,28 @@ ORACLES = {
         SELECT d.user_id, d.event_id, d.trend, s.seasonal,
                round(d.detr - s.seasonal, 6) + 0.0 AS resid
         FROM d JOIN s ON d.user_id = s.user_id AND d.hr = s.hr
+    """,
+    "q_time_weighted_avg": """
+        WITH d AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS vu,
+                   lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pvu,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+            SELECT user_id, day,
+                   CAST(sum((vu + pvu) * dt_us) AS BIGINT) AS tu,
+                   CAST(sum(COALESCE(dt_us, 0)) AS BIGINT) AS du
+            FROM d GROUP BY user_id, day
+        )
+        SELECT user_id, day,
+               CAST(tu AS DOUBLE) / 200000000 AS weighted_area,
+               CAST(du AS DOUBLE) / 1000000 AS span_s,
+               round((CAST(tu AS DOUBLE) / 200)
+                     / CAST(du AS DOUBLE), 6) AS twa
+        FROM g WHERE du > 0
     """,
     "q_counter_rate": """
         WITH d AS (
