@@ -11,7 +11,7 @@ min-filters in ONE grouped pass per step, not N scans)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.tables import load_table
@@ -101,9 +101,99 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAU_DAYS = 7  # trailing window for weekly-active
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup per day: DAU, trailing-7-day WAU, and the
+    stickiness ratio DAU/WAU — computed EXACTLY (not sketched) by
+    contributing each distinct (user, active-day) pair to the 7
+    report days it keeps the user "weekly active" for, then counting
+    distinct users per report day. The explode factor is the window
+    length (a constant), so this is O(7·pairs) — the exact-WAU shape
+    that avoids a range self-join; at larger windows (MAU=30) the
+    same plan holds, and past that the HLL sketch rollup
+    (q_distinct_hll) is the answer.
+
+    Report days are clipped to the observed activity span so no
+    report row is built from a partial window's future. Ratio is one
+    double division of two exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {WAU_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    span = pairs.agg(F.max("day").alias("d1")).first()
+    wau = (
+        contrib.filter(F.col("report_day") <= F.lit(span["d1"]))
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.report_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: counts and conditional
+    probabilities of consecutive (prev → next) event types within each
+    user's stream — the Markov/Sankey view of user behavior
+    (q_funnel fixes one path; this measures all of them).
+
+    One signal-key window (lag over (ts, event_id)) feeds a tiny
+    (from_type, to_type) aggregation — at most |types|² rows out.
+    Probabilities are integer/integer divisions per row, engine-exact;
+    per from_type they sum to 1."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
+    "q_active_users": q_active_users,
+    "q_event_transitions": q_event_transitions,
 }
 
 _S1, _S2, _S3 = FUNNEL_STAGES
@@ -134,6 +224,51 @@ ORACLES = {
         FROM t1
         LEFT JOIN t2 USING (user_id)
         LEFT JOIN t3 USING (user_id)
+    """,
+    "q_event_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY from_type)
+                            AS DOUBLE), 6) AS p
+        FROM counts
+    """,
+    "q_active_users": f"""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        dau AS (
+            SELECT day, count(DISTINCT user_id) AS dau
+            FROM pairs GROUP BY day
+        ),
+        contrib AS (
+            SELECT user_id,
+                   unnest(generate_series(day,
+                       day + INTERVAL {WAU_DAYS - 1} DAY,
+                       INTERVAL 1 DAY)) AS report_day
+            FROM pairs
+        ),
+        wau AS (
+            SELECT report_day, count(DISTINCT user_id) AS wau
+            FROM contrib
+            WHERE report_day <= (SELECT max(day) FROM pairs)
+            GROUP BY report_day
+        )
+        SELECT d.day, d.dau, w.wau,
+               round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.report_day
     """,
     "q_retention_cohorts": f"""
         WITH cohort AS (
