@@ -164,9 +164,84 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MP_WINDOW = 16  # matrix-profile subsequence length
+
+
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile per signal: for every length-MP_WINDOW
+    subsequence, the z-normalized Euclidean distance to its nearest
+    non-trivial neighbor in the same signal, plus that neighbor's
+    position — THE modern motif/discord primitive (low profile =
+    repeated motif, high profile = anomaly/discord), the natural
+    endpoint of the reference's kNN-over-subsequences direction
+    (knn/mod.rs squared-L2 classify).
+
+    Kernel: one gram-matrix pass per signal (stride-tricked
+    subsequence matrix, S·Sᵀ, the standard z-norm distance identity,
+    ±window/2 trivial-match exclusion) — O(n²) inside numpy's BLAS,
+    fine for per-signal chunk sizes; at 100 TB the same kernel runs
+    per (signal, day-chunk) with STOMP-style streaming dot-product
+    updates, same plan shape. Flat/constant subsequences (σ=0) get a
+    NaN-safe conventional distance (sqrt(2m)) like production MP
+    libraries. Rows-only check; pytest plants a motif and pins the
+    profile at its two sites to ~0 pointing at each other."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    m = MP_WINDOW
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        k = n - m + 1
+        uid = pdf["user_id"].iloc[0]
+        if k <= max(1, m // 2) + 1:  # exclusion zone would cover every row
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                    "mp": pd.Series(dtype="float64"),
+                    "mp_idx": pd.Series(dtype="int64"),
+                }
+            )
+        S = np.lib.stride_tricks.sliding_window_view(x, m)  # (k, m)
+        mu = S.mean(axis=1)
+        sd = S.std(axis=1)
+        flat = sd < 1e-12
+        sd_safe = np.where(flat, 1.0, sd)
+        G = S @ S.T  # gram matrix of raw subsequences
+        # z-norm distance identity: d²(i,j) = 2m(1 − (G − m·μiμj)/(m·σiσj))
+        corr = (G - m * np.outer(mu, mu)) / (m * np.outer(sd_safe, sd_safe))
+        corr = np.clip(corr, -1.0, 1.0)
+        d = np.sqrt(2 * m * (1.0 - corr))
+        d[flat, :] = np.sqrt(2 * m)  # σ=0 convention
+        d[:, flat] = np.sqrt(2 * m)
+        both_flat = np.ix_(flat.nonzero()[0], flat.nonzero()[0])
+        d[both_flat] = 0.0
+        excl = max(1, m // 2)
+        for off in range(-excl, excl + 1):
+            idx = np.arange(max(0, -off), min(k, k - off))
+            d[idx, idx + off] = np.inf  # trivial-match zone
+        mp_idx = d.argmin(axis=1)
+        mp = d[np.arange(k), mp_idx]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(k, uid, dtype=np.int64),
+                "pos": np.arange(k, dtype=np.int64),
+                "mp": np.round(mp, 6),
+                "mp_idx": mp_idx.astype(np.int64),
+            }
+        )
+
+    return packed_grouped_map(
+        ev, profile, "user_id bigint, pos bigint, mp double, mp_idx bigint"
+    )
+
+
 QUERIES = {
     "q_fft_recon": q_fft_recon,
     "q_pla_lttb": q_pla_lttb,
+    "q_matrix_profile": q_matrix_profile,
 }
 
 ORACLES: dict[str, str] = {}  # non-SQL-expressible → rows-only checks
