@@ -226,3 +226,46 @@ def test_semdedup_keepers_have_no_close_cellmates(spark):
             if cells[i] == cells[j] and ids[i] < v and cos[i, j] >= NEARDUP_COS
         ]
         assert mates, f"dropped {v} has no close smaller-id cell-mate"
+
+
+def test_dtw_band0_equals_l2_knn(spark):
+    """Sakoe-Chiba band radius 0 restricts the DTW path to the
+    diagonal, so squared DTW == squared L2 — predictions and distances
+    must match q_knn_1nn exactly."""
+    from timeseriesdb_spark.operators.similarity import dtw_1nn, q_knn_1nn
+
+    l2 = (
+        q_knn_1nn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("test_id")
+        .reset_index(drop=True)
+    )
+    d0 = (
+        dtw_1nn(spark, SF_DIR, band=0)
+        .toPandas()
+        .sort_values("test_id")
+        .reset_index(drop=True)
+    )
+    assert len(l2) == len(d0) > 0
+    assert (l2["pred_label"] == d0["pred_label"]).all()
+    assert (l2["dist2"] == d0["dtw2"]).all()
+
+
+def test_dtw_banded_never_exceeds_l2(spark):
+    """Widening the band can only relax the alignment: banded DTW
+    distance ≤ L2 distance per test row."""
+    from timeseriesdb_spark.operators.similarity import q_dtw_1nn, q_knn_1nn
+
+    l2 = (
+        q_knn_1nn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("test_id")
+        .reset_index(drop=True)
+    )
+    dt = (
+        q_dtw_1nn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("test_id")
+        .reset_index(drop=True)
+    )
+    assert (dt["dtw2"] <= l2["dist2"] + 1e-3).all()
