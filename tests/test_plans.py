@@ -262,6 +262,35 @@ def test_funnel_stays_jvm_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_postings_store_partition_pruning(spark, tmp_path):
+    # stored inverted index: term-prefix directories prune, term
+    # predicate pushes down, and the probe equals the direct count
+    from timeseriesdb_spark.operators.search import (
+        postings_probe,
+        write_postings_store,
+    )
+    from timeseriesdb_spark.operators.search import _words
+
+    path = str(tmp_path / "postings")
+    doc = load_table(spark, SF_DIR, "documents")
+    write_postings_store(doc, path)
+
+    terms = ["query", "merge"]
+    probe = postings_probe(spark, path, terms)
+    plan = checks.formatted_plan(probe)
+    assert "pfx" in plan
+    pushed = " ".join(checks.pushed_filters(probe))
+    assert "w" in pushed, pushed
+    direct = (
+        _words(doc)
+        .filter(F.col("w").isin(terms))
+        .groupBy("w", "doc_id")
+        .count()
+        .count()
+    )
+    assert probe.count() == direct > 0
+
+
 def test_hybrid_rrf_broadcasts_tiny_legs(spark):
     # both rank legs are ≤RRF_POOL rows; the fuse must not shuffle the
     # corpus — no nested loop, no Python

@@ -64,3 +64,32 @@ def test_read_dict(spark, tmp_path):
     df = clients.read_dict(spark, str(p))
     feats = [r.features for r in df.orderBy("row_id").collect()]
     assert feats == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+
+
+def test_register_views_sql_session(spark):
+    """The SQL front door: after register_views, any ANSI query over
+    the star schema runs through spark.sql — including joins and
+    window functions over the normalized events timestamps."""
+    from timeseriesdb_spark.tables import TABLES, register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    for t in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").first()["n"] > 0
+    row = spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_cust DESC, n_name LIMIT 1
+        """
+    ).first()
+    assert row["n_cust"] > 0
+    lagged = spark.sql(
+        """
+        SELECT user_id, ts,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events LIMIT 5
+        """
+    ).collect()
+    assert len(lagged) == 5

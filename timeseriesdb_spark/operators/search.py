@@ -146,6 +146,45 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_postings_store(doc: DataFrame, path: str) -> None:
+    """Stored inverted index: full (term, doc_id, tf) postings laid
+    out as parquet partitioned by 2-char TERM PREFIX — the
+    materialization q_inverted_index's bounded result points at. The
+    prefix keeps directory count bounded (alphabet², independent of
+    vocab size) while a term probe prunes to one directory; within a
+    partition rows sort by (term, doc_id), so row-group min/max stats
+    narrow the scan to the probed term's groups. Same design as the
+    stored-IVF layout (similarity.write_ivf_store): the index
+    structure IS the partition scheme."""
+    tf = (
+        _words(doc)
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("pfx", F.substring("w", 1, 2))
+    )
+    (
+        tf.repartition("pfx")
+        .sortWithinPartitions("pfx", "w", "doc_id")
+        .write.partitionBy("pfx")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def postings_probe(spark: SparkSession, path: str, terms: list[str]) -> DataFrame:
+    """Read the postings of `terms` from a write_postings_store layout:
+    the prefix predicate becomes PartitionFilters (directories never
+    opened), the term predicate reaches PushedFilters (row-group
+    pruning within the partition)."""
+    pfx = sorted({t[:2] for t in terms})
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("pfx").isin(pfx))
+        .filter(F.col("w").isin(terms))
+        .select("w", "doc_id", "tf")
+    )
+
+
 RRF_K = 60     # reciprocal-rank-fusion damping constant
 RRF_POOL = 20  # per-leg candidate pool depth
 RRF_TOP = 10   # fused results returned
