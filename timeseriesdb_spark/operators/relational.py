@@ -235,8 +235,185 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items (l_returnflag = 'R') with their nation. The returnflag
+    filter is pushed to the lineitem scan; orders/customer/nation
+    broadcast; bounded top-k via TakeOrderedAndProject. Decimal
+    revenue makes the rank (and thus the top-20 set) deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, "lost_revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+TOP_SUPP_START, TOP_SUPP_END = "1996-01-01", "1996-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter. The per-supplier aggregate is supplier-cardinality-sized,
+    so the max is taken over a tiny relation and equality-joined back
+    (broadcast) — never a global window over the fact table. Exact
+    decimal revenue means 'equals the max' is well-defined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    by_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TOP_SUPP_START))
+            & (F.col("l_shipdate") < F.lit(TOP_SUPP_END))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(rev, "total_revenue"))
+    )
+    top = by_supp.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        by_supp.join(
+            F.broadcast(top),
+            by_supp.total_revenue == F.col("max_rev"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            by_supp.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+LARGE_ORDER_QTY = 300  # sum(l_quantity) threshold (Q18's "large")
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with the buying customer. The HAVING runs on the
+    order-grain partial aggregate (map-side combinable); only the
+    few qualifying orderkeys join back to orders/customer
+    (broadcast). Integer quantity sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(isum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(
+            F.broadcast(
+                orders.select(
+                    "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+                )
+            ),
+            big.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+EXCL_BRAND = "Brand#1"  # Q16's excluded brand in this catalog
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to ship each
+    (brand, type, size) part class, excluding one brand — here the
+    part⇄supplier relation comes from observed lineitems (no partsupp
+    table in this catalog). count_distinct shuffles (brand,type,size,
+    suppkey) pairs — already deduplicated map-side — never raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != EXCL_BRAND
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SHARE_NATION = "NATION_3"  # the "market share of ..." subject nation
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the share of total revenue
+    shipped by suppliers of one nation — a conditional aggregate over
+    lineitem ⋈ orders ⋈ supplier ⋈ nation. Both sums are decimal, so
+    the share divides two exact quantities (engine-identical). At
+    100 TB orders would be the one shuffle join; supplier/nation
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    s_nat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    nat_rev = F.when(F.col("n_name") == SHARE_NATION, rev).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(nat_rev, "nation_revenue"), dsum(rev, "total_revenue"))
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(
+                F.col("nation_revenue") / F.col("total_revenue"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
 QUERIES = {
     "q_promo_revenue": q_promo_revenue,
+    "q_returned_items": q_returned_items,
+    "q_top_supplier": q_top_supplier,
+    "q_large_orders": q_large_orders,
+    "q_supplier_part_counts": q_supplier_part_counts,
+    "q_market_share": q_market_share,
     "q_forecast_revenue": q_forecast_revenue,
     "q_shipping_priority": q_shipping_priority,
     "q_pivot_event_types": q_pivot_event_types,
@@ -250,6 +427,73 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_returned_items": f"""
+        SELECT c_custkey, c_name, n_name,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "lost_revenue")},
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(38,6))) DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_top_supplier": f"""
+        WITH r AS (
+            SELECT l_suppkey,
+                   {dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{TOP_SUPP_START}'
+              AND l_shipdate <  TIMESTAMP '{TOP_SUPP_END}'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+    """,
+    "q_large_orders": f"""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM (
+            SELECT l_orderkey, {isum_sql("l_quantity", "sum_qty")}
+            FROM lineitem GROUP BY l_orderkey
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE sum_qty > {LARGE_ORDER_QTY}
+    """,
+    "q_supplier_part_counts": f"""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> '{EXCL_BRAND}'
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q_market_share": f"""
+        SELECT o_year, nation_revenue, total_revenue,
+               round(nation_revenue / total_revenue, 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {dsum_sql(
+                       f"CASE WHEN n_name = '{SHARE_NATION}' "
+                       "THEN l_extendedprice * (1 - l_discount) "
+                       "ELSE 0.0 END",
+                       "nation_revenue",
+                   )},
+                   {dsum_sql(
+                       "l_extendedprice * (1 - l_discount)",
+                       "total_revenue",
+                   )}
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        )
+    """,
     "q_promo_revenue": f"""
         SELECT ship_month, promo_revenue, total_revenue,
                round(CAST(100.0 AS DOUBLE) * promo_revenue
