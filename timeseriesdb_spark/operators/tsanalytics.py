@@ -389,8 +389,196 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick bars per (signal, day) —
+    the financial/monitoring downsample every TSDB ships
+    (Influx FIRST/LAST/MIN/MAX, Timescale candlestick_agg); the
+    richer sibling of the reference's per-segment AggStats
+    (buffer_pool.rs:757-790: min/max/sum/count but no endpoints).
+
+    First/last need a deterministic total order: row_number over
+    (ts, event_id) both directions inside the one (signal, day)
+    window shuffle; min/max/count ride the same grouping. Values pass
+    through untouched (no float arithmetic), so the bars are exact.
+    At 100 TB this runs per time-partition with the same plan — the
+    window and the groupBy share one partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    wa = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            "value",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
+SLO_LONG_S = 21600  # long burn window: 6 hours, in epoch seconds
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (the Google SRE workbook alert
+    shape): per hour, the error-event ratio, the enclosing 6-hour
+    window's ratio, and burn = short/long — a fast-burning error
+    budget shows burn ≫ 1 while the long window is still calm.
+
+    Both rates divide exact integer counts, and the 6-hour aggregate
+    is window-count-sized, so it broadcasts back onto the hour rows
+    (no second fact shuffle). The 6-h bucket is emitted as epoch
+    seconds (BIGINT) — timezone-free and engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("long")
+    win6 = (
+        F.expr(f"unix_micros(ts) div {SLO_LONG_S * 1_000_000}") * SLO_LONG_S
+    ).alias("win6")
+    hourly = (
+        ev.select(F.date_trunc("hour", "ts").alias("hour"), win6, is_err.alias("e"))
+        .groupBy("hour", "win6")
+        .agg(F.sum("e").alias("err_1h"), F.count("*").alias("tot_1h"))
+    )
+    long = (
+        ev.select(win6, is_err.alias("e"))
+        .groupBy("win6")
+        .agg(F.sum("e").alias("err_6h"), F.count("*").alias("tot_6h"))
+    )
+    rate_1h = F.col("err_1h") / F.col("tot_1h")
+    rate_6h = F.col("err_6h") / F.col("tot_6h")
+    return (
+        hourly.join(F.broadcast(long), "win6")
+        .select(
+            "hour",
+            "win6",
+            "err_1h",
+            "tot_1h",
+            F.round(rate_1h, 6).alias("rate_1h"),
+            F.round(rate_6h, 6).alias("rate_6h"),
+            # NULL burn when the long window saw zero errors (rate_6h=0)
+            F.round(rate_1h / F.nullif(rate_6h, F.lit(0.0)), 6).alias("burn"),
+        )
+    )
+
+
+XCORR_TOP = 4   # signals entering the pairwise scan
+XCORR_LAGS = 4  # lags tested: 0..3 rows
+
+
+def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag detection between signal pairs: for the
+    top-4 signals by sample count, Pearson correlation of the
+    row-aligned series at lags 0..3, reporting each pair's best lag —
+    the "does A lead B?" diagnostic behind alert root-causing
+    (the reference's kernel/LCCE NCCC machinery, kernel.rs:22-240 /
+    lcce.rs:15-100, is this computation against a dictionary; here it
+    runs signal-vs-signal inside the engine).
+
+    Exactness: values sit on the 0.01 grid → ×100 bigint units; all
+    five correlation moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    bigints (order-free, overflow-safe: ≤1e16 ≪ 2⁶³); the final
+    Pearson formula is IEEE-identical in both engines from identical
+    integer inputs (sqrt/division are correctly-rounded ops). The
+    rank over (corr desc, lag) is therefore also engine-identical.
+
+    Scale: only the top-k signals' rows survive the broadcast
+    semi-join, each series shuffles once for its row_number, and the
+    lag alignment is lead() inside the same window — the pair join is
+    k²-bounded, never fact×fact."""
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(XCORR_TOP)
+        .select("user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = (
+        ev.join(F.broadcast(top), "user_id", "semi")
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.col("value") * 100).cast("long").alias("vu"),
+        )
+    )
+    leads = series.select(
+        F.col("user_id").alias("ub"),
+        "rn",
+        *[
+            F.lead("vu", k).over(
+                Window.partitionBy("user_id").orderBy("rn")
+            ).alias(f"v{k}")
+            for k in range(XCORR_LAGS)
+        ],
+    )
+    a = series.select(
+        F.col("user_id").alias("ua"), "rn", F.col("vu").alias("x")
+    )
+    joined = a.join(leads, ["rn"]).where(F.col("ua") < F.col("ub"))
+    lagged = joined.select(
+        "ua",
+        "ub",
+        "x",
+        F.stack(
+            F.lit(XCORR_LAGS),
+            *[
+                e
+                for k in range(XCORR_LAGS)
+                for e in (F.lit(k), F.col(f"v{k}"))
+            ],
+        ).alias("lag", "y"),
+    ).where(F.col("y").isNotNull())
+    m = (
+        lagged.groupBy("ua", "ub", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    corr = F.coalesce(num / F.nullif(den, F.lit(0.0)), F.lit(-2.0))
+    scored = m.select("ua", "ub", "lag", "n", corr.alias("corr"))
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("ua", "ub").orderBy(
+                F.col("corr").desc(), F.col("lag")
+            )
+        ),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "ua", "ub", F.col("lag").alias("best_lag"), "n", "corr"
+    )
+
+
 QUERIES = {
     "q_counter_rate": q_counter_rate,
+    "q_ohlc": q_ohlc,
+    "q_slo_burn": q_slo_burn,
+    "q_xcorr_lag": q_xcorr_lag,
     "q_follow_window": q_follow_window,
     "q_ewma": q_ewma,
     "q_histogram_rollup": q_histogram_rollup,
@@ -400,6 +588,105 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ohlc": """
+        SELECT user_id, day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_samples
+        FROM (
+            SELECT user_id, date_trunc('day', ts) AS day, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY user_id, day
+    """,
+    "q_slo_burn": f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   (epoch_us(ts) // {SLO_LONG_S * 1_000_000})
+                       * {SLO_LONG_S} AS win6,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS err_1h,
+                   count(*) AS tot_1h
+            FROM events GROUP BY 1, 2
+        ),
+        l AS (
+            SELECT (epoch_us(ts) // {SLO_LONG_S * 1_000_000})
+                       * {SLO_LONG_S} AS win6,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS err_6h,
+                   count(*) AS tot_6h
+            FROM events GROUP BY 1
+        )
+        SELECT hour, h.win6, err_1h, tot_1h,
+               round(err_1h / CAST(tot_1h AS DOUBLE), 6) AS rate_1h,
+               round(err_6h / CAST(tot_6h AS DOUBLE), 6) AS rate_6h,
+               round((err_1h / CAST(tot_1h AS DOUBLE))
+                     / NULLIF(err_6h / CAST(tot_6h AS DOUBLE), 0.0),
+                     6) AS burn
+        FROM h JOIN l ON h.win6 = l.win6
+    """,
+    "q_xcorr_lag": f"""
+        WITH top AS (
+            SELECT user_id FROM events GROUP BY user_id
+            ORDER BY count(*) DESC, user_id LIMIT {XCORR_TOP}
+        ),
+        s AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CAST(round(value * 100) AS BIGINT) AS vu
+            FROM events WHERE user_id IN (SELECT user_id FROM top)
+        ),
+        l AS (
+            SELECT user_id AS ub, rn, vu AS v0,
+                   lead(vu, 1) OVER w AS v1,
+                   lead(vu, 2) OVER w AS v2,
+                   lead(vu, 3) OVER w AS v3
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+        ),
+        j AS (
+            SELECT a.user_id AS ua, l.ub, a.vu AS x, l.v0, l.v1, l.v2, l.v3
+            FROM s a JOIN l ON a.rn = l.rn AND a.user_id < l.ub
+        ),
+        p AS (
+            SELECT ua, ub, x, 0 AS lag, v0 AS y FROM j
+            UNION ALL SELECT ua, ub, x, 1 AS lag, v1 FROM j
+            UNION ALL SELECT ua, ub, x, 2 AS lag, v2 FROM j
+            UNION ALL SELECT ua, ub, x, 3 AS lag, v3 FROM j
+        ),
+        m AS (
+            SELECT ua, ub, lag, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM p WHERE y IS NOT NULL GROUP BY ua, ub, lag
+        ),
+        c AS (
+            SELECT ua, ub, lag, n,
+                   COALESCE(
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / NULLIF(
+                           sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+                           0.0),
+                       -2.0) AS corr
+            FROM m
+        )
+        SELECT ua, ub, lag AS best_lag, n, corr
+        FROM (SELECT *, row_number() OVER (PARTITION BY ua, ub
+                        ORDER BY corr DESC, lag) AS rk FROM c)
+        WHERE rk = 1
+    """,
     "q_stl_decompose": f"""
         WITH base AS (
             SELECT user_id, event_id, hour(ts) AS hr, value,
