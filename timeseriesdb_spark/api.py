@@ -306,6 +306,37 @@ class SignalEngine:
             .start()
         )
 
+    def maintain_ohlc_stream(
+        self, stream: DataFrame, bars_path: str, checkpoint: str
+    ):
+        """Incremental OHLC candlestick maintenance — the endpoint
+        (first/last) twin of maintain_rollup_stream: each micro-batch
+        writes per-(signal, day) OHLC partials (endpoint values carried
+        inside lexicographic struct min/max keys) into its own batch_id
+        partition, idempotent under foreachBatch replay. ohlc_bars
+        merges partials at read — associative, so streamed maintenance
+        equals the one-pass batch bars EXACTLY
+        (tests/test_streaming_ohlc.py)."""
+        from timeseriesdb_spark.operators.tsanalytics import ohlc_partials
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            ohlc_partials(batch_df).write.mode("overwrite").parquet(
+                f"{bars_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def ohlc_bars(self, bars_path: str) -> DataFrame:
+        """Merged OHLC bars from maintained partials."""
+        from timeseriesdb_spark.operators.tsanalytics import merge_ohlc
+
+        return merge_ohlc(self.spark.read.parquet(bars_path))
+
     def frequency_estimate(self, sketch_path: str, keys) -> DataFrame:
         """Per-signal Count-Min point estimates for `keys` from
         maintained counter partials."""

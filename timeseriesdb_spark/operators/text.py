@@ -492,6 +492,163 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", prefix.alias("hash_prefix"), split.alias("split"))
 
 
+ZIPF_TOP = 30  # head terms entering the log-log fit
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank)
+    over the top-30 terms — the corpus-health diagnostic (natural text
+    sits near slope ≈ −1; templated/spammy crawls flatten it).
+
+    The fit runs on the source's head vocabulary (a top-k per group,
+    bounded rows), never the full term table. Exactness: ln() of
+    identical doubles is engine-identical in practice; each moment is
+    rounded to the 1e-9 grid and decimal-summed, so the OLS formula
+    divides bit-identical inputs."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    rk = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w"))
+    ranked = counts.withColumn("rank", F.row_number().over(rk)).where(
+        F.col("rank") <= ZIPF_TOP
+    )
+    lx = F.round(F.log(F.col("rank").cast("double")), 9)
+    ly = F.round(F.log(F.col("c").cast("double")), 9)
+    d9 = "decimal(38,9)"
+    m = (
+        ranked.select("source", lx.alias("lx"), ly.alias("ly"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("lx").cast(d9)).cast("double").alias("sx"),
+            F.sum(F.col("ly").cast(d9)).cast("double").alias("sy"),
+            F.sum(F.round(F.col("lx") * F.col("ly"), 9).cast(d9))
+            .cast("double")
+            .alias("sxy"),
+            F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast(d9))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+
+
+def q_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    sources' document-length distributions — the drift test a corpus
+    pipeline runs on every new crawl against the reference corpus.
+
+    D = max |ECDF_a − ECDF_b| computed as pure integer arithmetic:
+    per distinct length, per-source counts; cumulative counts c1, c2;
+    the max of |c1·n2 − c2·n1| (bigint, exact) divided once by n1·n2.
+    The ordered cumulative runs over the distribution SUPPORT
+    (distinct lengths — bounded, nothing like row count), so the
+    single-partition window is aggregate-sized, same as any final
+    top-k. One scan, one narrow shuffle."""
+    doc = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    )
+    b = doc.groupBy("n_chars").agg(
+        F.sum((F.col("source") == KS_SRC_A).cast("long")).alias("c1"),
+        F.sum((F.col("source") == KS_SRC_B).cast("long")).alias("c2"),
+    )
+    tot = b.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = b.select(
+        F.sum("c1").over(w).alias("u1"), F.sum("c2").over(w).alias("u2")
+    ).crossJoin(F.broadcast(tot))
+    return (
+        cum.select(
+            "n1",
+            "n2",
+            F.abs(F.col("u1") * F.col("n2") - F.col("u2") * F.col("n1")).alias(
+                "d"
+            ),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("d").alias("ks_num"))
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            F.round(
+                F.col("ks_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+GROWTH_BUCKET = 50  # documents per growth-curve point
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per source: as documents
+    accumulate (in doc_id order, bucketed 50 docs per point), the
+    cumulative token count and cumulative distinct vocabulary — the
+    curve that exposes templated/duplicated crawls (vocabulary
+    flat-lining while tokens grow).
+
+    Cumulative-distinct is made one-pass by attributing each word to
+    the bucket of its FIRST occurrence (min doc_id per (source,
+    word)) and cumulatively summing first-occurrence counts — no
+    per-prefix re-distincting. The cumulative window runs over curve
+    points (buckets), not rows."""
+    doc = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"doc_id div {GROWTH_BUCKET}")
+    words = doc.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    toks = words.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    firsts = (
+        words.groupBy("source", "w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            "source",
+            F.expr(f"first_doc div {GROWTH_BUCKET}").alias("bucket"),
+        )
+        .agg(F.count("*").alias("new_words"))
+    )
+    joined = toks.join(firsts, ["source", "bucket"], "left").na.fill(
+        0, ["new_words"]
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "source",
+        "bucket",
+        "n_tokens",
+        "new_words",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_words").over(w).alias("cum_vocab"),
+    )
+
+
 QUERIES = {
     "q_regex_tokens": q_regex_tokens,
     "q_pmi_bigrams": q_pmi_bigrams,
@@ -508,6 +665,9 @@ QUERIES = {
     "q_quality_score": q_quality_score,
     "q_fingerprint": q_fingerprint,
     "q_text_stats": q_text_stats,
+    "q_zipf_slope": q_zipf_slope,
+    "q_length_ks": q_length_ks,
+    "q_vocab_growth": q_vocab_growth,
 }
 
 _OCC = "CAST((length({p}) - length(replace({p}, '{m}', ''))) / {ml} AS BIGINT)"
@@ -526,6 +686,100 @@ for _lang, _ in LANG_MARKERS:
 _PRED += "ELSE 'und' END"
 
 ORACLES = {
+    "q_zipf_slope": f"""
+        WITH counts AS (
+            SELECT source, w, count(*) AS c FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE length(w) > 0 GROUP BY source, w
+        ),
+        ranked AS (
+            SELECT source, c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, w) AS rank
+            FROM counts
+        ),
+        t AS (
+            SELECT source,
+                   round(ln(CAST(rank AS DOUBLE)), 9) AS lx,
+                   round(ln(CAST(c AS DOUBLE)), 9) AS ly
+            FROM ranked WHERE rank <= {ZIPF_TOP}
+        ),
+        m AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(lx AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(ly AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(round(lx * ly, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(round(lx * lx, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS sxx
+            FROM t GROUP BY source
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n, 6) AS intercept
+        FROM m
+    """,
+    "q_length_ks": f"""
+        WITH b AS (
+            SELECT n_chars,
+                   CAST(count(*) FILTER (source = '{KS_SRC_A}') AS BIGINT)
+                       AS c1,
+                   CAST(count(*) FILTER (source = '{KS_SRC_B}') AS BIGINT)
+                       AS c2
+            FROM documents
+            WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+            GROUP BY n_chars
+        ),
+        t AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM b
+        ),
+        c AS (
+            SELECT CAST(sum(c1) OVER w AS BIGINT) AS u1,
+                   CAST(sum(c2) OVER w AS BIGINT) AS u2
+            FROM b WINDOW w AS (ORDER BY n_chars
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+        )
+        SELECT n1, n2, max(abs(u1 * n2 - u2 * n1)) AS ks_num,
+               round(CAST(max(abs(u1 * n2 - u2 * n1)) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+                   AS ks_stat
+        FROM c, t GROUP BY n1, n2
+    """,
+    "q_vocab_growth": f"""
+        WITH words AS (
+            SELECT source, doc_id, w FROM (
+                SELECT source, doc_id,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        toks AS (
+            SELECT source, doc_id // {GROWTH_BUCKET} AS bucket,
+                   count(*) AS n_tokens
+            FROM words GROUP BY 1, 2
+        ),
+        firsts AS (
+            SELECT source, first_doc // {GROWTH_BUCKET} AS bucket,
+                   count(*) AS new_words
+            FROM (SELECT source, w, min(doc_id) AS first_doc
+                  FROM words GROUP BY source, w)
+            GROUP BY 1, 2
+        )
+        SELECT t.source, t.bucket, t.n_tokens,
+               COALESCE(f.new_words, 0) AS new_words,
+               CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(COALESCE(f.new_words, 0)) OVER w AS BIGINT)
+                   AS cum_vocab
+        FROM toks t LEFT JOIN firsts f
+             ON t.source = f.source AND t.bucket = f.bucket
+        WINDOW w AS (PARTITION BY t.source ORDER BY t.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "q_regex_tokens": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))

@@ -427,6 +427,58 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_partials(events: DataFrame) -> DataFrame:
+    """Mergeable OHLC partials per (signal, day): min/max over
+    struct(us, event_id, value) carry the endpoint VALUES inside the
+    lexicographic key ((us, event_id) is unique, so the struct order
+    is total and the third field rides along) — the same
+    carry-the-argmin trick as AggStats, extended to endpoints. Partials
+    from any row partitioning merge associatively: min of mins, max of
+    maxes, sum of counts."""
+    us = F.unix_micros("ts")
+    key = F.struct(
+        us.alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        events.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.min(key).alias("okey"),
+            F.max(key).alias("ckey"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").alias("n_samples"),
+        )
+    )
+
+
+def merge_ohlc(partials: DataFrame) -> DataFrame:
+    """Combine OHLC partials (associative) and project the bars —
+    identical output contract to q_ohlc."""
+    return (
+        partials.groupBy("user_id", "day")
+        .agg(
+            F.min("okey").alias("okey"),
+            F.max("ckey").alias("ckey"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("okey.v").alias("open"),
+            "high",
+            "low",
+            F.col("ckey.v").alias("close"),
+            "n_samples",
+        )
+    )
+
+
 SLO_LONG_S = 21600  # long burn window: 6 hours, in epoch seconds
 
 
