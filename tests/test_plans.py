@@ -291,6 +291,83 @@ def test_postings_store_partition_pruning(spark, tmp_path):
     assert probe.count() == direct > 0
 
 
+def test_returned_items_broadcast_topk(spark):
+    # Q10: returnflag reaches the scan, all three dims broadcast, one
+    # agg shuffle, bounded top-k (no full sort)
+    df = QUERIES["q_returned_items"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "l_returnflag" in pushed, pushed
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_market_share_single_fact_shuffle(spark):
+    # Q8: lineitem is the only shuffled input; orders/supplier/nation
+    # broadcast into the year agg
+    df = QUERIES["q_market_share"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_large_orders_aggregates_before_join(spark):
+    # Q18: the qty HAVING runs on the order-grain aggregate; the few
+    # survivors broadcast-join back — never a fact-fact shuffle join
+    df = QUERIES["q_large_orders"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_ohlc_single_shuffle_jvm(spark):
+    # both direction windows and the bar agg share one
+    # (signal, day) exchange; endpoints stay JVM-side
+    df = QUERIES["q_ohlc"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_slo_burn_broadcasts_long_window(spark):
+    # the 6-hour aggregate is window-count-sized: it must broadcast
+    # onto the hourly rows, not shuffle them again
+    df = QUERIES["q_slo_burn"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_join(df), plan
+    assert "Python" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_xcorr_semi_join_bounds_fact(spark):
+    # only top-k signals' rows survive the broadcast semi-join; the
+    # pair alignment must never go nested-loop
+    df = QUERIES["q_xcorr_lag"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_corpus_stats_stay_jvm(spark):
+    # Zipf/Heaps/KS/PSI/MI: pure JVM pipelines (explode + agg +
+    # bounded windows), no Python nodes anywhere
+    for name in (
+        "q_zipf_slope",
+        "q_vocab_growth",
+        "q_length_ks",
+        "q_psi_drift",
+        "q_lang_source_mi",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert "Python" not in plan, (name, plan)
+
+
 def test_hybrid_rrf_broadcasts_tiny_legs(spark):
     # both rank legs are ≤RRF_POOL rows; the fuse must not shuffle the
     # corpus — no nested loop, no Python

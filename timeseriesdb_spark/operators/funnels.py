@@ -189,16 +189,113 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_EVENT = "purchase"
+RFM_N = 5  # quintile scores
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation of users from
+    their purchase events — the classic growth-analytics operator.
+    Score 1 = best quintile on each axis (most recent, most frequent,
+    highest spend); the segment label concatenates the three scores.
+
+    One events scan reduces to a users-sized aggregate (recency vs the
+    corpus max ts, count, decimal-exact spend); the three ntile
+    windows then run over USERS, not events — here that is
+    dimension-sized. At 1e9 users the quintile boundaries would come
+    from percentile thresholds joined back instead of a global ntile
+    sort; the aggregate stage is unchanged. Deterministic: every ntile
+    orders with a user_id tie-break, and monetary is a decimal sum, so
+    scores are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        ev.where(F.col("event_type") == RFM_EVENT)
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("now_ts"), F.col("last_ts")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy("recency_days", "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_N).over(r_w).alias("r_score"),
+        F.ntile(RFM_N).over(f_w).alias("f_score"),
+        F.ntile(RFM_N).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_active_users": q_active_users,
     "q_event_transitions": q_event_transitions,
+    "q_rfm_segments": q_rfm_segments,
 }
 
 _S1, _S2, _S3 = FUNNEL_STAGES
 
 ORACLES = {
+    "q_rfm_segments": f"""
+        WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+        pu AS (
+            SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS monetary
+            FROM events WHERE event_type = '{RFM_EVENT}'
+            GROUP BY user_id
+        ),
+        r AS (
+            SELECT user_id,
+                   CAST(date_diff('day', CAST(last_ts AS DATE),
+                                  CAST(now_ts AS DATE)) AS INTEGER)
+                       AS recency_days,
+                   frequency, monetary
+            FROM pu, mx
+        ),
+        s AS (
+            SELECT user_id, recency_days, frequency, monetary,
+                   CAST(ntile({RFM_N}) OVER (ORDER BY recency_days,
+                                             user_id) AS INTEGER)
+                       AS r_score,
+                   CAST(ntile({RFM_N}) OVER (ORDER BY frequency DESC,
+                                             user_id) AS INTEGER)
+                       AS f_score,
+                   CAST(ntile({RFM_N}) OVER (ORDER BY monetary DESC,
+                                             user_id) AS INTEGER)
+                       AS m_score
+            FROM r
+        )
+        SELECT *, r_score || '-' || f_score || '-' || m_score AS segment
+        FROM s
+    """,
     "q_funnel": f"""
         WITH t1 AS (
             SELECT user_id, min(ts) AS t_view FROM events

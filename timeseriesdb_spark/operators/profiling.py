@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.tables import load_table
@@ -176,10 +176,143 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionAll, parts)
 
 
+PSI_SRC_E, PSI_SRC_A = "src0", "src1"  # expected vs actual population
+PSI_BIN_W = 50                         # n_chars equi-width bin
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two sources' document-length
+    distributions — the banded companion to the KS test (q_length_ks):
+    per equi-width bin, (p_a − p_e)·ln(p_a/p_e), plus the running PSI
+    total (PSI < 0.1 stable, > 0.25 shifted — the scorecard-monitoring
+    convention).
+
+    Bins empty on either side are reported with a NULL term and
+    excluded from the total (the no-epsilon-fudge variant —
+    deterministic, engine-exact). Proportions divide exact integer
+    counts; each term is rounded to the 1e-9 grid and decimal-summed
+    over the bin table (bin-count-sized, so the total window is
+    aggregate-sized)."""
+    doc = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(PSI_SRC_E, PSI_SRC_A)
+    )
+    b = doc.groupBy(
+        F.expr(f"n_chars div {PSI_BIN_W}").alias("bin")
+    ).agg(
+        F.sum((F.col("source") == PSI_SRC_E).cast("long")).alias("c_e"),
+        F.sum((F.col("source") == PSI_SRC_A).cast("long")).alias("c_a"),
+    )
+    tot = b.agg(F.sum("c_e").alias("n_e"), F.sum("c_a").alias("n_a"))
+    j = b.crossJoin(F.broadcast(tot))
+    p_e = F.col("c_e").cast("double") / F.col("n_e").cast("double")
+    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    term = F.when(
+        (F.col("c_e") > 0) & (F.col("c_a") > 0),
+        F.round((p_a - p_e) * F.log(p_a / p_e), 9),
+    )
+    w = Window.partitionBy()
+    return j.select(
+        "bin",
+        "c_e",
+        "c_a",
+        F.round(p_e, 6).alias("p_e"),
+        F.round(p_a, 6).alias("p_a"),
+        term.alias("psi_term"),
+        F.round(
+            F.sum(term.cast("decimal(38,9)")).over(w).cast("double"), 6
+        ).alias("psi_total"),
+    )
+
+
+def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the lang and source columns — the
+    column-dependence profile (is language balanced across crawls, or
+    does one source carry all the German?). Per (lang, source) cell:
+    pointwise MI and its p·ln-term; the repeated mi_total column is
+    the statistic (0 = independent).
+
+    All probabilities divide exact counts; ln sees engine-identical
+    doubles; terms round to 1e-9 and decimal-sum over the cell table
+    (|langs|×|sources| rows — the total window is tiny)."""
+    doc = load_table(spark, sf_dir, "documents")
+    cell = doc.groupBy("lang", "source").agg(F.count("*").alias("n_ls"))
+    lang = doc.groupBy("lang").agg(F.count("*").alias("n_l"))
+    src = doc.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = doc.agg(F.count("*").alias("n"))
+    j = (
+        cell.join(F.broadcast(lang), "lang")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = (
+        F.col("n_ls").cast("double") * F.col("n").cast("double")
+    ) / (F.col("n_l").cast("double") * F.col("n_s").cast("double"))
+    term = F.round(
+        (F.col("n_ls").cast("double") / F.col("n").cast("double"))
+        * F.log(ratio),
+        9,
+    )
+    w = Window.partitionBy()
+    return j.select(
+        "lang",
+        "source",
+        "n_ls",
+        F.round(F.log(ratio), 6).alias("pmi"),
+        term.alias("mi_term"),
+        F.round(
+            F.sum(term.cast("decimal(38,9)")).over(w).cast("double"), 6
+        ).alias("mi_total"),
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of o_totalprice first digits — the
+    fraud/synthetic-data smell test an audit pipeline runs on every
+    monetary column. Per leading digit: observed share vs the Benford
+    expectation log10(1+1/d), plus the running χ² statistic.
+
+    The leading digit is extracted from the exact cents integer
+    (round(x·100) — the 0.01 grid) via bigint→string, never via
+    float log10 (whose boundary rounding could flip a digit at exact
+    powers of ten). Benford is scale-invariant, so digits of x·100
+    equal digits of x. χ² terms round to 1e-9 and decimal-sum over
+    the 9-row digit table."""
+    orders = load_table(spark, sf_dir, "orders")
+    vu = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = F.substring(vu.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.where(F.col("o_totalprice") > 0)
+        .groupBy(d.alias("digit"))
+        .agg(F.count("*").alias("n_d"))
+    )
+    tot = counts.agg(F.sum("n_d").alias("n"))
+    j = counts.crossJoin(F.broadcast(tot))
+    share = F.col("n_d").cast("double") / F.col("n").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi2_term = F.round(
+        F.col("n").cast("double") * (share - expected) * (share - expected)
+        / expected,
+        9,
+    )
+    w = Window.partitionBy()
+    return j.select(
+        "digit",
+        "n_d",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(
+            F.sum(chi2_term.cast("decimal(38,9)")).over(w).cast("double"), 6
+        ).alias("chi2_total"),
+    )
+
+
 QUERIES = {
     "q_column_profile": q_column_profile,
     "q_gap_days": q_gap_days,
     "q_dq_checks": q_dq_checks,
+    "q_psi_drift": q_psi_drift,
+    "q_lang_source_mi": q_lang_source_mi,
+    "q_benford": q_benford,
 }
 
 _PROFILE_SQL = "\nUNION ALL\n".join(
@@ -240,6 +373,99 @@ _DQ_SQL = f"""
 """
 
 ORACLES = {
+    "q_psi_drift": f"""
+        WITH b AS (
+            SELECT n_chars // {PSI_BIN_W} AS bin,
+                   CAST(count(*) FILTER (source = '{PSI_SRC_E}') AS BIGINT)
+                       AS c_e,
+                   CAST(count(*) FILTER (source = '{PSI_SRC_A}') AS BIGINT)
+                       AS c_a
+            FROM documents
+            WHERE source IN ('{PSI_SRC_E}', '{PSI_SRC_A}')
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(sum(c_e) AS BIGINT) AS n_e,
+                   CAST(sum(c_a) AS BIGINT) AS n_a
+            FROM b
+        ),
+        j AS (
+            SELECT bin, c_e, c_a,
+                   c_e / CAST(n_e AS DOUBLE) AS pe,
+                   c_a / CAST(n_a AS DOUBLE) AS pa
+            FROM b, t
+        ),
+        k AS (
+            SELECT bin, c_e, c_a, pe, pa,
+                   CASE WHEN c_e > 0 AND c_a > 0
+                        THEN round((pa - pe) * ln(pa / pe), 9)
+                   END AS psi_term
+            FROM j
+        )
+        SELECT bin, c_e, c_a, round(pe, 6) AS p_e, round(pa, 6) AS p_a,
+               psi_term,
+               round(CAST(sum(CAST(psi_term AS DECIMAL(38,9))) OVER ()
+                          AS DOUBLE), 6) AS psi_total
+        FROM k
+    """,
+    "q_lang_source_mi": """
+        WITH cell AS (
+            SELECT lang, source, count(*) AS n_ls
+            FROM documents GROUP BY lang, source
+        ),
+        l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        t AS (SELECT count(*) AS n FROM documents),
+        j AS (
+            SELECT cell.lang, cell.source, n_ls,
+                   (n_ls * CAST(n AS DOUBLE))
+                       / (n_l * CAST(n_s AS DOUBLE)) AS ratio,
+                   n_ls / CAST(n AS DOUBLE) AS p_ls
+            FROM cell
+            JOIN l ON cell.lang = l.lang
+            JOIN s ON cell.source = s.source
+            CROSS JOIN t
+        ),
+        k AS (
+            SELECT lang, source, n_ls,
+                   round(ln(ratio), 6) AS pmi,
+                   round(p_ls * ln(ratio), 9) AS mi_term
+            FROM j
+        )
+        SELECT lang, source, n_ls, pmi, mi_term,
+               round(CAST(sum(CAST(mi_term AS DECIMAL(38,9))) OVER ()
+                          AS DOUBLE), 6) AS mi_total
+        FROM k
+    """,
+    "q_benford": """
+        WITH c AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                          AS BIGINT) AS VARCHAR),
+                               1, 1) AS INTEGER) AS digit,
+                   count(*) AS n_d
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c),
+        j AS (
+            SELECT digit, n_d,
+                   n_d / CAST(n AS DOUBLE) AS share,
+                   log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected,
+                   CAST(n AS DOUBLE) AS nd
+            FROM c, t
+        ),
+        k AS (
+            SELECT digit, n_d, share, expected,
+                   round(nd * (share - expected) * (share - expected)
+                         / expected, 9) AS chi2_term
+            FROM j
+        )
+        SELECT digit, n_d, round(share, 6) AS share,
+               round(expected, 6) AS benford_share,
+               round(CAST(sum(CAST(chi2_term AS DECIMAL(38,9))) OVER ()
+                          AS DOUBLE), 6) AS chi2_total
+        FROM k
+    """,
     "q_dq_checks": _DQ_SQL,
     "q_column_profile": _PROFILE_SQL,
     "q_gap_days": """

@@ -403,15 +403,26 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this runs per time-partition with the same plan — the
     window and the groupBy share one partitioning."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    wa = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id", day).orderBy(
+    # Project `day` BEFORE the windows so the window partitioning
+    # attribute survives into the groupBy — Catalyst then reuses the
+    # one (user_id, day) exchange for windows AND aggregation
+    # (partitioning on the raw date_trunc(ts) expression dies with the
+    # projection and forces a second shuffle — tests/test_plans.py).
+    base = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return (
-        ev.select(
+        base.select(
             "user_id",
-            day.alias("day"),
+            "day",
             "value",
             F.row_number().over(wa).alias("rn_a"),
             F.row_number().over(wd).alias("rn_d"),
