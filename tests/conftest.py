@@ -69,6 +69,9 @@ def assert_matches_oracle(spark_df, duck_con, sql: str) -> None:
         if g.dtype.kind == "f":
             # bit-exact is the bar (the driver hashes values); NaN==NaN
             mism = ~((g == e) | (np.isnan(g) & np.isnan(e)))
+        elif g.dtype.kind == "M":
+            # the driver hashes repr(NaT) == repr(NaT); mirror that
+            mism = ~((g == e) | (np.isnat(g) & np.isnat(e)))
         else:
             mism = g != e
         bad = int(mism.sum())

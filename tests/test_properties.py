@@ -187,3 +187,51 @@ def test_chunker_mirror_matches_spark(spark):
         for cid, ctext, n in _chunks_py(row.text, CHUNK_WORDS, CHUNK_STRIDE):
             expect[(row.doc_id, cid)] = (ctext, n)
     assert got == expect
+
+
+# ---- Gini rank formula (q_lorenz_gini) ----------------------------------
+
+
+def _gini_rank_formula(counts) -> float:
+    """The exact-integer rank form used by q_lorenz_gini: with
+    ascending ranks r over sorted counts, G = 2·Σ(r·c)/(n·Σc) − (n+1)/n."""
+    n = len(counts)
+    s = sorted(counts)
+    num = sum((i + 1) * c for i, c in enumerate(s))
+    tot = sum(s)
+    return 2.0 * num / (n * tot) - (n + 1) / n
+
+
+def _gini_pairwise(counts) -> float:
+    """Textbook definition: G = Σᵢⱼ|cᵢ−cⱼ| / (2·n²·mean)."""
+    n = len(counts)
+    tot = sum(counts)
+    num = sum(abs(a - b) for a in counts for b in counts)
+    return num / (2.0 * n * tot)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=60)
+)
+def test_gini_rank_formula_equals_pairwise(counts):
+    assert _gini_rank_formula(counts) == pytest.approx(
+        _gini_pairwise(counts), abs=1e-12
+    )
+
+
+def test_gini_spark_matches_mirror(spark):
+    """q_lorenz_gini's gini column == the python mirror on the real
+    per-user counts (ties included)."""
+    from tests.conftest import SF_DIR
+    from timeseriesdb_spark.operators.funnels import q_lorenz_gini
+    from timeseriesdb_spark.tables import load_table
+
+    counts = [
+        r.c
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    got = q_lorenz_gini(spark, SF_DIR).select("gini").first().gini
+    assert got == pytest.approx(_gini_rank_formula(counts), abs=5e-7)

@@ -252,17 +252,250 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOUCH_EVENT, CONV_EVENT = "click", "purchase"
+TOUCH_WINDOW_DAYS = 7
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    preceding click by the same user within 7 days (the marketing
+    attribution join; the reference's backward-scan-first-match
+    pattern, tsbs/mod.rs:29-48, generalized to per-row as-of).
+
+    One signal-key window: a running `last(click_ts) IGNORE NULLS`
+    over each user's (ts, event_id) order turns the as-of lookup into
+    a carry-forward — no range self-join, no fan-out. The 7-day
+    recency bound is a residual filter on the carried value.
+    Timestamps pass through exactly; the lag is integer µs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == TOUCH_EVENT, F.col("ts"))
+    click_id = F.when(F.col("event_type") == TOUCH_EVENT, F.col("event_id"))
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(click_ts, ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(click_id, ignorenulls=True).over(w).alias("touch_id"),
+    )
+    conv = carried.where(F.col("event_type") == CONV_EVENT)
+    lag_us = F.unix_micros("ts") - F.unix_micros("touch_ts")
+    in_window = F.col("touch_ts").isNotNull() & (
+        lag_us <= TOUCH_WINDOW_DAYS * 86_400_000_000
+    )
+    return conv.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("touch_id")).alias("touch_id"),
+        F.when(in_window, F.col("touch_ts")).alias("touch_ts"),
+        F.when(in_window, F.round(lag_us / F.lit(1_000_000.0), 6)).alias(
+            "lag_s"
+        ),
+    )
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day new vs returning active users: a user counts as new on
+    the day of their first event. Two users-then-days-sized
+    aggregates — the (user, day) distinct pairs carry the shuffle,
+    first-days are a users-sized frame joined back by day."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    first_day = active.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = first_day.groupBy("day").agg(
+        F.count("*").alias("new_users")
+    )
+    act_per_day = active.groupBy("day").agg(F.count("*").alias("active_users"))
+    return (
+        act_per_day.join(F.broadcast(new_per_day), "day", "left")
+        .na.fill(0, ["new_users"])
+        .select(
+            "day",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users")).alias(
+                "returning_users"
+            ),
+            F.round(
+                F.col("new_users").cast("double")
+                / F.col("active_users").cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+    )
+
+
+GINI_DECILES = 10
+
+
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration profile: the Lorenz curve of events per
+    user in deciles (what share of events the most active 10%, 20%, …
+    of users generate) plus the Gini coefficient — the "whales"
+    diagnostic for any usage table.
+
+    Events reduce to a users-sized count frame; ranking and the two
+    cumulative sums run over users (dimension-sized — at 1e9 users the
+    decile edges would come from approx quantiles instead). Gini uses
+    the rank formula 2·Σ(r·c)/(n·Σc) − (n+1)/n on exact bigint
+    products, so curve and coefficient are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    # rank 1 = MOST active (curve reads "top k% of users")
+    rk = Window.orderBy(F.col("c").desc(), F.col("user_id"))
+    cum = Window.orderBy(F.col("c").desc(), F.col("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_user.agg(
+        F.count("*").alias("n"), F.sum("c").alias("total_events")
+    )
+    ranked = per_user.select(
+        "c",
+        F.row_number().over(rk).alias("r"),
+        F.sum("c").over(cum).alias("cum_c"),
+    ).crossJoin(F.broadcast(tot))
+    # Gini over ASCENDING counts = 2·Σ(r_asc·c)/(n·Σc) − (n+1)/n with
+    # r_asc = n − r + 1 (exact integer transform of the desc rank)
+    gini_num = F.sum(
+        (F.col("n") - F.col("r") + 1) * F.col("c")
+    )
+    decile = F.ceil(
+        F.col("r") * GINI_DECILES / F.col("n")
+    ).cast("int")
+    per_decile = (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.max(F.col("cum_c")).alias("cum_events"),
+            F.max("r").cast("bigint").alias("cum_users"),
+            F.max("n").alias("n"),
+            F.max("total_events").alias("total_events"),
+            gini_num.alias("_part_gnum"),
+        )
+    )
+    w_all = Window.partitionBy()
+    gini = (
+        F.lit(2.0)
+        * F.sum("_part_gnum").over(w_all).cast("double")
+        / (F.col("n").cast("double") * F.col("total_events").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return per_decile.select(
+        "decile",
+        "cum_users",
+        "cum_events",
+        F.round(
+            F.col("cum_events").cast("double")
+            / F.col("total_events").cast("double"),
+            6,
+        ).alias("cum_share"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_active_users": q_active_users,
     "q_event_transitions": q_event_transitions,
     "q_rfm_segments": q_rfm_segments,
+    "q_first_touch": q_first_touch,
+    "q_new_vs_returning": q_new_vs_returning,
+    "q_lorenz_gini": q_lorenz_gini,
 }
 
 _S1, _S2, _S3 = FUNNEL_STAGES
 
 ORACLES = {
+    "q_first_touch": f"""
+        WITH carried AS (
+            SELECT user_id, event_id, ts, event_type,
+                   last_value(CASE WHEN event_type = '{TOUCH_EVENT}'
+                                   THEN ts END IGNORE NULLS) OVER w
+                       AS touch_ts,
+                   last_value(CASE WHEN event_type = '{TOUCH_EVENT}'
+                                   THEN event_id END IGNORE NULLS) OVER w
+                       AS touch_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ),
+        conv AS (
+            SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                   touch_id, touch_ts,
+                   epoch_us(ts) - epoch_us(touch_ts) AS lag_us,
+                   touch_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(touch_ts)
+                       <= {TOUCH_WINDOW_DAYS} * 86400000000 AS ok
+            FROM carried WHERE event_type = '{CONV_EVENT}'
+        )
+        SELECT user_id, purchase_id, purchase_ts,
+               CASE WHEN ok THEN touch_id END AS touch_id,
+               CASE WHEN ok THEN touch_ts END AS touch_ts,
+               CASE WHEN ok THEN round(lag_us / 1000000.0, 6) END AS lag_s
+        FROM conv
+    """,
+    "q_new_vs_returning": """
+        WITH active AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, min(day) AS day FROM active GROUP BY user_id
+        ),
+        npd AS (
+            SELECT day, count(*) AS new_users FROM firsts GROUP BY day
+        ),
+        apd AS (
+            SELECT day, count(*) AS active_users FROM active GROUP BY day
+        )
+        SELECT a.day, a.active_users,
+               COALESCE(n.new_users, 0) AS new_users,
+               a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+               round(COALESCE(n.new_users, 0)
+                     / CAST(a.active_users AS DOUBLE), 6) AS new_share
+        FROM apd a LEFT JOIN npd n ON a.day = n.day
+    """,
+    "q_lorenz_gini": f"""
+        WITH pu AS (
+            SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS total_events
+            FROM pu
+        ),
+        r AS (
+            SELECT c, user_id,
+                   row_number() OVER (ORDER BY c DESC, user_id) AS r,
+                   CAST(sum(c) OVER (ORDER BY c DESC, user_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_c
+            FROM pu
+        ),
+        d AS (
+            SELECT CAST(ceil(r.r * {GINI_DECILES} / CAST(t.n AS DOUBLE))
+                        AS INTEGER) AS decile,
+                   max(cum_c) AS cum_events,
+                   CAST(max(r.r) AS BIGINT) AS cum_users,
+                   max(t.n) AS n, max(t.total_events) AS total_events,
+                   CAST(sum((t.n - r.r + 1) * r.c) AS BIGINT) AS part_gnum
+            FROM r, t GROUP BY 1
+        )
+        SELECT decile, cum_users, cum_events,
+               round(cum_events / CAST(total_events AS DOUBLE), 6)
+                   AS cum_share,
+               round(2.0 * CAST(sum(part_gnum) OVER () AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(total_events AS DOUBLE))
+                     - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+        FROM d
+    """,
     "q_rfm_segments": f"""
         WITH mx AS (SELECT max(ts) AS now_ts FROM events),
         pu AS (

@@ -535,6 +535,52 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUSTAIN_TH = 100.0  # alert threshold on value
+SUSTAIN_K = 2       # minimum consecutive breaching samples
+
+
+def q_sustained_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-threshold alerting: per signal, maximal runs of ≥2
+    consecutive samples above the threshold — the "for: 2m"
+    debouncing clause of a Prometheus alert rule, and the
+    gaps-and-islands sibling of q_run_lengths (value runs,
+    split_double.rs:1164's majority-run structure).
+
+    Islands via the rn − conditional-rn trick: two row_numbers in the
+    SAME signal-key window partitioning, so detection is one shuffle;
+    the per-episode aggregate reuses it. Endpoints/extremes pass
+    through exactly (no float arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hot = (
+        ev.select(
+            "user_id",
+            "ts",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("value") > SUSTAIN_TH)
+    )
+    wf = Window.partitionBy("user_id").orderBy("rn")
+    episodes = hot.select(
+        "user_id",
+        "ts",
+        "value",
+        (F.col("rn") - F.row_number().over(wf)).alias("grp"),
+    )
+    return (
+        episodes.groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count("*").alias("n_samples"),
+            F.max("value").alias("peak_value"),
+        )
+        .where(F.col("n_samples") >= SUSTAIN_K)
+        .drop("grp")
+    )
+
+
 XCORR_TOP = 4   # signals entering the pairwise scan
 XCORR_LAGS = 4  # lags tested: 0..3 rows
 
@@ -641,6 +687,7 @@ QUERIES = {
     "q_counter_rate": q_counter_rate,
     "q_ohlc": q_ohlc,
     "q_slo_burn": q_slo_burn,
+    "q_sustained_threshold": q_sustained_threshold,
     "q_xcorr_lag": q_xcorr_lag,
     "q_follow_window": q_follow_window,
     "q_ewma": q_ewma,
@@ -695,6 +742,25 @@ ORACLES = {
                      / NULLIF(err_6h / CAST(tot_6h AS DOUBLE), 0.0),
                      6) AS burn
         FROM h JOIN l ON h.win6 = l.win6
+    """,
+    "q_sustained_threshold": f"""
+        WITH r AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        hot AS (SELECT * FROM r WHERE value > {SUSTAIN_TH}),
+        ep AS (
+            SELECT user_id, ts, value,
+                   rn - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS grp
+            FROM hot
+        )
+        SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+               count(*) AS n_samples, max(value) AS peak_value
+        FROM ep GROUP BY user_id, grp
+        HAVING count(*) >= {SUSTAIN_K}
     """,
     "q_xcorr_lag": f"""
         WITH top AS (
