@@ -37,6 +37,10 @@ HEADLINERS = [
     "q_countmin_rollup", # generator explode + two-level partial agg
     "q_hybrid_rrf",      # two bounded rank legs, tiny full-outer fuse
     "q_funnel",          # conditional stage aggs over one user key
+    "q_ohlc",            # two direction windows + agg on ONE exchange
+    "q_returned_items",  # Q10: pushed returnflag + 3 broadcasts + top-k
+    "q_first_touch",     # carry-forward as-of in one signal window
+    "q_basket_affinity", # distinct-pair self-join bounded by alphabet
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -368,6 +368,25 @@ def test_corpus_stats_stay_jvm(spark):
         assert "Python" not in plan, (name, plan)
 
 
+def test_basket_affinity_no_cartesian(spark):
+    # the within-order pair join must stay an equi-join on l_orderkey
+    # (fan-out bounded by the type alphabet); singles totals broadcast
+    df = QUERIES["q_basket_affinity"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert checks.has_broadcast_join(df), plan
+    assert "Python" not in plan, plan
+
+
+def test_order_lead_time_single_shuffle(spark):
+    # order-grain min/max agg is the only fact shuffle; orders broadcast
+    df = QUERIES["q_order_lead_time"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_join(df), plan
+    assert checks.exchange_count(df) <= 2, plan
+    assert "Python" not in plan, plan
+
+
 def test_hybrid_rrf_broadcasts_tiny_legs(spark):
     # both rank legs are ≤RRF_POOL rows; the fuse must not shuffle the
     # corpus — no nested loop, no Python

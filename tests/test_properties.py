@@ -235,3 +235,41 @@ def test_gini_spark_matches_mirror(spark):
     ]
     got = q_lorenz_gini(spark, SF_DIR).select("gini").first().gini
     assert got == pytest.approx(_gini_rank_formula(counts), abs=5e-7)
+
+
+# ---- KS integer formulation (q_length_ks) -------------------------------
+
+
+def _ks_integer(xs, ys) -> float:
+    """The integer cross-product form used by q_length_ks:
+    D = max over distinct values v of |c1(v)·n2 − c2(v)·n1| / (n1·n2)
+    with c(v) = #{samples ≤ v}."""
+    support = sorted(set(xs) | set(ys))
+    n1, n2 = len(xs), len(ys)
+    best = 0
+    for v in support:
+        c1 = sum(1 for x in xs if x <= v)
+        c2 = sum(1 for y in ys if y <= v)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    return best / (n1 * n2)
+
+
+def _ks_ecdf(xs, ys) -> float:
+    """Textbook two-sample KS via ECDF evaluation at all sample points."""
+    n1, n2 = len(xs), len(ys)
+    pts = sorted(set(xs) | set(ys))
+    return max(
+        abs(
+            sum(1 for x in xs if x <= v) / n1
+            - sum(1 for y in ys if y <= v) / n2
+        )
+        for v in pts
+    )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+)
+def test_ks_integer_form_equals_ecdf(xs, ys):
+    assert _ks_integer(xs, ys) == pytest.approx(_ks_ecdf(xs, ys), abs=1e-12)

@@ -407,8 +407,99 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part types: support and lift for
+    every unordered type pair co-occurring in an order — the
+    recommendation/cross-sell primitive.
+
+    The fact table first reduces to DISTINCT (order, type) pairs
+    (≤|types| rows per order), so the within-order self-join fans out
+    at most |types|²/2 per order — bounded by the tiny type alphabet,
+    never by basket size. Lift divides exact integer counts; the join
+    back to per-type totals broadcasts (|types| rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ot = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_orders = ot.select("l_orderkey").distinct().count()  # scalar literal
+    singles = ot.groupBy("p_type").agg(F.count("*").alias("n_t"))
+    a = ot.select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("type_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    nd = float(n_orders)
+    return (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("p_type", "type_a")
+                        .withColumnRenamed("n_t", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("p_type", "type_b")
+                        .withColumnRenamed("n_t", "n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.lit(nd), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_ab").cast("double") * F.lit(nd))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile: days from order date to first and
+    last shipment per order, aggregated into an exact day histogram of
+    full-fulfillment lead time — the supply-chain SLA view. Calendar
+    differences are integer days (exact); the histogram output is
+    leadtime-support-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    lead = F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+    return (
+        per_order.groupBy(lead.alias("lead_days"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(
+                F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            ).alias("min_first_ship_days"),
+        )
+    )
+
+
 QUERIES = {
     "q_promo_revenue": q_promo_revenue,
+    "q_basket_affinity": q_basket_affinity,
+    "q_order_lead_time": q_order_lead_time,
     "q_returned_items": q_returned_items,
     "q_top_supplier": q_top_supplier,
     "q_large_orders": q_large_orders,
@@ -427,6 +518,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_basket_affinity": """
+        WITH ot AS (
+            SELECT DISTINCT l_orderkey, p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        t AS (SELECT count(DISTINCT l_orderkey) AS nd FROM ot),
+        s AS (SELECT p_type, count(*) AS n_t FROM ot GROUP BY p_type),
+        p AS (
+            SELECT a.p_type AS type_a, b.p_type AS type_b,
+                   count(*) AS n_ab
+            FROM ot a JOIN ot b ON a.l_orderkey = b.l_orderkey
+                              AND a.p_type < b.p_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_ab,
+               round(n_ab / CAST(nd AS DOUBLE), 6) AS support,
+               round((n_ab * CAST(nd AS DOUBLE))
+                     / (sa.n_t * CAST(sb.n_t AS DOUBLE)), 6) AS lift
+        FROM p
+        JOIN s sa ON p.type_a = sa.p_type
+        JOIN s sb ON p.type_b = sb.p_type
+        CROSS JOIN t
+    """,
+    "q_order_lead_time": """
+        WITH po AS (
+            SELECT l_orderkey,
+                   min(l_shipdate) AS first_ship,
+                   max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(last_ship AS DATE)) AS INTEGER)
+                   AS lead_days,
+               count(*) AS n_orders,
+               CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(first_ship AS DATE))) AS INTEGER)
+                   AS min_first_ship_days
+        FROM po JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
     "q_returned_items": f"""
         SELECT c_custkey, c_name, n_name,
                {dsum_sql("l_extendedprice * (1 - l_discount)", "lost_revenue")},
