@@ -69,3 +69,11 @@ def test_streamed_ohlc_equals_batch(spark, tmp_path):
     exp = _bars_pdf(q_ohlc(spark, SF_DIR))
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # Compaction invariance: collapsing the batch partitions must not
+    # change a single bar (the merge is the sketch's own combine).
+    n = eng.compact_partials(bars, "ohlc")
+    assert n >= 4
+    pd.testing.assert_frame_equal(
+        _bars_pdf(eng.ohlc_bars(bars)), exp, check_dtype=False
+    )

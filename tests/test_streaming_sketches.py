@@ -63,3 +63,19 @@ def test_streamed_cm_equals_batch_sketch(spark, tmp_path):
     )
     # CM guarantee: estimates never under-count
     assert (exp["est_n"] >= exp["exact_n"]).all()
+
+    # Compaction invariance: CM is linear, so collapsing batch
+    # partitions cannot change any counter or estimate.
+    n = eng.compact_partials(sketch, "cm")
+    assert n >= 4
+    got2 = (
+        eng.frequency_estimate(sketch, CM_PROBE_KEYS)
+        .toPandas()
+        .sort_values(["user_id", "key"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got2[["user_id", "key", "est_n"]],
+        got[["user_id", "key", "est_n"]],
+        check_dtype=False,
+    )

@@ -337,6 +337,52 @@ class SignalEngine:
 
         return merge_ohlc(self.spark.read.parquet(bars_path))
 
+    # partial-kind → merge that PRESERVES the partial schema, so a
+    # compacted store answers queries identically and stays mergeable
+    # with partials streamed after the compaction.
+    _PARTIAL_MERGES = {
+        "ohlc": lambda df: df.groupBy("user_id", "day").agg(
+            F.min("okey").alias("okey"),
+            F.max("ckey").alias("ckey"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("n_samples").alias("n_samples"),
+        ),
+        "cm": lambda df: df.groupBy("user_id", "day", "depth", "bucket").agg(
+            F.sum("partial_n").alias("partial_n")
+        ),
+    }
+
+    def compact_partials(self, path: str, kind: str) -> int:
+        """Collapse a streamed partial store's per-batch partitions
+        into one generation — the maintenance job that keeps
+        merge-at-read cost bounded as micro-batches accumulate
+        (the reference's recoding daemon compacts aged segments the
+        same way, recoding_daemon.rs:96-260). The merge is the
+        sketch's own associative combine, so query answers are
+        IDENTICAL before/after, and partials streamed afterwards keep
+        merging on top (tests/test_streaming_ohlc.py).
+
+        Local-FS commit: write the merged generation to a sibling tmp
+        dir, then swap directories. On an object store this becomes
+        the same manifest protocol as apply_retention."""
+        import os
+        import shutil
+
+        df = self.spark.read.parquet(path)
+        drop = [c for c in ("batch_id",) if c in df.columns]
+        merged = self._PARTIAL_MERGES[kind](df.drop(*drop))
+        n_before = len(
+            [p for p in os.listdir(path) if p.startswith("batch_id=")]
+        )
+        tmp = path.rstrip("/") + "__compact_tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/batch_id=compacted"
+        )
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+        return n_before
+
     def frequency_estimate(self, sketch_path: str, keys) -> DataFrame:
         """Per-signal Count-Min point estimates for `keys` from
         maintained counter partials."""

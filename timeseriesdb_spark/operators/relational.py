@@ -412,28 +412,43 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every unordered type pair co-occurring in an order — the
     recommendation/cross-sell primitive.
 
-    The fact table first reduces to DISTINCT (order, type) pairs
-    (≤|types| rows per order), so the within-order self-join fans out
-    at most |types|²/2 per order — bounded by the tiny type alphabet,
-    never by basket size. Lift divides exact integer counts; the join
-    back to per-type totals broadcasts (|types| rows)."""
+    One pass builds each order's distinct type SET (collect_set rides
+    the single l_orderkey shuffle — dedup and grouping in one
+    exchange); unordered pairs then EXPAND from the sorted array
+    (≤|types|²/2 per order, bounded by the tiny type alphabet, never
+    by basket size) with no self-join and no re-scan — the naive
+    distinct + self-join form planned 9 exchanges and read lineitem
+    four times. The basket frame is lazily checkpointed so its three
+    consumers (order count, per-type totals, pair counts) share one
+    computation. Lift divides exact integer counts; per-type totals
+    broadcast (|types| rows)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    ot = (
+    baskets = (
         li.join(
             F.broadcast(part.select("p_partkey", "p_type")),
             li.l_partkey == F.col("p_partkey"),
         )
-        .select("l_orderkey", "p_type")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_type")).alias("types_s"))
+        .localCheckpoint(eager=False)
     )
-    n_orders = ot.select("l_orderkey").distinct().count()  # scalar literal
-    singles = ot.groupBy("p_type").agg(F.count("*").alias("n_t"))
-    a = ot.select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("type_a"))
-    b = ot.select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("type_b"))
+    n_orders = baskets.count()  # scalar literal
+    singles = (
+        baskets.select(F.explode("types_s").alias("p_type"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_t"))
+    )
+    pair_structs = F.flatten(
+        F.expr(
+            "transform(types_s, (x, i) -> "
+            "transform(slice(types_s, i + 2, size(types_s) - i - 1), "
+            "y -> struct(x AS type_a, y AS type_b)))"
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("type_a") < F.col("type_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_ab"))
     )

@@ -535,6 +535,45 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOM_K = 2.0  # seasonal anomaly threshold, in baseline sd units
+
+
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection in batch: events more than 2·sd from
+    their signal's hour-of-day baseline — "is this value high FOR
+    3am". Reuses streaming/ingest.seasonal_baseline (the SAME function
+    the streaming flag path broadcasts), so the batch oracle check
+    pins the streamed flags' arithmetic too.
+
+    The baseline is (signals × 24)-sized → broadcast back onto the
+    events scan; one aggregation shuffle total. mu/sd come from
+    decimal component sums, so the flag comparison sees engine-
+    identical doubles."""
+    from timeseriesdb_spark.streaming.ingest import seasonal_baseline
+
+    ev = load_table(spark, sf_dir, "events")
+    base = seasonal_baseline(ev).withColumnRenamed("user_id", "b_uid")
+    hr = F.hour("ts").cast("bigint")
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(
+            F.broadcast(base),
+            (F.col("user_id") == F.col("b_uid"))
+            & (hr == F.col("hour_of_day")),
+        )
+        .where(F.abs(F.col("value") - F.col("mu")) > ANOM_K * F.col("sd"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round("mu", 6).alias("mu"),
+            F.round("sd", 6).alias("sd"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
 SUSTAIN_TH = 100.0  # alert threshold on value
 SUSTAIN_K = 2       # minimum consecutive breaching samples
 
@@ -687,6 +726,7 @@ QUERIES = {
     "q_counter_rate": q_counter_rate,
     "q_ohlc": q_ohlc,
     "q_slo_burn": q_slo_burn,
+    "q_anomaly_seasonal": q_anomaly_seasonal,
     "q_sustained_threshold": q_sustained_threshold,
     "q_xcorr_lag": q_xcorr_lag,
     "q_follow_window": q_follow_window,
@@ -742,6 +782,30 @@ ORACLES = {
                      / NULLIF(err_6h / CAST(tot_6h AS DOUBLE), 0.0),
                      6) AS burn
         FROM h JOIN l ON h.win6 = l.win6
+    """,
+    "q_anomaly_seasonal": f"""
+        WITH stats AS (
+            SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT user_id, hour_of_day,
+                   sx / CAST(n AS DOUBLE) AS mu,
+                   sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS sd
+            FROM stats
+            WHERE (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) > 0
+        )
+        SELECT e.user_id, e.event_id, e.ts, e.value,
+               round(b.mu, 6) AS mu, round(b.sd, 6) AS sd,
+               round((e.value - b.mu) / b.sd, 6) AS z
+        FROM events e
+        JOIN base b ON e.user_id = b.user_id
+                   AND CAST(hour(e.ts) AS BIGINT) = b.hour_of_day
+        WHERE abs(e.value - b.mu) > {ANOM_K} * b.sd
     """,
     "q_sustained_threshold": f"""
         WITH r AS (

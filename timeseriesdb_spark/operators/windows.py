@@ -83,6 +83,85 @@ def q_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paa_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-compression error measurement: per-signal mean-absolute
+    and max reconstruction error of the PAA tier — the reference's
+    compare_vectors / error_rate round-trip check (segment.rs:882-906)
+    promoted to an engine query (the lossyML measurement loop asks
+    exactly this before recoding a segment to a lossier level).
+
+    PURE INTEGER error accumulation (no per-row round — mae landed on
+    exact decimal ties at sf0.1 and Spark/DuckDB half-rounding split):
+    the row's error is |n·vu − Σvu| / (100n) with vu the exact cents
+    value, so scaling by lcm(1..8)·100 = 84000 makes every error an
+    exact bigint (n | 840 for any chunk size ≤ 8). The signal sums a
+    bigint; mae/max are single divisions of exact integers — IEEE-
+    identical, nothing rounded. Both windows and the final agg share
+    the one signal-key exchange (hash(user_id) also clusters
+    (user_id, chunk))."""
+    ev = load_table(spark, sf_dir, "events")
+    chunk = F.floor(F.col("pos") / F.lit(PAA_CHUNK))
+    wc = Window.partitionBy("user_id", chunk)
+    vu = F.round(F.col("value") * 100).cast("long")
+    n_c = F.count("*").over(wc)
+    eu = F.abs(n_c * vu - F.sum(vu).over(wc))  # exact: cents × chunk size
+    se = F.expr("eu * 840 div n_c")            # exact: n_c divides 840
+    err_d = F.col("eu").cast("double") / (
+        F.lit(100.0) * F.col("n_c").cast("double")
+    )
+    return (
+        _with_pos(ev)
+        .select("user_id", eu.alias("eu"), n_c.alias("n_c"))
+        .select("user_id", se.alias("se"), err_d.alias("err_d"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum("se").cast("double")
+                / (F.lit(84000.0) * F.count("*").cast("double"))
+            ).alias("mae"),
+            F.max("err_d").alias("max_err"),
+        )
+    )
+
+
+def q_rrd_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction error of the RRD tier (keep every k-th row,
+    reconstruct by carry-forward) — q_paa_error's sibling for the
+    second lossy aging level (rrd_sample.rs:20-60; the recoding
+    daemon's accuracy question for this tier).
+
+    The anchor value carries forward inside the one signal-key window
+    (`last(...) IGNORE NULLS` over the position order — no join back
+    to the sampled table). Errors are exact bigint cent deltas
+    |vu − vu_anchor|; per-signal MAE/max are single divisions of
+    exact integers, nothing rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vu = F.round(F.col("value") * 100).cast("long")
+    anchor = F.last(
+        F.when(F.col("pos") % RRD_K == 0, F.col("vu")), ignorenulls=True
+    ).over(w)
+    return (
+        _with_pos(ev)
+        .select("user_id", vu.alias("vu"), F.col("pos").alias("pos"))
+        .select("user_id", F.abs(F.col("vu") - anchor).alias("eu"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum("eu").cast("double")
+                / (F.lit(100.0) * F.count("*").cast("double"))
+            ).alias("mae"),
+            (F.max("eu").cast("double") / F.lit(100.0)).alias("max_err"),
+        )
+    )
+
+
 M4_WIDTH = 32  # rows per M4 pixel-bucket
 
 
@@ -660,6 +739,8 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_window_max": q_window_max,
     "q_window_max_time": q_window_max_time,
+    "q_paa_error": q_paa_error,
+    "q_rrd_error": q_rrd_error,
     "q_paa": q_paa,
     "q_sax": q_sax,
     "q_m4_downsample": q_m4_downsample,
@@ -702,6 +783,44 @@ _GRID_SQL = """
 """
 
 ORACLES = {
+    "q_paa_error": f"""
+        WITH p AS ({_POS}),
+        e AS (
+            SELECT user_id,
+                   abs(count(*) OVER wc
+                       * CAST(round(value * 100) AS BIGINT)
+                       - CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              OVER wc AS BIGINT)) AS eu,
+                   count(*) OVER wc AS n_c
+            FROM p
+            WINDOW wc AS (PARTITION BY user_id, pos // {PAA_CHUNK})
+        )
+        SELECT user_id, count(*) AS n,
+               CAST(sum(eu * 840 // n_c) AS DOUBLE)
+                   / (84000.0 * CAST(count(*) AS DOUBLE)) AS mae,
+               max(CAST(eu AS DOUBLE) / (100.0 * CAST(n_c AS DOUBLE)))
+                   AS max_err
+        FROM e GROUP BY user_id
+    """,
+    "q_rrd_error": f"""
+        WITH p AS ({_POS}),
+        e AS (
+            SELECT user_id,
+                   abs(CAST(round(value * 100) AS BIGINT)
+                       - last_value(CASE WHEN pos % {RRD_K} = 0
+                           THEN CAST(round(value * 100) AS BIGINT)
+                         END IGNORE NULLS) OVER w) AS eu
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT user_id, count(*) AS n,
+               CAST(sum(eu) AS DOUBLE)
+                   / (100.0 * CAST(count(*) AS DOUBLE)) AS mae,
+               CAST(max(eu) AS DOUBLE) / 100.0 AS max_err
+        FROM e GROUP BY user_id
+    """,
     "q_m4_downsample": f"""
         SELECT user_id, pos // {M4_WIDTH} AS bucket,
                count(*) AS n,
