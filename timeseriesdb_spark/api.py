@@ -351,7 +351,42 @@ class SignalEngine:
         "cm": lambda df: df.groupBy("user_id", "day", "depth", "bucket").agg(
             F.sum("partial_n").alias("partial_n")
         ),
+        "hist": lambda df: df.groupBy("user_id", "day", "bin").agg(
+            F.sum("partial_n").alias("partial_n")
+        ),
     }
+
+    def maintain_histogram_stream(
+        self, stream: DataFrame, hist_path: str, checkpoint: str
+    ):
+        """Incremental histogram maintenance — the distribution twin
+        of maintain_frequency_stream: per-(signal, day, bin) count
+        partials per micro-batch, idempotent under replay (own
+        batch_id partition). Histograms are linear, so streamed
+        partials merge to the exact one-pass histogram
+        (tests/test_streaming_histogram.py); histogram_bins answers
+        any later distribution query from the store."""
+        from timeseriesdb_spark.operators.tsanalytics import hist_partials
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            hist_partials(batch_df).write.mode("overwrite").parquet(
+                f"{hist_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def histogram_bins(self, hist_path: str) -> DataFrame:
+        """Merged per-signal histogram from maintained partials."""
+        return (
+            self.spark.read.parquet(hist_path)
+            .groupBy("user_id", "bin")
+            .agg(F.sum("partial_n").alias("n"))
+        )
 
     def compact_partials(self, path: str, kind: str) -> int:
         """Collapse a streamed partial store's per-batch partitions

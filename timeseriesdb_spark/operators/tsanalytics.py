@@ -140,6 +140,23 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hist_partials(events: DataFrame) -> DataFrame:
+    """Per-(signal, day, bin) equi-width histogram partials — linear
+    (a pure count per cell), so partials from ANY row partitioning —
+    including per-micro-batch — merge by summing to the exact one-pass
+    histogram."""
+    bin_ = F.floor(F.col("value") / F.lit(HIST_BIN_W))
+    return (
+        events.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            bin_.alias("bin"),
+        )
+        .groupBy("user_id", "day", "bin")
+        .agg(F.count("*").alias("partial_n"))
+    )
+
+
 def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distribution sketch: per-(signal, day) equi-width
     histogram partials, merged across days per signal by summing bin
@@ -151,16 +168,7 @@ def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest bin where the running count passes half — a median
     estimate with bin resolution, exact integer arithmetic)."""
     ev = load_table(spark, sf_dir, "events")
-    bin_ = F.floor(F.col("value") / F.lit(HIST_BIN_W))
-    daily = (
-        ev.select(
-            "user_id",
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            bin_.alias("bin"),
-        )
-        .groupBy("user_id", "day", "bin")
-        .agg(F.count("*").alias("partial_n"))
-    )
+    daily = hist_partials(ev)
     merged = daily.groupBy("user_id", "bin").agg(
         F.sum("partial_n").alias("n")
     )
@@ -535,6 +543,64 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each signal's value distribution (cents
+    grid) in bits — the information-theoretic compressibility bound
+    next to q_compressibility's structural stats (the reference's CR
+    predictors estimate exactly this compressibility axis,
+    cr_predictor.rs:15-107: high entropy ⇒ dictionary/RLE won't
+    help).
+
+    Two aggregations sharing the signal key: distinct-value counts,
+    then the entropy sum — each term p·log2(p) from exact integer
+    counts, rounded to 1e-9 and decimal-summed per signal."""
+    ev = load_table(spark, sf_dir, "events")
+    vu = F.round(F.col("value") * 100).cast("long")
+    counts = ev.groupBy("user_id", vu.alias("vu")).agg(
+        F.count("*").alias("c")
+    )
+    wn = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(wn).cast("double")
+    term = F.round(-p * F.log2(p), 9)
+    return (
+        counts.select(
+            "user_id", term.alias("t"), F.col("c").alias("c")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("c").alias("n"),
+            F.round(
+                F.sum(F.col("t").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) per signal: variance/mean of the
+    per-hour event counts — Poisson arrivals give 1.0, bursty
+    telemetry ≫ 1 (the workload-characterization knob behind buffer
+    sizing, buffer_pool.rs batch thresholds). All moments are exact
+    integer sums over the (signal, hour) count frame; the index
+    divides exact quantities once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    n = F.count("*").cast("double")
+    sx = F.sum("c").cast("double")
+    sxx = F.sum(F.col("c") * F.col("c")).cast("double")
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * n)
+    return hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("c").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+
+
 ANOM_K = 2.0  # seasonal anomaly threshold, in baseline sd units
 
 
@@ -728,6 +794,8 @@ QUERIES = {
     "q_slo_burn": q_slo_burn,
     "q_anomaly_seasonal": q_anomaly_seasonal,
     "q_sustained_threshold": q_sustained_threshold,
+    "q_value_entropy": q_value_entropy,
+    "q_burstiness": q_burstiness,
     "q_xcorr_lag": q_xcorr_lag,
     "q_follow_window": q_follow_window,
     "q_ewma": q_ewma,
@@ -782,6 +850,46 @@ ORACLES = {
                      / NULLIF(err_6h / CAST(tot_6h AS DOUBLE), 0.0),
                      6) AS burn
         FROM h JOIN l ON h.win6 = l.win6
+    """,
+    "q_value_entropy": """
+        WITH counts AS (
+            SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vu,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT user_id, c,
+                   round(-(c / CAST(CAST(sum(c) OVER w AS BIGINT)
+                                    AS DOUBLE))
+                         * log2(c / CAST(CAST(sum(c) OVER w AS BIGINT)
+                                         AS DOUBLE)), 9) AS t
+            FROM counts
+            WINDOW w AS (PARTITION BY user_id)
+        )
+        SELECT user_id, count(*) AS n_distinct,
+               CAST(sum(c) AS BIGINT) AS n,
+               round(CAST(sum(CAST(t AS DECIMAL(38,9))) AS DOUBLE), 6)
+                   AS entropy_bits
+        FROM t GROUP BY user_id
+    """,
+    "q_burstiness": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS sx,
+                   CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE) AS sxx,
+                   count(*) AS n_hours
+            FROM hourly GROUP BY user_id
+        )
+        SELECT user_id, n_hours, n_events,
+               round(sx / n, 6) AS mean_per_hour,
+               round(((n * sxx - sx * sx) / (n * n)) / (sx / n), 6)
+                   AS fano
+        FROM m
     """,
     "q_anomaly_seasonal": f"""
         WITH stats AS (
