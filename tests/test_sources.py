@@ -93,3 +93,32 @@ def test_register_views_sql_session(spark):
         """
     ).collect()
     assert len(lagged) == 5
+
+
+def test_jsonl_events_client(spark, tmp_path):
+    """Declared-schema JSONL ingest: good lines parse to the events
+    schema, malformed lines are quarantined, never fatal."""
+    from timeseriesdb_spark.sources.clients import jsonl_events_client
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "ts": "2024-01-01T00:00:01.000000", '
+        '"user_id": 7, "event_type": "click", "value": 1.5, '
+        '"props": "{\\"k\\": 1}"}\n'
+        '{"event_id": 2, "ts": "2024-01-01T00:00:02.000000", '
+        '"user_id": 8, "event_type": "view", "value": 2.5, '
+        '"props": null}\n'
+        "THIS IS NOT JSON\n"
+    )
+    df = jsonl_events_client(spark, str(p))
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r._corrupt_record is None]
+    assert [r.event_id for r in good] == [1, 2]
+    assert good[0].event_type == "click"
+    assert good[0].value == 1.5
+    assert good[0].ts.isoformat().startswith("2024-01-01T00:00:01")
+
+    clean = jsonl_events_client(spark, str(p), drop_corrupt=True)
+    assert clean.count() == 2
+    assert "_corrupt_record" not in clean.columns

@@ -399,6 +399,33 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per user: integer-day gaps between
+    consecutive purchases, summarized as count/min/median/max — the
+    replenishment-cycle metric behind churn prediction. One signal-key
+    window (lag over the purchase subsequence); gaps are exact
+    calendar-day integers, the median interpolates at most one .5
+    (type-7 in both engines)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == RFM_EVENT
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.datediff(F.col("ts"), F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("gap_days"))
+        .where(F.col("gap_days").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+                "median_gap"
+            ),
+            F.max("gap_days").alias("max_gap"),
+        )
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
@@ -408,11 +435,28 @@ QUERIES = {
     "q_first_touch": q_first_touch,
     "q_new_vs_returning": q_new_vs_returning,
     "q_lorenz_gini": q_lorenz_gini,
+    "q_purchase_intervals": q_purchase_intervals,
 }
 
 _S1, _S2, _S3 = FUNNEL_STAGES
 
 ORACLES = {
+    "q_purchase_intervals": f"""
+        WITH g AS (
+            SELECT user_id,
+                   CAST(date_diff('day', CAST(lag(ts) OVER w AS DATE),
+                                  CAST(ts AS DATE)) AS INTEGER)
+                       AS gap_days
+            FROM events WHERE event_type = '{RFM_EVENT}'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, count(*) AS n_gaps,
+               min(gap_days) AS min_gap,
+               round(quantile_cont(gap_days, 0.5), 6) AS median_gap,
+               max(gap_days) AS max_gap
+        FROM g WHERE gap_days IS NOT NULL
+        GROUP BY user_id
+    """,
     "q_first_touch": f"""
         WITH carried AS (
             SELECT user_id, event_id, ts, event_type,

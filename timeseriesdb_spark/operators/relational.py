@@ -511,8 +511,50 @@ def q_order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISJ_BRANDS = ("Brand#2", "Brand#4")  # the Q19 OR-branch brands
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue matching an OR of AND-predicate
+    branches over lineitem ⋈ part — the disjunctive-pushdown stress
+    case (each branch mixes fact columns with dimension columns).
+    Catalyst extracts the common `l_quantity < 30` conjunct to the
+    scan; the per-branch residuals evaluate post-join. One broadcast
+    join, one agg shuffle; decimal revenue per branch tag so the
+    split is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b1, b2 = DISJ_BRANDS
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    branch1 = (
+        (F.col("p_brand") == b1)
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") < 15)
+    )
+    branch2 = (
+        (F.col("p_brand") == b2)
+        & (F.col("p_size") <= 25)
+        & (F.col("l_quantity") >= 15)
+        & (F.col("l_quantity") < 30)
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .where(branch1 | branch2)
+        .groupBy(
+            F.when(branch1, F.lit("small_lot")).otherwise("mid_lot").alias(
+                "branch"
+            )
+        )
+        .agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
 QUERIES = {
     "q_promo_revenue": q_promo_revenue,
+    "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_basket_affinity": q_basket_affinity,
     "q_order_lead_time": q_order_lead_time,
     "q_returned_items": q_returned_items,
@@ -533,6 +575,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_disjunctive_revenue": f"""
+        SELECT CASE WHEN p_brand = '{DISJ_BRANDS[0]}' AND p_size <= 10
+                         AND l_quantity < 15
+                    THEN 'small_lot' ELSE 'mid_lot' END AS branch,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = '{DISJ_BRANDS[0]}' AND p_size <= 10
+               AND l_quantity < 15)
+           OR (p_brand = '{DISJ_BRANDS[1]}' AND p_size <= 25
+               AND l_quantity >= 15 AND l_quantity < 30)
+        GROUP BY 1
+    """,
     "q_basket_affinity": """
         WITH ot AS (
             SELECT DISTINCT l_orderkey, p_type

@@ -599,6 +599,29 @@ def q_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SRC_TOP_K = 5  # head terms per source
+
+
+def q_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 5 most frequent terms per source with a
+    deterministic (count desc, term) rank — q_vocab_topk's per-group
+    form (the "what does each crawl talk about" profile). The rank
+    window runs per source over the vocab-sized count frame; at any
+    corpus size that frame is |vocab × sources|, never rows."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = doc.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    counts = words.groupBy("source", "term").agg(F.count("*").alias("n"))
+    rk = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= SRC_TOP_K)
+    )
+
+
 GROWTH_BUCKET = 50  # documents per growth-curve point
 
 
@@ -668,6 +691,7 @@ QUERIES = {
     "q_zipf_slope": q_zipf_slope,
     "q_length_ks": q_length_ks,
     "q_vocab_growth": q_vocab_growth,
+    "q_top_terms_by_source": q_top_terms_by_source,
 }
 
 _OCC = "CAST((length({p}) - length(replace({p}, '{m}', ''))) / {ml} AS BIGINT)"
@@ -686,6 +710,21 @@ for _lang, _ in LANG_MARKERS:
 _PRED += "ELSE 'und' END"
 
 ORACLES = {
+    "q_top_terms_by_source": f"""
+        SELECT source, term, n, rank FROM (
+            SELECT source, term, n,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY n DESC, term)
+                        AS BIGINT) AS rank
+            FROM (
+                SELECT source, term, count(*) AS n
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE length(term) > 0 GROUP BY source, term
+            )
+        ) WHERE rank <= {SRC_TOP_K}
+    """,
     "q_zipf_slope": f"""
         WITH counts AS (
             SELECT source, w, count(*) AS c FROM (

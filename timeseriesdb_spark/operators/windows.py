@@ -438,6 +438,33 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal day-of-week seasonal profile (7 buckets) — the
+    weekly-cycle companion to q_seasonal_profile's diurnal 24; same
+    integer-exact half-up bucket means. dayofweek is emitted in the
+    ISO convention (1=Monday) so the bucket ids are calendar-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.expr("weekday(ts) + 1").cast("bigint")
+    agg = ev.groupBy("user_id", dow.alias("iso_dow")).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(38,6)")) * F.lit(1_000_000))
+        .cast("long")
+        .alias("_u"),
+    )
+    signed_units = F.expr(
+        "CASE WHEN _u < 0 THEN -((2 * abs(_u) + n) div (2 * n)) "
+        "ELSE (2 * abs(_u) + n) div (2 * n) END"
+    )
+    return agg.select(
+        "user_id",
+        "iso_dow",
+        "n",
+        (signed_units.cast("double") / F.lit(1_000_000.0)).alias(
+            "mean_value"
+        ),
+    )
+
+
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal z-score standardization — the feature-prep transform
     before any distance-based analytics (kNN/kmeans drift scoring all
@@ -733,6 +760,7 @@ QUERIES = {
     "q_cusum_changepoint": q_cusum_changepoint,
     "q_zscore": q_zscore,
     "q_seasonal_profile": q_seasonal_profile,
+    "q_dow_profile": q_dow_profile,
     "q_gap_report": q_gap_report,
     "q_moving_avg": q_moving_avg,
     "q_running_sum": q_running_sum,
@@ -959,6 +987,19 @@ ORACLES = {
                     AS DOUBLE) / 1000000.0 AS mean_value
         FROM (
             SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS u
+            FROM events GROUP BY 1, 2
+        )
+    """,
+    "q_dow_profile": """
+        SELECT user_id, iso_dow, n,
+               CAST(CASE WHEN u < 0 THEN -((2 * abs(u) + n) // (2 * n))
+                         ELSE (2 * abs(u) + n) // (2 * n) END
+                    AS DOUBLE) / 1000000.0 AS mean_value
+        FROM (
+            SELECT user_id, CAST(isodow(ts) AS BIGINT) AS iso_dow,
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000
                         AS BIGINT) AS u

@@ -97,3 +97,35 @@ def read_dict(
         F.monotonically_increasing_id().alias("row_id"),
         F.transform(split, lambda s: s.cast("double")).alias("features"),
     )
+
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING, "
+    "_corrupt_record STRING"
+)
+
+
+def jsonl_events_client(
+    spark: SparkSession, path: str, drop_corrupt: bool = False
+) -> DataFrame:
+    """JSON-lines event source with an enforced schema — the wire
+    format a ZMQ/HTTP collector (ZMQClient/README.md:1) would land
+    before Parquet conversion. Schema is DECLARED, never inferred (an
+    inference pass reads the data twice and can flip types between
+    crawls); malformed lines land in `_corrupt_record` (PERMISSIVE)
+    instead of failing the job, so one bad producer can't sink a
+    100 TB backfill. `drop_corrupt=True` filters them; either way the
+    same schema comes back. Works unchanged as a stream:
+    `spark.readStream.schema(...).json(path)`."""
+    df = spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
+    if drop_corrupt:
+        # Spark forbids predicates on _corrupt_record straight off raw
+        # files (the parser would need a second pass); the documented
+        # pattern is to materialize the parse first.
+        df = (
+            df.cache()
+            .where(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record")
+        )
+    return df
