@@ -368,6 +368,42 @@ def test_corpus_stats_stay_jvm(spark):
         assert "Python" not in plan, (name, plan)
 
 
+def test_disjunctive_revenue_pushes_common_conjunct(spark):
+    # Q19 shape: the common l_quantity<30 bound must reach the scan;
+    # part broadcasts; one agg shuffle
+    df = QUERIES["q_disjunctive_revenue"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert checks.has_broadcast_join(df), plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_new_profile_queries_stay_jvm(spark):
+    for name in (
+        "q_value_entropy",
+        "q_burstiness",
+        "q_dow_profile",
+        "q_purchase_intervals",
+        "q_top_terms_by_source",
+        "q_sustained_threshold",
+        "q_anomaly_seasonal",
+        "q_paa_error",
+        "q_rrd_error",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert "Python" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_purchase_intervals_pushes_type_filter(spark):
+    df = QUERIES["q_purchase_intervals"](spark, SF_DIR)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "event_type" in pushed, pushed
+    assert checks.exchange_count(df) <= 1, checks.formatted_plan(df)
+
+
 def test_basket_affinity_no_cartesian(spark):
     # the within-order pair join must stay an equi-join on l_orderkey
     # (fan-out bounded by the type alphabet); singles totals broadcast

@@ -141,6 +141,16 @@ def q_except_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purch.distinct().subtract(err.distinct())
 
 
+def q_intersect_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (§2.6), INTERSECT member: signals with BOTH purchase
+    and error events — completes the EXCEPT/INTERSECT pair next to
+    q_except_signals (HashSet intersection, cr_predictor.rs:46)."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purch.intersect(err)
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue from a filtered scan — every predicate
     (date range, discount band, quantity cap) reaches PushedFilters,
@@ -568,6 +578,7 @@ QUERIES = {
     "q_grouping_rollup": q_grouping_rollup,
     "q_grouping_cube": q_grouping_cube,
     "q_except_signals": q_except_signals,
+    "q_intersect_signals": q_intersect_signals,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,
@@ -762,6 +773,11 @@ ORACLES = {
     "q_except_signals": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "q_intersect_signals": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
         SELECT user_id FROM events WHERE event_type = 'error'
     """,
     "q_pricing_summary": f"""
