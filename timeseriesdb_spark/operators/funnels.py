@@ -426,8 +426,55 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABANDON_MIN = 60  # conversion window after a click, minutes
+
+
+def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded anti-join: clicks with NO purchase by the same
+    user within the next 60 minutes — the cart-abandonment /
+    unresolved-alert shape (the negative twin of q_follow_window's
+    attribution join).
+
+    No join at all: a REVERSED window carries the next purchase
+    timestamp onto every row (`min(purchase_us) over ts DESC` =
+    earliest purchase at-or-after the row), and abandonment is a
+    residual comparison — one signal-key shuffle where the naive
+    left-anti time-range join would shuffle the fact twice and
+    explode candidate pairs. µs-integer comparisons, engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros("ts")
+    next_purch = F.min(
+        F.when(F.col("event_type") == CONV_EVENT, us)
+    ).over(w_rev)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        us.alias("us"),
+        next_purch.alias("np_us"),
+    ).where(F.col("event_type") == TOUCH_EVENT)
+    abandoned = F.col("np_us").isNull() | (
+        F.col("np_us") > F.col("us") + ABANDON_MIN * 60_000_000
+    )
+    return flagged.where(abandoned).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.round(
+            (F.col("np_us") - F.col("us")) / F.lit(1_000_000.0), 6
+        ).alias("next_purchase_gap_s"),
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
+    "q_abandoned_carts": q_abandoned_carts,
     "q_retention_cohorts": q_retention_cohorts,
     "q_active_users": q_active_users,
     "q_event_transitions": q_event_transitions,
@@ -441,6 +488,25 @@ QUERIES = {
 _S1, _S2, _S3 = FUNNEL_STAGES
 
 ORACLES = {
+    "q_abandoned_carts": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   epoch_us(ts) AS us,
+                   min(CASE WHEN event_type = '{CONV_EVENT}'
+                            THEN epoch_us(ts) END) OVER w AS np_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT user_id, event_id AS click_id, ts AS click_ts,
+               round((np_us - us) / 1000000.0, 6) AS next_purchase_gap_s
+        FROM flagged
+        WHERE event_type = '{TOUCH_EVENT}'
+          AND (np_us IS NULL
+               OR np_us > us + CAST({ABANDON_MIN * 60_000_000} AS BIGINT))
+    """,
     "q_purchase_intervals": f"""
         WITH g AS (
             SELECT user_id,
