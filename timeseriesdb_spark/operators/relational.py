@@ -11,7 +11,7 @@ the shuffle carries one row per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.operators.common import dsum, dsum_sql, isum, isum_sql
@@ -139,6 +139,31 @@ def q_except_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
     err = ev.filter(F.col("event_type") == "error").select("user_id")
     return purch.distinct().subtract(err.distinct())
+
+
+def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly decimal-exact revenue
+    with the previous month's value, absolute delta and percent
+    change — the reporting window every finance dashboard runs. The
+    lag window is over the MONTHS frame (aggregate-sized), never
+    rows; pct divides two exact decimal-summed doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_items",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 6).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias(
+            "mom_pct"
+        ),
+    )
 
 
 def q_intersect_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,6 +604,7 @@ QUERIES = {
     "q_grouping_cube": q_grouping_cube,
     "q_except_signals": q_except_signals,
     "q_intersect_signals": q_intersect_signals,
+    "q_revenue_growth": q_revenue_growth,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_order_priority": q_order_priority,
@@ -779,6 +805,20 @@ ORACLES = {
         SELECT user_id FROM events WHERE event_type = 'purchase'
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "q_revenue_growth": f"""
+        WITH m AS (
+            SELECT date_trunc('month', l_shipdate) AS month,
+                   {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+                   count(*) AS n_items
+            FROM lineitem GROUP BY 1
+        )
+        SELECT month, revenue, n_items,
+               lag(revenue) OVER w AS prev_revenue,
+               round(revenue - lag(revenue) OVER w, 6) AS mom_delta,
+               round((revenue - lag(revenue) OVER w)
+                     / lag(revenue) OVER w * 100.0, 6) AS mom_pct
+        FROM m WINDOW w AS (ORDER BY month)
     """,
     "q_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
