@@ -404,6 +404,25 @@ def test_purchase_intervals_pushes_type_filter(spark):
     assert checks.exchange_count(df) <= 1, checks.formatted_plan(df)
 
 
+def test_abandoned_carts_single_window_no_join(spark):
+    # the time-bounded anti-join must be ONE reversed window — any
+    # join node means the left-anti range-join fallback crept back
+    df = QUERIES["q_abandoned_carts"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_revenue_growth_lag_over_aggregate(spark):
+    # monthly agg shuffles once; the lag window runs on the months
+    # frame (single-partition, aggregate-sized)
+    df = QUERIES["q_revenue_growth"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 2, plan
+
+
 def test_basket_affinity_no_cartesian(spark):
     # the within-order pair join must stay an equi-join on l_orderkey
     # (fan-out bounded by the type alphabet); singles totals broadcast
