@@ -306,8 +306,42 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile: the distribution of lineitems per order —
+    the statistic a planner (or a human) needs before trusting any
+    orders ⋈ lineitem estimate (AQE's skew detection reacts to the
+    same shape at runtime; this exposes it as data). Two integer
+    aggregations: per-order counts, then the count-of-counts
+    histogram with each bucket's share of total fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("fanout"))
+    tot = per_order.agg(
+        F.count("*").alias("n_orders"), F.sum("fanout").alias("n_rows")
+    )
+    return (
+        per_order.groupBy("fanout")
+        .agg(F.count("*").alias("n_orders_at"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fanout",
+            "n_orders_at",
+            F.round(
+                F.col("n_orders_at").cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias("order_share"),
+            F.round(
+                (F.col("fanout") * F.col("n_orders_at")).cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+    )
+
+
 QUERIES = {
     "q_column_profile": q_column_profile,
+    "q_fanout_profile": q_fanout_profile,
     "q_gap_days": q_gap_days,
     "q_dq_checks": q_dq_checks,
     "q_psi_drift": q_psi_drift,
@@ -373,6 +407,23 @@ _DQ_SQL = f"""
 """
 
 ORACLES = {
+    "q_fanout_profile": """
+        WITH po AS (
+            SELECT l_orderkey, count(*) AS fanout
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        t AS (
+            SELECT count(*) AS n_orders,
+                   CAST(sum(fanout) AS BIGINT) AS n_rows
+            FROM po
+        )
+        SELECT fanout, count(*) AS n_orders_at,
+               round(count(*) / CAST(n_orders AS DOUBLE), 6)
+                   AS order_share,
+               round((fanout * count(*)) / CAST(n_rows AS DOUBLE), 6)
+                   AS row_share
+        FROM po, t GROUP BY fanout, n_orders, n_rows
+    """,
     "q_psi_drift": f"""
         WITH b AS (
             SELECT n_chars // {PSI_BIN_W} AS bin,
