@@ -339,9 +339,63 @@ def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-correlation matrix over lineitem's numeric measures —
+    the ANALYZE companion to q_column_profile (which columns move
+    together feeds both planner CE and feature selection). ONE scan
+    computes every moment: each column is lifted to its exact cents
+    integer, products stay bigint (≤1e14) and accumulate as
+    DECIMAL(38,0) (associative, overflow-free at any row count), and
+    all 6 pairwise Pearson r's are single IEEE expressions over those
+    exact sums — engine-identical, nothing rounded but the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    units = {c: F.round(F.col(c) * 100).cast("long") for c in CORR_COLS}
+    d0 = "decimal(38,0)"
+    aggs = [F.count("*").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(units[c].cast(d0)).alias(f"s_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs + [(c, c) for c in CORR_COLS]:
+        aggs.append(
+            F.sum((units[a] * units[b]).cast(d0)).alias(f"p_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        sab = F.col(f"p_{a}_{b}").cast("double")
+        saa = F.col(f"p_{a}_{a}").cast("double")
+        sbb = F.col(f"p_{b}_{b}").cast("double")
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+
+    rows = [
+        m.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").alias("n"),
+            F.round(corr(a, b), 6).alias("pearson_r"),
+        )
+        for a, b in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 QUERIES = {
     "q_column_profile": q_column_profile,
     "q_fanout_profile": q_fanout_profile,
+    "q_corr_matrix": q_corr_matrix,
     "q_gap_days": q_gap_days,
     "q_dq_checks": q_dq_checks,
     "q_psi_drift": q_psi_drift,
@@ -406,7 +460,39 @@ _DQ_SQL = f"""
     SELECT 'documents', 'nonempty:text', v_empty, total FROM doc
 """
 
+def _corr_matrix_sql() -> str:
+    cols = CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    u = lambda c: f"CAST(round({c} * 100) AS BIGINT)"  # noqa: E731
+    sums = ", ".join(
+        [f"count(*) AS n"]
+        + [f"sum(CAST({u(c)} AS DECIMAL(38,0))) AS s_{c}" for c in cols]
+        + [
+            f"sum(CAST({u(a)} * {u(b)} AS DECIMAL(38,0))) AS p_{a}_{b}"
+            for a, b in pairs + [(c, c) for c in cols]
+        ]
+    )
+    def corr(a, b):
+        return (
+            f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+    selects = [
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+        f" round({corr(a, b)}, 6) AS pearson_r FROM m"
+        for a, b in pairs
+    ]
+    return f"WITH m AS (SELECT {sums} FROM lineitem)\n" + "\nUNION ALL\n".join(
+        selects
+    )
+
+
 ORACLES = {
+    "q_corr_matrix": _corr_matrix_sql(),
     "q_fanout_profile": """
         WITH po AS (
             SELECT l_orderkey, count(*) AS fanout
