@@ -144,7 +144,9 @@ def test_interval_join_is_equi_join(spark):
 
 
 def test_regional_revenue_broadcasts_every_dim(spark):
-    # Q5 join tree: five broadcast joins, lineitem is the only
+    # Q5 join tree: five broadcast joins CHOSEN FROM STATS at this sf
+    # (no hints — orders/customer/supplier are SF-proportional and
+    # must be free to shuffle at 100 TB), lineitem is the only
     # shuffled input (the final agg exchange), date filter pushed to
     # the orders scan
     df = QUERIES["q_regional_revenue"](spark, SF_DIR)
@@ -246,6 +248,30 @@ def test_dup_ngram_coverage_never_broadcasts_shingles(spark):
     assert "Python" not in plan, plan
 
 
+def test_no_broadcast_hints_on_sf_proportional_tables():
+    # A broadcast HINT is honored regardless of size: pinning one on a
+    # table that grows with scale factor (orders/customer/part/
+    # supplier/lineitem, or frames derived from them) OOMs executors
+    # at 100 TB. Hints are reserved for fixed-cardinality relations
+    # (nation/region, 1-row maxima, type alphabets); AQE promotes the
+    # SF-proportional joins to broadcast from runtime stats while they
+    # fit. This contract scans the operator sources for violations.
+    import pathlib
+    import re as _re
+
+    src_dir = pathlib.Path(__file__).parent.parent / "timeseriesdb_spark"
+    banned = _re.compile(
+        r"F\.broadcast\(\s*(orders|cust|customer|part|supp|supplier"
+        r"|lineitem|li|sel_orders|s_nat|big)\b"
+    )
+    hits = []
+    for py in sorted(src_dir.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if banned.search(line):
+                hits.append(f"{py.name}:{i}: {line.strip()}")
+    assert not hits, "broadcast hint on SF-proportional relation:\n" + "\n".join(hits)
+
+
 def test_countmin_rollup_single_shuffle_per_level(spark):
     # cells → daily partials → merged: the generator explode adds no
     # exchange; both aggs stay JVM-side
@@ -292,8 +318,9 @@ def test_postings_store_partition_pruning(spark, tmp_path):
 
 
 def test_returned_items_broadcast_topk(spark):
-    # Q10: returnflag reaches the scan, all three dims broadcast, one
-    # agg shuffle, bounded top-k (no full sort)
+    # Q10: returnflag reaches the scan; broadcasts are stats-chosen
+    # at this sf (only nation is hinted), one agg shuffle, bounded
+    # top-k (no full sort)
     df = QUERIES["q_returned_items"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
     pushed = " ".join(checks.pushed_filters(df))
@@ -305,8 +332,9 @@ def test_returned_items_broadcast_topk(spark):
 
 
 def test_market_share_single_fact_shuffle(spark):
-    # Q8: lineitem is the only shuffled input; orders/supplier/nation
-    # broadcast into the year agg
+    # Q8: lineitem is the only shuffled input at this sf;
+    # orders/supplier broadcasts are stats-chosen (unhinted), nation
+    # hinted — at 100 TB the same code shuffle-joins orders/supplier
     df = QUERIES["q_market_share"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan

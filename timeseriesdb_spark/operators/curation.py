@@ -303,10 +303,11 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: local-supplier revenue per nation for one
     region-year — the deepest join tree in the inventory (lineitem ⋈
     orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with the
-    c_nationkey = s_nationkey locality predicate). All five dimension
-    sides broadcast; lineitem is the only shuffled input and the date
-    filter reaches the orders scan, so at 100 TB the plan is one fact
-    scan + one aggregation exchange."""
+    c_nationkey = s_nationkey locality predicate). Only the fixed
+    dims nation (25 rows) and region (5 rows, filtered to 1) carry
+    broadcast hints; orders/customer/supplier are SF-proportional so
+    AQE chooses per runtime stats — broadcast at bench SF, shuffle
+    joins at 100 TB. The date filter reaches the orders scan."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit(Q5_YEAR_START))
@@ -318,10 +319,10 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == REGION)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

@@ -3,10 +3,15 @@ TSBS/TPC-style workload adds around the signal store: multi-way joins
 with broadcast dimensions, grouped pricing summaries, and the
 majority-value/outlier profile (database/src/outlier/mod.rs:90-216).
 
-Scale design: fact tables (lineitem/orders/events) are never
-broadcast; dimensions always are. The pricing summary is the classic
-partial-agg showcase: 4 output groups regardless of input size, so
-the shuffle carries one row per partition.
+Scale design: broadcast hints appear ONLY on fixed-cardinality
+relations (nation/region, 1-row maxima, the part-type alphabet).
+SF-proportional tables (lineitem/orders/customer/part/supplier) never
+carry a hint — a hint is honored regardless of size, so a pinned
+broadcast that is optimal at sf0.1 OOMs executors at 100 TB. AQE
+promotes those joins to broadcast from runtime stats while the build
+side fits and keeps shuffle joins beyond. The pricing summary is the
+classic partial-agg showcase: 4 output groups regardless of input
+size, so the shuffle carries one row per partition.
 """
 
 from __future__ import annotations
@@ -41,17 +46,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by customer nation: lineitem ⋈ orders ⋈ customer ⋈
-    nation. orders/customer/nation are broadcast (dimension-sized);
-    only lineitem streams. At real scale orders would be a shuffle
-    join on l_orderkey — Catalyst/AQE picks per stats."""
+    nation. Only nation (fixed 25 rows) carries a broadcast hint;
+    orders/customer are SF-proportional, so AQE picks broadcast at
+    small SF from stats and falls back to shuffle joins at 100 TB —
+    a pinned hint would OOM the executors there."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
@@ -200,8 +206,9 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join. Numerator and denominator are decimal sums
     (order-exact); the share is one double division of two exact
     quantities, so the percentage is engine-identical. At 100 TB:
-    part broadcasts (dimension-sized), lineitem streams once, the
-    month agg partial-aggregates map-side."""
+    part is SF-proportional — no pinned broadcast hint; AQE picks
+    broadcast while part fits and shuffle beyond, lineitem streams
+    once, the month agg partial-aggregates map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -211,7 +218,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     month = F.date_trunc("month", F.col("l_shipdate"))
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy(month.alias("ship_month"))
@@ -234,8 +241,11 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 orders by revenue for one market
-    segment — broadcast-dim semi path + grouped agg + bounded top-k
-    (TakeOrderedAndProject, never a full sort)."""
+    segment — customer semi path + grouped agg + bounded top-k
+    (TakeOrderedAndProject, never a full sort). customer and the
+    surviving orders are SF-proportional: no pinned broadcast hints,
+    AQE converts either join to broadcast only while the build side
+    fits."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -243,12 +253,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sel_orders = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
         "semi",
     )
     return (
-        li.join(F.broadcast(sel_orders), li.l_orderkey == F.col("o_orderkey"))
+        li.join(sel_orders, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -273,9 +283,10 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returned
     items (l_returnflag = 'R') with their nation. The returnflag
-    filter is pushed to the lineitem scan; orders/customer/nation
-    broadcast; bounded top-k via TakeOrderedAndProject. Decimal
-    revenue makes the rank (and thus the top-20 set) deterministic."""
+    filter is pushed to the lineitem scan; only nation (25 rows) is
+    hint-broadcast — orders/customer are SF-proportional, AQE decides;
+    bounded top-k via TakeOrderedAndProject. Decimal revenue makes
+    the rank (and thus the top-20 set) deterministic."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
@@ -285,11 +296,11 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+            cust.select("c_custkey", "c_name", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -330,7 +341,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_supp.total_revenue == F.col("max_rev"),
         )
         .join(
-            F.broadcast(supp.select("s_suppkey", "s_name")),
+            supp.select("s_suppkey", "s_name"),
             by_supp.l_suppkey == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -344,8 +355,10 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a
     threshold, with the buying customer. The HAVING runs on the
     order-grain partial aggregate (map-side combinable); only the
-    few qualifying orderkeys join back to orders/customer
-    (broadcast). Integer quantity sums are exact."""
+    few qualifying orderkeys join back to orders/customer. No pinned
+    hints — orders/customer are SF-proportional and `big` is the
+    genuinely small side, which AQE broadcasts from runtime stats.
+    Integer quantity sums are exact."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -356,15 +369,13 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(
-            F.broadcast(
-                orders.select(
-                    "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-                )
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
             ),
             big.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name")),
+            cust.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -393,7 +404,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -409,8 +420,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped by suppliers of one nation — a conditional aggregate over
     lineitem ⋈ orders ⋈ supplier ⋈ nation. Both sums are decimal, so
     the share divides two exact quantities (engine-identical). At
-    100 TB orders would be the one shuffle join; supplier/nation
-    broadcast."""
+    100 TB orders and supplier are the shuffle joins — both are
+    SF-proportional, so neither carries a broadcast hint (AQE
+    broadcasts them only while they fit); nation stays hinted."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -425,10 +437,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(s_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(s_nat, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(dsum(nat_rev, "nation_revenue"), dsum(rev, "total_revenue"))
         .select(
@@ -461,7 +473,7 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     baskets = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("l_orderkey")
@@ -530,7 +542,7 @@ def q_order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").alias("last_ship"),
         )
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
@@ -554,9 +566,10 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches over lineitem ⋈ part — the disjunctive-pushdown stress
     case (each branch mixes fact columns with dimension columns).
     Catalyst extracts the common `l_quantity < 30` conjunct to the
-    scan; the per-branch residuals evaluate post-join. One broadcast
-    join, one agg shuffle; decimal revenue per branch tag so the
-    split is exact."""
+    scan; the per-branch residuals evaluate post-join. One join (AQE
+    broadcasts part only while it fits — part is SF-proportional),
+    one agg shuffle; decimal revenue per branch tag so the split is
+    exact."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     b1, b2 = DISJ_BRANDS
@@ -574,7 +587,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .where(branch1 | branch2)
