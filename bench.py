@@ -1,8 +1,19 @@
 #!/usr/bin/env python
 """Per-round benchmark: run every declared query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round 5 — the driver captures only ~2000 stdout
+chars, which truncated the r4 artifact into `parsed: null`):
+- stdout: ONE compact JSON line — total, counts, the 10 slowest
+  queries under "queries", 2x-gate breaches vs the committed baseline,
+  and the noise probe. Always parseable within the capture window.
+- BENCH_local.json (repo root, committed): the FULL per-query
+  medians + min/med/max/spread stats — the durable artifact the 2x
+  gate is decided from.
+- BENCH_BASELINE.json (repo root, committed): first-recorded per-query
+  stats; queries not yet present are added on sight (the "first
+  recorded run establishes the baseline" rule, per query). Never
+  overwritten for existing entries.
 
 Timing protocol (BASELINE.md "BENCH protocol"): per query, one warm-up
 run then median of N timed runs (N_RUNS, doubled for sub-second queries
@@ -10,11 +21,9 @@ whose medians are noise-dominated), same JVM/session. Results are fully
 materialized via the noop sink (all columns computed JVM-side; no
 driver collect).
 
-Variance instrumentation (so the 2x regression gate is decidable
-against run-to-run weather): per-query min/med/max under "stats", and a
-"noise" block — the median relative spread across queries plus a
-fixed probe query re-timed at the start, middle and end of the run to
-expose environment drift WITHIN the run."""
+Breach rule (BASELINE.md): med > 2x baseline med AND the [min, max]
+interval does not overlap the baseline's — overlap is weather, not
+regression."""
 
 from __future__ import annotations
 
@@ -97,16 +106,60 @@ def main() -> None:
         "probe_query": PROBE,
         "probe_sec": probe_samples,  # start / middle / end of the run
     }
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    full = {
+        "metric": "sum_median_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "stats": stats,
+        "noise": noise,
+        "sf": sf,
+    }
+    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # 2x gate vs the committed first-recorded baseline (per query).
+    base_path = os.path.join(repo, "BENCH_BASELINE.json")
+    baseline: dict[str, dict[str, float]] = {}
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                baseline = json.load(f)
+        except Exception:
+            baseline = {}
+    breaches: dict[str, dict[str, float]] = {}
+    for name, s in stats.items():
+        b = baseline.get(name)
+        if b is None:
+            baseline[name] = s  # first sighting establishes the baseline
+            continue
+        overlaps = s["min"] <= b["max"] and b["min"] <= s["max"]
+        if s["med"] > 2.0 * b["med"] and not overlaps:
+            breaches[name] = {"med": s["med"], "baseline_med": b["med"]}
+    with open(base_path, "w") as f:
+        json.dump(baseline, f, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    )
+    errors = sorted(n for n, t in times.items() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "sum_median_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "stats": stats,
-                "noise": noise,
                 "sf": sf,
+                "n_queries": len(times),
+                "n_errors": len(errors),
+                "errors": errors[:10],
+                "queries": slowest,  # 10 slowest; full set in BENCH_local.json
+                "breaches_2x": breaches,
+                "noise": noise,
+                "full": "BENCH_local.json",
+                "baseline": "BENCH_BASELINE.json",
             }
         )
     )

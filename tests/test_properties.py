@@ -273,3 +273,41 @@ def _ks_ecdf(xs, ys) -> float:
 )
 def test_ks_integer_form_equals_ecdf(xs, ys):
     assert _ks_integer(xs, ys) == pytest.approx(_ks_ecdf(xs, ys), abs=1e-12)
+
+
+def test_stop_shingle_cap_kills_hot_shingle_pairs(spark):
+    # A shingle planted in > SHINGLE_DF_CAP documents must contribute
+    # ZERO candidate pairs: the df cap fences the inverted-index
+    # self-join's df-squared blowup. Docs share ONLY the hot trigram
+    # (every other shingle is doc-unique), so with the cap active the
+    # capped universes are disjoint -> no pairs at all; without it the
+    # hot shingle alone would emit ~N^2/2 candidate pairs.
+    from timeseriesdb_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        capped_shingles,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n = SHINGLE_DF_CAP + 4
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d hot stop shingle")
+        for i in range(n)
+    ]
+    doc = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = capped_shingles(doc)
+    assert (
+        sh.filter(F.col("shingle") == "hot stop shingle").count() == 0
+    ), "hot shingle survived the df cap"
+    assert ngram_jaccard_pairs(doc).count() == 0
+    assert ngram_containment_pairs(doc).count() == 0
+    # one doc fewer than the cap -> the same shingle survives
+    doc_ok = spark.createDataFrame(
+        rows[: SHINGLE_DF_CAP], "doc_id long, text string"
+    )
+    assert (
+        capped_shingles(doc_ok)
+        .filter(F.col("shingle") == "hot stop shingle")
+        .count()
+        == SHINGLE_DF_CAP
+    )

@@ -7,8 +7,13 @@ Scale design (the whole point at 100 TB):
 - n-gram Jaccard: documents → exploded DISTINCT (doc, shingle) pairs;
   candidate generation is a shingle-key equi-join (shuffle on shingle,
   the classic inverted-index join), never an O(n²) crossJoin. Hot
-  shingles are the skew risk → AQE skew-join handles it; production
-  would also drop top-frequency shingles (stop-shingles).
+  shingles (boilerplate) would emit df² pairs each — unbounded at
+  corpus scale no matter how AQE splits the skew — so shingles with
+  document frequency > SHINGLE_DF_CAP are dropped from the universe
+  BEFORE any self-join (stop-shingles, the CCNet/RefinedWeb move).
+  The cap rides the same shingle exchange as the join (a window
+  count, no extra shuffle) and is mirrored verbatim in every oracle
+  CTE, so the queries stay hash-checked with the cap active.
 - MinHash+LSH: k=16 signatures; band hashing (4 bands × 4 rows) turns
   near-dup search into an equi-join on band keys — pairs only form
   within a bucket, which is what makes 100 TB feasible.
@@ -23,7 +28,7 @@ constants that build the DataFrame plan, so the two can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.operators.common import (
@@ -33,6 +38,7 @@ from timeseriesdb_spark.operators.common import (
 from timeseriesdb_spark.tables import load_table
 
 SHINGLE_K = 3            # words per shingle
+SHINGLE_DF_CAP = 128     # stop-shingle bound: drop shingles in > CAP docs
 JACCARD_THRESHOLD = 0.2  # report pairs at/above this similarity
 MINHASH_K = 16           # signature length
 LSH_BANDS = 4            # bands × rows_per_band == MINHASH_K
@@ -76,6 +82,38 @@ _SHINGLES_SQL = _shingles_sql()
 # with SHINGLE_K.
 
 
+def capped_shingles(doc: DataFrame) -> DataFrame:
+    """(doc_id, shingle) universe with stop-shingles removed: any
+    shingle whose document frequency exceeds SHINGLE_DF_CAP is
+    boilerplate and would emit df² rows from the inverted-index
+    self-join — the one blowup AQE skew-splitting can parallelize but
+    never shrink. The df count is a window over the same shingle
+    hash-partitioning the downstream self-join needs, so the cap adds
+    a sort but NO extra exchange (the repartition is also what pins
+    the join to shuffle-hash instead of a corpus-scale broadcast)."""
+    sh = _shingles(doc).repartition("shingle")
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count("*").over(w))
+        .where(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
+    )
+
+
+def _capped_shingles_sql(table: str = "documents") -> str:
+    """Oracle twin of capped_shingles — identical df-cap semantics."""
+    return f"""
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM ({_shingles_sql(table)})
+    ) WHERE df <= {SHINGLE_DF_CAP}
+"""
+
+
+_CAPPED_SHINGLES_SQL = _capped_shingles_sql()
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the min doc_id per
     group (the canonical survivor), report group size."""
@@ -86,27 +124,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(doc: DataFrame) -> DataFrame:
     """Word-3-shingle Jaccard near-dup pairs via inverted-index join:
-    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. Integer
-    counts → the ratio is engine-exact before the final round."""
-    # Repartition on the join key: (1) pins the inverted-index join to
-    # a shuffle join — Catalyst's size estimate would otherwise
-    # BROADCAST the exploded shingle set, which dies at corpus scale;
-    # (2) at RUNTIME the corpus is scanned and shingled exactly once:
-    # AQE materializes the shingle shuffle as one query stage and the
-    # other self-join/sizes branches become ReusedQueryStages (see the
-    # final adaptive plan in PLANS.md — the PRE-execution plan shows
-    # the branches expanded, which over-counts scans). Keeping n_sh as
-    # a separate tiny aggregation off the same reused exchange beats
-    # carrying size(shingle_array) on every exploded row: exploding an
-    # attribute (vs. an inline expression) triggers
-    # InferFiltersFromGenerate + pushdown, which re-inlines the array
-    # construction into the pushed filter and rebuilds it ~3× per doc
-    # (measured: 2.7s → 4.2s at sf0.1).
-    sh = _shingles(
-        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
-    ).repartition("shingle")
+    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|, both
+    over the stop-shingle-capped universe (capped_shingles — sizes
+    and intersections use the SAME universe, so the ratio stays a
+    true Jaccard of the capped sets). Integer counts → the ratio is
+    engine-exact before the final round."""
+    # capped_shingles repartitions on the join key: (1) pins the
+    # inverted-index join to a shuffle join — Catalyst's size estimate
+    # would otherwise BROADCAST the exploded shingle set, which dies
+    # at corpus scale; (2) at RUNTIME the corpus is scanned and
+    # shingled exactly once: AQE materializes the shingle shuffle as
+    # one query stage and the other self-join/sizes branches become
+    # ReusedQueryStages (see the final adaptive plan in PLANS.md — the
+    # PRE-execution plan shows the branches expanded, which
+    # over-counts scans). Keeping n_sh as a separate tiny aggregation
+    # off the same reused exchange beats carrying size(shingle_array)
+    # on every exploded row: exploding an attribute (vs. an inline
+    # expression) triggers InferFiltersFromGenerate + pushdown, which
+    # re-inlines the array construction into the pushed filter and
+    # rebuilds it ~3× per doc (measured: 2.7s → 4.2s at sf0.1).
+    sh = capped_shingles(doc)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -137,20 +176,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
+    )
+
+
 CONTAIN_THRESHOLD = 0.5  # report (a ⊂ b)-style overlap at/above this
 
 
-def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_containment_pairs(doc: DataFrame) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT |A∩B| / |A| — catches what
     Jaccard structurally cannot: a short document quoted inside a much
     longer one scores near 1.0 here but near 0 on Jaccard (the union
     is dominated by the long side). Emitted directionally (doc_a's
     shingles contained in doc_b, a ≠ b both directions) over the same
-    inverted-index shuffle join as q_ngram_jaccard — candidate pairs
-    only ever form on shared shingles."""
-    sh = _shingles(
-        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
-    ).repartition("shingle")
+    stop-shingle-capped inverted-index shuffle join as
+    ngram_jaccard_pairs — candidate pairs only ever form on shared
+    non-boilerplate shingles."""
+    sh = capped_shingles(doc)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -172,6 +216,12 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= CONTAIN_THRESHOLD)
         .select("doc_a", "doc_b", "n_inter", "containment")
+    )
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
     )
 
 
@@ -637,20 +687,24 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     near 1 means the document is assembled from passages that exist
     elsewhere in the corpus.
 
-    Shape: the inverted index is built once (shingle-key shuffle),
-    shingle document-frequency rides the same exchange (AQE reuse,
-    the q_ngram_jaccard pattern), and the per-doc rollup is the only
-    other shuffle. dup_frac is an integer/integer division → engine
-    exact. At 100 TB: identical plan; hot boilerplate shingles skew
-    the df join → AQE skew-join, or drop stop-shingles first."""
+    Coverage runs over the stop-shingle-capped universe (df ≤
+    SHINGLE_DF_CAP): boilerplate shingles shared by half the corpus
+    say nothing about passage-level duplication, and excluding them
+    keeps the denominator consistent with the pairwise queries.
+
+    Shape: ONE shingle-key exchange carries both the df window count
+    (which yields the cap AND the df>1 dup flag — no df join at all)
+    and the per-doc rollup is the only other shuffle. dup_frac is an
+    integer/integer division → engine exact. At 100 TB: identical
+    plan; per-shingle work is bounded by the cap."""
     sh = _shingles(
         parallelize_small_scan(load_table(spark, sf_dir, "documents"), spark)
     ).repartition("shingle")
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("shingle")
     dup = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
     return (
-        sh.hint("shuffle_hash")
-        .join(df_counts, "shingle")
+        sh.withColumn("df", F.count("*").over(w))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -776,18 +830,21 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "q_dup_ngram_coverage": f"""
-        WITH sh AS ({_SHINGLES_SQL}),
-        df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        WITH shd AS (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM ({_SHINGLES_SQL})
+        )
         SELECT doc_id, count(*) AS n_shingles,
-               CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_dup,
-               CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) AS dup_frac
-        FROM sh JOIN df USING (shingle)
+        FROM shd WHERE df <= {SHINGLE_DF_CAP}
         GROUP BY doc_id
     """,
     "q_ngram_jaccard": f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh AS ({_CAPPED_SHINGLES_SQL}),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -807,7 +864,7 @@ ORACLES = {
     "q_minhash_signatures": _MINHASH_SQL,
     "q_incremental_neardup": _INCREMENTAL_SQL,
     "q_ngram_containment": f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh AS ({_CAPPED_SHINGLES_SQL}),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -307,7 +307,8 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OVERLAP_N = 3  # word n-gram width for the source-overlap matrix
+OVERLAP_N = 3        # word n-gram width for the source-overlap matrix
+OVERLAP_SRC_CAP = 128  # drop n-grams present in > CAP sources
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,15 +317,29 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     consults before mixing corpora (high overlap ⇒ boilerplate or
     mirrored content; the same check as q_decontaminate but
     corpus-to-corpus instead of corpus-to-benchmark). Shape: distinct
-    (source, ngram) inverted index (|sources| ≈ dozens, so the matrix
-    is tiny), intersections from one self-join on the ngram key."""
+    (source, ngram) inverted index, intersections from one self-join
+    on the ngram key. Per-ngram join fan-out is (#sources carrying
+    it)², so n-grams present in > OVERLAP_SRC_CAP sources (universal
+    boilerplate — they carry no contamination signal) are dropped
+    from the universe before the join; the cap is a window count on
+    the same ngram partitioning the self-join shuffles on, and the
+    oracle applies it identically."""
     from timeseriesdb_spark.operators.common import array_ngrams
 
     doc = load_table(spark, sf_dir, "documents")
     warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
-    ngrams = doc.select(
-        "source", F.explode(F.array_distinct(array_ngrams(warr, OVERLAP_N))).alias("ng")
-    ).distinct()
+    w_ng = Window.partitionBy("ng")
+    ngrams = (
+        doc.select(
+            "source",
+            F.explode(F.array_distinct(array_ngrams(warr, OVERLAP_N))).alias("ng"),
+        )
+        .distinct()
+        .repartition("ng")
+        .withColumn("_nsrc", F.count("*").over(w_ng))
+        .where(F.col("_nsrc") <= OVERLAP_SRC_CAP)
+        .drop("_nsrc")
+    )
     sizes = ngrams.groupBy("source").agg(F.count("*").alias("n_ng"))
     a, b = ngrams.alias("a"), ngrams.alias("b")
     inter = (
@@ -967,13 +982,20 @@ ORACLES = {
                    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
             FROM toks
         ),
-        ngrams AS (
+        ngrams0 AS (
             SELECT DISTINCT source, ng FROM (
                 SELECT source,
                        w || ' ' || lead(w, 1) OVER win
                          || ' ' || lead(w, 2) OVER win AS ng
                 FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY j)
             ) WHERE ng IS NOT NULL
+        ),
+        ngrams AS (
+            SELECT source, ng FROM (
+                SELECT source, ng,
+                       count(*) OVER (PARTITION BY ng) AS nsrc
+                FROM ngrams0
+            ) WHERE nsrc <= {OVERLAP_SRC_CAP}
         ),
         sizes AS (SELECT source, count(*) AS n_ng FROM ngrams GROUP BY source),
         inter AS (
