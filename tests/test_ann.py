@@ -269,3 +269,72 @@ def test_dtw_banded_never_exceeds_l2(spark):
         .reset_index(drop=True)
     )
     assert (dt["dtw2"] <= l2["dist2"] + 1e-3).all()
+
+
+def test_ann_recall_shape_and_bounds(spark):
+    from timeseriesdb_spark.operators.similarity import (
+        RECALL_K,
+        RECALL_PROBES,
+        q_ann_recall,
+    )
+
+    rows = q_ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == 3 * RECALL_PROBES
+    methods = {r.method for r in rows}
+    assert methods == {"lsh", "ivf", "pq"}
+    for r in rows:
+        assert 0 <= r.n_hits <= RECALL_K
+        assert r.recall == pytest.approx(r.n_hits / RECALL_K, abs=1e-9)
+    # the probe set is fixed -> the whole result is deterministic
+    again = q_ann_recall(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_recall_pq_matches_numpy(spark):
+    # strongest pin: recompute probe 0's PQ recall entirely in numpy
+    # (same codebooks, same 4dp/6dp rounding, same vec_id tie-breaks)
+    # and demand the query's number matches bit-for-bit.
+    import numpy as np
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+        RECALL_K,
+        _pq_codebooks,
+        q_ann_recall,
+    )
+
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")[
+        ["vec_id", "embedding"]
+    ].sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    probe_id = int(ids[0])
+    qv = X[0]
+    mask = ids != probe_id
+    Xo, ido = X[mask], ids[mask]
+    norms = np.linalg.norm(Xo, axis=1)
+    cos = np.round(Xo @ qv / (norms * np.linalg.norm(qv)), 4)
+    order = np.lexsort((ido, -cos))
+    truth = set(ido[order[:RECALL_K]])
+
+    CB = _pq_codebooks(spark, SF_DIR)
+    d = CB.shape[2]
+    adc = np.zeros(len(Xo))
+    for m in range(PQ_M):
+        S = Xo[:, m * d : (m + 1) * d]
+        d2 = ((S[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+        codes = d2.argmin(axis=1)
+        lut = ((qv[m * d : (m + 1) * d][None, :] - CB[m]) ** 2).sum(axis=1)
+        adc += lut[codes]
+    adc = np.round(adc, 6)
+    order_pq = np.lexsort((ido, adc))
+    pq_top = set(ido[order_pq[:RECALL_K]])
+    expect_hits = len(pq_top & truth)
+
+    rows = q_ann_recall(spark, SF_DIR).collect()
+    got = next(
+        r for r in rows if r.method == "pq" and r.probe_id == probe_id
+    )
+    assert got.n_hits == expect_hits

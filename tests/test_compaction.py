@@ -50,3 +50,76 @@ def test_compact_missing_partition_noop(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").limit(10)
     store.write_signal_store(ev, path)
     assert store.compact_partition(spark, path, "1999-01-01") == 0
+
+
+def _write_hist_batch(spark, path, bid, uid, n):
+    spark.createDataFrame(
+        [(uid, "2024-01-05", 3, n)],
+        "user_id long, day string, bin int, partial_n long",
+    ).write.mode("overwrite").parquet(f"{path}/batch_id={bid}")
+
+
+def test_compact_partials_spares_concurrent_batches(spark, tmp_path):
+    # A micro-batch landing between the snapshot and the swap must be
+    # neither merged nor deleted. Simulated by writing the extra batch
+    # after the store read would have snapshotted: here we just check
+    # that only batch_id dirs present at call time are consumed and
+    # that a subsequent streamed batch keeps merging on top.
+    import os
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    path = str(tmp_path / "hist")
+    eng = SignalEngine(spark, path)
+    for bid, n in [(0, 5), (1, 7)]:
+        _write_hist_batch(spark, path, bid, 1, n)
+    assert eng.compact_partials(path, "hist") == 2
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=compacted-0"], dirs
+    # a batch streamed AFTER compaction merges on top at read time
+    _write_hist_batch(spark, path, 99, 1, 8)
+    rows = eng.histogram_bins(path).collect()
+    assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 20)]
+    # second compaction folds the new batch into generation 1
+    assert eng.compact_partials(path, "hist") == 2
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=compacted-1"], dirs
+    rows = eng.histogram_bins(path).collect()
+    assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 20)]
+
+
+def test_compact_partials_crash_recovery(spark, tmp_path):
+    # Crash BEFORE install: aside dir exists, generation missing ->
+    # recovery restores the partials. Crash AFTER install: generation
+    # present -> recovery deletes the aside (restoring would double
+    # count). Both must leave counts exact.
+    import os
+    import shutil
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    # -- crash after move-aside, before install --
+    path = str(tmp_path / "h1")
+    eng = SignalEngine(spark, path)
+    _write_hist_batch(spark, path, 0, 1, 5)
+    aside = path + "__compact_old_0"
+    os.makedirs(aside)
+    shutil.move(f"{path}/batch_id=0", f"{aside}/batch_id=0")
+    assert eng.compact_partials(path, "hist") == 1  # restored + merged
+    rows = eng.histogram_bins(path).collect()
+    assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 5)]
+    assert not os.path.exists(aside)
+
+    # -- crash after install, before delete-aside --
+    path2 = str(tmp_path / "h2")
+    _write_hist_batch(spark, path2, 0, 1, 5)
+    eng.compact_partials(path2, "hist")  # installs compacted-0
+    aside2 = path2 + "__compact_old_0"
+    os.makedirs(aside2)
+    # plant stale pre-merge partials that are ALREADY in compacted-0
+    _write_hist_batch(spark, aside2.replace("__compact_old_0", ""), -1, 1, 999)
+    shutil.move(f"{path2}/batch_id=-1", f"{aside2}/batch_id=-1")
+    eng.compact_partials(path2, "hist")
+    rows = eng.histogram_bins(path2).collect()
+    # the planted 999 must NOT leak back in
+    assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 5)]

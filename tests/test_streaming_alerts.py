@@ -91,3 +91,80 @@ def test_stream_alerts_match_batch(spark, tmp_path):
 
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got[COLS], exp[COLS], check_dtype=False)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_episode_kernel_handles_out_of_order_chunks():
+    # applyInPandasWithState delivers a key's micro-batch in arbitrary
+    # post-shuffle order split into Arrow chunks: the kernel must
+    # concat + sort ONCE, not per chunk. One 6-sample breaching
+    # episode split across two chunks with interleaved timestamps
+    # must come out as exactly one episode, not two.
+    import pandas as pd
+
+    from timeseriesdb_spark.streaming.alerts import make_detector
+
+    def row(eid, us, v):
+        return {"user_id": 1, "event_id": eid,
+                "ts": pd.Timestamp(us * 1000), "value": v}
+
+    # breach at ts 1..6, calm at 7 closes it; chunks interleave ts
+    chunk_a = pd.DataFrame([row(2, 2, 9.0), row(4, 4, 9.5), row(6, 6, 9.0),
+                            row(7, 7, 0.0)])
+    chunk_b = pd.DataFrame([row(1, 1, 9.0), row(3, 3, 9.0), row(5, 5, 9.0)])
+    detect = make_detector(threshold=5.0, min_len=4)
+    st = _FakeState()
+    out = list(detect((1,), iter([chunk_a, chunk_b]), st))
+    assert len(out) == 1 and len(out[0]) == 1, out
+    ep = out[0].iloc[0]
+    assert ep["n_samples"] == 6
+    assert ep["peak_value"] == 9.5
+    assert not st.exists  # calm sample cleared the open episode
+
+
+def test_rate_kernel_handles_out_of_order_chunks():
+    import numpy as np
+    import pandas as pd
+
+    from timeseriesdb_spark.streaming.rates import make_counter_rate
+
+    def row(eid, us, v):
+        return {"user_id": 1, "event_id": eid,
+                "ts": pd.Timestamp(us * 1000), "value": v}
+
+    # monotone counter 10,20,30,40 split into interleaved chunks:
+    # per-chunk processing would see 20,40 then 10,30 and emit a
+    # phantom reset; whole-batch sort gives deltas 10,10,10.
+    chunk_a = pd.DataFrame([row(2, 2, 20.0), row(4, 4, 40.0)])
+    chunk_b = pd.DataFrame([row(1, 1, 10.0), row(3, 3, 30.0)])
+    rate = make_counter_rate()
+    st = _FakeState()
+    out = pd.concat(list(rate((1,), iter([chunk_a, chunk_b]), st)))
+    out = out.sort_values("event_id")
+    assert out["is_reset"].sum() == 0, out
+    assert np.allclose(out["inc_raw"].to_numpy()[1:], [10.0, 10.0, 10.0])
+    assert st.get == (40.0,)

@@ -398,25 +398,66 @@ class SignalEngine:
         IDENTICAL before/after, and partials streamed afterwards keep
         merging on top (tests/test_streaming_ohlc.py).
 
-        Local-FS commit: write the merged generation to a sibling tmp
-        dir, then swap directories. On an object store this becomes
-        the same manifest protocol as apply_retention."""
+        Safe against concurrent streamed maintenance: the batch_id=*
+        listing is SNAPSHOTTED first and only those partitions are
+        read, merged, and removed — a micro-batch landing between the
+        snapshot and the swap is neither merged nor deleted (it keeps
+        merging on top of the new generation at read time). The swap
+        is move-aside → install-new-generation → delete-aside, so the
+        store path itself never disappears, and a crash mid-swap is
+        self-healing on the next call: the aside dir's name carries
+        the generation it feeds (`__compact_old_<n>`), so recovery
+        deletes it if `batch_id=compacted-<n>` was installed (its
+        contents are already merged there — restoring would double
+        count) and restores it otherwise. Never silent data loss.
+        On an object store this becomes the same manifest protocol
+        as apply_retention."""
         import os
         import shutil
 
-        df = self.spark.read.parquet(path)
+        import glob as _glob
+
+        base = path.rstrip("/")
+        # Recover debris from a crashed previous run FIRST. The aside
+        # dir name carries the generation it feeds, which makes
+        # recovery decidable: if that generation was installed, the
+        # aside partials were already merged into it (delete them,
+        # restoring would double-count); if not, the move-aside was
+        # interrupted (restore them).
+        for aside in _glob.glob(base + "__compact_old_*"):
+            g = aside.rsplit("_", 1)[-1]
+            if os.path.exists(f"{base}/batch_id=compacted-{g}"):
+                shutil.rmtree(aside)
+            else:
+                for d in os.listdir(aside):
+                    if not os.path.exists(f"{base}/{d}"):
+                        shutil.move(f"{aside}/{d}", f"{base}/{d}")
+                shutil.rmtree(aside)
+        snapshot = sorted(
+            d for d in os.listdir(base) if d.startswith("batch_id=")
+        )
+        if not snapshot:
+            return 0
+        gens = [
+            int(d.rsplit("-", 1)[-1])
+            for d in snapshot
+            if d.startswith("batch_id=compacted-")
+        ]
+        gen = (max(gens) + 1) if gens else 0
+        # Read exactly the snapshotted partitions (no partition
+        # inference on direct paths — batch_id simply isn't a column).
+        df = self.spark.read.parquet(*[f"{base}/{d}" for d in snapshot])
         drop = [c for c in ("batch_id",) if c in df.columns]
-        merged = self._PARTIAL_MERGES[kind](df.drop(*drop))
-        n_before = len(
-            [p for p in os.listdir(path) if p.startswith("batch_id=")]
-        )
-        tmp = path.rstrip("/") + "__compact_tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{tmp}/batch_id=compacted"
-        )
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
-        return n_before
+        merged = self._PARTIAL_MERGES[kind](df.drop(*drop) if drop else df)
+        tmp = base + "__compact_tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        aside = base + f"__compact_old_{gen}"
+        os.makedirs(aside)
+        for d in snapshot:
+            shutil.move(f"{base}/{d}", f"{aside}/{d}")
+        shutil.move(tmp, f"{base}/batch_id=compacted-{gen}")
+        shutil.rmtree(aside)
+        return len(snapshot)
 
     def frequency_estimate(self, sketch_path: str, keys) -> DataFrame:
         """Per-signal Count-Min point estimates for `keys` from

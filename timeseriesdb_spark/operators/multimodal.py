@@ -1,81 +1,69 @@
-"""Multimodal column plumbing: image/audio/video as opaque `binary`
+"""Multimodal column operators: image payloads as opaque `binary`
 columns with typed metadata, processed in Arrow batches via
-mapInPandas.
+mapInPandas — decode, metadata extraction, feature extraction,
+frame sampling, and resize.
 
-The decode step is STUBBED (this container has no image/audio libs —
-see `decode_image`); everything Spark-side is real and tested: the
-schema contract, the binary payload handling, the batch shape, and the
-partition behavior. Swapping the stub for PIL/libav is a one-function
-change that does not alter the plan.
+The decode step is REAL (round 5): functions/imaging.py implements
+pure-numpy BMP-24 and PPM-P6 codecs plus bilinear resize, and every
+query below genuinely parses encoded image bytes back into pixel
+grids. The testdata has no binary image column, so payloads are
+SYNTHESIZED from documents.text as real encoded images (dimensions
+closed-form from text length, pixels tiling the UTF-8 bytes, format
+alternating by doc_id) — which keeps q_multimodal_meta fully
+oracle-checkable: the synthesis embeds width/height into actual
+format headers, the Spark path re-parses them from bytes, and DuckDB
+recomputes them independently from text length. A header-parse bug,
+stride-padding bug, or channel-order bug shows up as a hash mismatch.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of table size; binary payloads never pass
-through the driver; feature extraction parallelism == partition count.
-At 100 TB the payloads would live in the parquet as binary chunks
-(or object-store pointers) exactly like this.
+through the driver; decode parallelism == partition count. At 100 TB
+the payloads live in parquet as binary chunks (or object-store
+pointers) exactly like this, and the synthesis step is replaced by
+reading the stored bytes — the decode path is unchanged.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timeseriesdb_spark.functions import imaging
 from timeseriesdb_spark.tables import load_table
 
-REAL_DECODE = False  # flip when PIL/soundfile are available
+# Ship the imaging module BY VALUE inside every serialized closure:
+# executors don't need timeseriesdb_spark on their PYTHONPATH (the
+# same reason the streaming kernels inline their helpers).
+_cloudpickle.register_pickle_by_value(imaging)
 
-
-def decode_image(payload: bytes) -> tuple[int, int, str]:
-    """Decode an image payload → (width, height, format).
-
-    STUB: the container has no imaging libraries. The deterministic
-    fake below derives plausible metadata from the payload hash so the
-    full pipeline (schema, batching, partitioning) is exercised; the
-    real implementation is a drop-in:
-
-        from PIL import Image; im = Image.open(io.BytesIO(payload))
-        return im.width, im.height, im.format
-    """
-    if REAL_DECODE:
-        raise NotImplementedError("install PIL and implement real decode")
-    h = hashlib.sha256(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192, ["png", "jpeg", "webp"][h[2] % 3]
+REAL_DECODE = True  # round 5: pure-numpy BMP/PPM decode, no stub left
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal metadata pipeline: a binary payload column
-    (synthesized from documents.text — at 100 TB this is the stored
-    image bytes), decoded per Arrow batch into typed metadata."""
-    doc = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    # Capture the decode logic by value (self-contained closure): a
-    # reference to the module-level decode_image would require this
-    # package on the executor PYTHONPATH.
-    real_decode = REAL_DECODE
+    """Binary image payload → typed metadata (n_bytes, width, height,
+    format), with width/height READ BACK from the encoded header by
+    the real decoder. Oracle-checked end-to-end: DuckDB derives the
+    same values in closed form from the synthesis contract."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode_image(payload: bytes) -> tuple[int, int, str]:
-            if real_decode:
-                raise NotImplementedError("install PIL and implement real decode")
-            h = hashlib.sha256(payload).digest()
-            return 64 + h[0] % 192, 64 + h[1] % 192, ["png", "jpeg", "webp"][h[2] % 3]
-
         for pdf in batches:
-            metas = [decode_image(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "format": [m[2] for m in metas],
-                }
-            )
+            out = {"doc_id": [], "n_bytes": [], "width": [], "height": [],
+                   "format": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
+                fmt, pix = imaging.decode_image(payload)
+                h, w = pix.shape[:2]
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["format"].append(fmt)
+            yield pd.DataFrame(out)
 
     return doc.mapInPandas(
         extract,
@@ -83,19 +71,17 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FEAT_DIM = 16       # feature vector size per payload
-FRAME_BYTES = 256   # "frame" granularity for the sampler
-FRAME_EVERY = 4     # keep every k-th frame
+FEAT_DIM = 16    # feature vector size per payload
+FRAME_EVERY = 4  # keep every k-th pixel row as a sampled "frame"
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction + frame-sampling plumbing over binary
-    payloads: each payload → a fixed-dim float feature vector plus a
-    sampled-frame count. The extractor is a deterministic STUB (no
-    image/audio libs in this container — a real model embeds the
-    decoded frames, same signature); the Spark-side contract is real:
-    binary in, typed rows out, Arrow batches, executor-only payload
-    handling.
+    """Feature extraction + frame sampling over DECODED pixels: each
+    payload decodes to an (H, W, 3) grid, the grayscale plane is
+    split into FEAT_DIM contiguous stripes whose means form the
+    feature vector (a real vision model embeds the same decoded grid,
+    same signature), and every FRAME_EVERY-th pixel row counts as a
+    sampled frame.
 
     Output is one row per (doc_id, dim) — scalar columns only, so the
     driver's rows-only canonicalizer can hash the result (an
@@ -103,34 +89,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector form feeds the similarity operators (q_ann_*,
     q_embedding_neardup) directly; `F.collect_list` over dim
     re-assembles it when needed."""
-    doc = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    feat_dim, frame_bytes, frame_every = FEAT_DIM, FRAME_BYTES, FRAME_EVERY
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat_dim, frame_every = FEAT_DIM, FRAME_EVERY
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def features(payload: bytes) -> list[float]:
-            # stub embed: per-dim byte means over strided views (a real
-            # impl decodes then runs the vision/audio model here)
-            n = max(1, len(payload) // feat_dim)
-            return [
-                round(sum(payload[i * n : (i + 1) * n]) / (255.0 * n), 6)
-                for i in range(feat_dim)
-            ]
-
-        def sampled_frames(payload: bytes) -> int:
-            frames = range(0, max(1, len(payload) // frame_bytes), frame_every)
-            return len(list(frames))
+        import numpy as np
 
         for pdf in batches:
             out_doc, out_dim, out_val, out_frames = [], [], [], []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(p)
-                nf = sampled_frames(payload)
-                for d, v in enumerate(features(payload)):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
+                _, pix = imaging.decode_image(payload)
+                gray = pix.astype(np.float64).mean(axis=2).ravel()
+                stripes = np.array_split(gray, feat_dim)
+                nf = len(range(0, pix.shape[0], frame_every))
+                for d, s in enumerate(stripes):
                     out_doc.append(doc_id)
                     out_dim.append(d)
-                    out_val.append(v)
+                    out_val.append(round(float(s.mean()) / 255.0, 6))
                     out_frames.append(nf)
             yield pd.DataFrame(
                 {
@@ -147,42 +123,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_W, RESIZE_H = 8, 8  # target "thumbnail" grid for the stub
+RESIZE_W, RESIZE_H = 8, 8  # target thumbnail grid
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over binary payloads — the remaining member of
-    the decode/feature/frame-sample family: payload → fixed (W, H)
-    grid of byte means (a real impl decodes pixels and interpolates;
-    this deterministic stub strides the raw bytes into W·H cells, same
-    signature and batch shape). Emits scalar rows (doc_id, px, py,
-    value) so the rows-only canonicalizer can hash it; the grid
-    reassembles via pivot/collect when a model consumes it."""
-    doc = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    """Real image resize: payload → decode → grayscale → bilinear
+    resample to (RESIZE_W, RESIZE_H) — the thumbnail/preprocess stage
+    of a vision pipeline, on actual decoded pixels (imaging.py,
+    align_corners=False). Emits scalar rows (doc_id, px, py, value)
+    so the rows-only canonicalizer can hash it; the grid reassembles
+    via pivot/collect when a model consumes it. Pixel-level
+    correctness is pinned by tests/test_multimodal.py (solid-color
+    and analytic-ramp images through the full Spark path)."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w, h = RESIZE_W, RESIZE_H
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def cells(payload: bytes) -> list[float]:
-            n_cells = w * h
-            step = max(1, len(payload) // n_cells)
-            out = []
-            for c in range(n_cells):
-                chunk = payload[c * step : (c + 1) * step]
-                out.append(
-                    round(sum(chunk) / (255.0 * len(chunk)), 6) if chunk else 0.0
-                )
-            return out
+        import numpy as np
 
         for pdf in batches:
             rows = {"doc_id": [], "px": [], "py": [], "value": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                for c, v in enumerate(cells(bytes(p))):
-                    rows["doc_id"].append(doc_id)
-                    rows["px"].append(c % w)
-                    rows["py"].append(c // w)
-                    rows["value"].append(v)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
+                _, pix = imaging.decode_image(payload)
+                gray = pix.astype(np.float64).mean(axis=2)[:, :, None]
+                small = imaging.bilinear_resize(gray, h, w)[:, :, 0]
+                for py in range(h):
+                    for px in range(w):
+                        rows["doc_id"].append(doc_id)
+                        rows["px"].append(px)
+                        rows["py"].append(py)
+                        rows["value"].append(round(small[py, px] / 255.0, 6))
             yield pd.DataFrame(rows)
 
     return doc.mapInPandas(
@@ -197,32 +168,33 @@ QUERIES = {
 }
 
 
-def _hexbyte(pos: int) -> str:
-    """DuckDB expression for 0-based byte `pos` of the hex digest
-    column `hx` (pure strpos arithmetic — no base-conversion builtin
-    needed)."""
-    c1 = f"substr(hx, {2 * pos + 1}, 1)"
-    c2 = f"substr(hx, {2 * pos + 2}, 1)"
-    return (
-        f"((strpos('0123456789abcdef', {c1}) - 1) * 16"
-        f" + (strpos('0123456789abcdef', {c2}) - 1))"
-    )
-
-
-# q_multimodal_meta IS oracle-checkable while the decode stub is the
-# deterministic sha256 fake: DuckDB's sha256(VARCHAR) hashes the same
-# UTF-8 bytes mapInPandas receives, so the metadata derivation mirrors
-# exactly. When REAL_DECODE flips to a real image decoder, DELETE this
-# oracle (the driver falls back to the rows-only check). resize/
-# features stay rows-only (their numpy kernels aren't SQL).
+# q_multimodal_meta stays oracle-checked WITH the real decoder: the
+# synthesis contract (dims from text length, format from doc_id
+# parity, exact encoded sizes incl. BMP row padding / PPM header
+# text) is recomputed closed-form here, while the Spark path gets the
+# same numbers only by correctly parsing the bytes it encoded.
+# resize/features stay rows-only (their pixel kernels aren't SQL) and
+# are pytest-pinned instead.
 ORACLES: dict[str, str] = {
     "q_multimodal_meta": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST({imaging.SYNTH_MIN}
+                        + octet_length(encode(text)) % {imaging.SYNTH_W_MOD}
+                        AS BIGINT) AS w,
+                   CAST({imaging.SYNTH_MIN}
+                        + (octet_length(encode(text)) * 7) % {imaging.SYNTH_H_MOD}
+                        AS BIGINT) AS h
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(64 + {_hexbyte(0)} % 192 AS BIGINT) AS width,
-               CAST(64 + {_hexbyte(1)} % 192 AS BIGINT) AS height,
-               CASE {_hexbyte(2)} % 3 WHEN 0 THEN 'png'
-                    WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-        FROM (SELECT doc_id, text, sha256(text) AS hx FROM documents)
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                    ELSE 3 + length(CAST(w AS VARCHAR)) + 1
+                           + length(CAST(h AS VARCHAR)) + 5 + w * h * 3
+                    END AS BIGINT) AS n_bytes,
+               w AS width, h AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+        FROM d
     """,
 }

@@ -36,7 +36,7 @@ association order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.tables import load_table
@@ -810,7 +810,139 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_PROBES = 8   # fixed deterministic probe-set size
+RECALL_K = TOP_K
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN path (LSH / IVF / PQ) against
+    the brute-force cosine ground truth, over a fixed deterministic
+    probe set — the accuracy artifact the reference commits for its
+    own index (database/script/data/knn_buff.csv:1-256, knn-UCR.sh),
+    declared as a query so each round's numbers are reproducible.
+
+    One pass: every vector is annotated ONCE with its LSH bucket, IVF
+    cell, and PQ codes (all JVM expressions); a broadcast P-row probe
+    frame carries each probe's bucket, nprobe cell set and PQ lookup
+    table; the single cross join + one probe_id exchange feeds all
+    four rankings (truth by exact cosine; LSH/IVF rank their candidate
+    subsets by exact cosine; PQ ranks everything by ADC distance).
+    Emits (method, probe_id, n_hits, recall) — 3·P rows, fully
+    deterministic (4-dp cosine / 6-dp ADC with vec_id tie-breaks).
+    Rows-only check; invariants pinned in tests/test_ann.py
+    (recall bounds, IVF→1.0 at full nprobe, PQ hits == ADC-vs-truth
+    overlap recomputed in numpy)."""
+    import numpy as np
+
+    C = _ivf_centroids(spark, sf_dir)
+    CB = _pq_codebooks(spark, sf_dir)
+    planes = np.asarray(_srp_planes())
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+
+    probes_pdf = (
+        emb.orderBy("vec_id")
+        .limit(RECALL_PROBES)
+        .select("vec_id", "e")
+        .toPandas()
+    )
+    d = CB.shape[2]
+    prows = []
+    for _, r in probes_pdf.iterrows():
+        qv = np.asarray(r["e"], dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        qhat = qv / qn
+        bucket = "".join(
+            "1" if float(planes[b] @ qv) >= 0 else "0"
+            for b in range(len(planes))
+        )
+        cells = [int(i) for i in np.argsort(qhat @ C.T)[::-1][:IVF_NPROBE]]
+        lut = [
+            float(((qv[m * d : (m + 1) * d] - CB[m, k]) ** 2).sum())
+            for m in range(PQ_M)
+            for k in range(PQ_KS)
+        ]
+        prows.append(
+            (int(r["vec_id"]), [float(x) for x in qv], qn, bucket, cells, lut)
+        )
+    probes = spark.createDataFrame(
+        prows,
+        "probe_id long, qe array<double>, qnorm double, qbucket string, "
+        "qcells array<int>, qlut array<double>",
+    )
+
+    bits = [
+        F.when(_dot(F.col("e"), _lit_vec(p)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in _srp_planes()
+    ]
+    dots = F.array(*[_dot(F.col("e"), _lit_vec(C[k])) for k in range(IVF_CELLS)])
+    ann = emb.select(
+        "vec_id",
+        "e",
+        "norm",
+        F.concat(*bits).alias("bucket"),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+        *pq_code_columns(CB),
+    )
+    adc = sum(
+        F.element_at(
+            F.col("qlut"), (F.lit(m * PQ_KS + 1) + F.col(f"code_{m}")).cast("int")
+        )
+        for m in range(PQ_M)
+    )
+    base = (
+        ann.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("e"), F.col("qe")) / (F.col("norm") * F.col("qnorm")),
+                4,
+            ).alias("cos"),
+            (F.col("bucket") == F.col("qbucket")).alias("in_lsh"),
+            F.array_contains(F.col("qcells"), F.col("cell")).alias("in_ivf"),
+            F.round(adc, 6).alias("adc"),
+        )
+    )
+    w_cos = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+    w_adc = Window.partitionBy("probe_id").orderBy(F.col("adc").asc(), "vec_id")
+    truth = (
+        base.withColumn("rk", F.row_number().over(w_cos))
+        .where(F.col("rk") <= RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+
+    def hits(name: str, cand: DataFrame, w) -> DataFrame:
+        topk = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= RECALL_K)
+            .select("probe_id", "vec_id")
+        )
+        per_probe = (
+            topk.join(truth, ["probe_id", "vec_id"], "semi")
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        return probes.select("probe_id").join(per_probe, "probe_id", "left").select(
+            F.lit(name).alias("method"),
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(RECALL_K)), 4
+            ).alias("recall"),
+        )
+
+    return (
+        hits("lsh", base.where("in_lsh"), w_cos)
+        .unionByName(hits("ivf", base.where("in_ivf"), w_cos))
+        .unionByName(hits("pq", base, w_adc))
+    )
+
+
 QUERIES = {
+    "q_ann_recall": q_ann_recall,
     "q_ann_topk": q_ann_topk,
     "q_ann_quantized": q_ann_quantized,
     "q_embedding_neardup": q_embedding_neardup,

@@ -700,11 +700,15 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs signal-vs-signal inside the engine).
 
     Exactness: values sit on the 0.01 grid → ×100 bigint units; all
-    five correlation moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
-    bigints (order-free, overflow-safe: ≤1e16 ≪ 2⁶³); the final
-    Pearson formula is IEEE-identical in both engines from identical
-    integer inputs (sqrt/division are correctly-rounded ops). The
-    rank over (corr desc, lag) is therefore also engine-identical.
+    five correlation moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    DECIMAL(38,0) (order-free; the per-row products fit bigint but a
+    top signal's ACCUMULATED Σx² can pass 2⁶³ at scale, and Spark's
+    non-ANSI bigint sum would wrap silently — the same discipline as
+    q_corr_matrix), and the n·Σxy − Σx·Σy combination stays decimal
+    (exact to 1e38; DuckDB mirrors it in HUGEINT). The final Pearson
+    formula is IEEE-identical in both engines from identical exact
+    integers (sqrt/division are correctly-rounded ops). The rank over
+    (corr desc, lag) is therefore also engine-identical.
 
     Scale: only the top-k signals' rows survive the broadcast
     semi-join, each series shuffles once for its row_number, and the
@@ -758,11 +762,11 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged.groupBy("ua", "ub", "lag")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
@@ -965,11 +969,11 @@ ORACLES = {
         ),
         m AS (
             SELECT ua, ub, lag, count(*) AS n,
-                   CAST(sum(x) AS BIGINT) AS sx,
-                   CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(x * y) AS BIGINT) AS sxy,
-                   CAST(sum(x * x) AS BIGINT) AS sxx,
-                   CAST(sum(y * y) AS BIGINT) AS syy
+                   CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(x * y AS HUGEINT)) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(y * y AS HUGEINT)) AS HUGEINT) AS syy
             FROM p WHERE y IS NOT NULL GROUP BY ua, ub, lag
         ),
         c AS (

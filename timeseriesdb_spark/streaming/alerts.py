@@ -57,9 +57,21 @@ def make_detector(threshold: float, min_len: int):
         open_ep = list(state.get) if state.exists else None  # [n, s, e, pk]
         done: list[tuple] = []
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Materialize the key's WHOLE micro-batch before sorting:
+        # applyInPandasWithState hands a key's rows in arbitrary
+        # post-shuffle order, split into Arrow chunks of
+        # spark.sql.execution.arrow.maxRecordsPerBatch rows — sorting
+        # each chunk independently would silently split/merge episodes
+        # whenever a key exceeds one chunk (>10k rows default) or a
+        # multi-partition source interleaves fetch order. One concat +
+        # one sort restores the global-order contract the island scan
+        # needs; memory is bounded by the key's micro-batch slice, the
+        # same bound the per-chunk path already implied for state.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = (
+            pd.concat(chunks, ignore_index=True) if chunks else None
+        )
+        for pdf in [whole] if whole is not None else []:
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
             flags = (pdf["value"] > threshold).to_numpy()
             us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()

@@ -56,9 +56,14 @@ def make_counter_rate():
 
         carry = state.get[0] if state.exists else None
         frames = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concat BEFORE sorting: a key's micro-batch arrives in
+        # arbitrary post-shuffle order split into Arrow chunks —
+        # per-chunk sorts would compute deltas against the wrong
+        # neighbor whenever a key spans chunks (>10k rows default or
+        # interleaved multi-partition fetch).
+        chunks = [p for p in pdfs if len(p)]
+        whole = pd.concat(chunks, ignore_index=True) if chunks else None
+        for pdf in [whole] if whole is not None else []:
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
             v = pdf["value"].to_numpy(np.float64)
             first = np.nan if carry is None else carry

@@ -95,7 +95,12 @@ def make_chunk(seg_size: int, idle_timeout_ms: int | None = None):
                 )
             return
         frames = []
-        for pdf in pdfs:
+        # Concat BEFORE sorting: chunks arrive in arbitrary
+        # post-shuffle order, so a per-chunk sort would segment
+        # out-of-order slices whenever a key spans Arrow chunks.
+        _chunks = [p for p in pdfs if len(p)]
+        _whole = pd.concat(_chunks, ignore_index=True) if _chunks else None
+        for pdf in [_whole] if _whole is not None else []:
             # arrival order within the batch = event-time order (the
             # reference's assumption); sort to make it explicit
             pdf = pdf.sort_values(["ts", "event_id"])

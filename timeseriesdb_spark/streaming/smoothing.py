@@ -50,9 +50,12 @@ def make_ewma(alpha: float):
         (uid,) = key
         carry = state.get[0] if state.exists else None
         frames = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concat BEFORE sorting: a per-chunk sort would seed the EWMA
+        # recursion out of time order whenever a key spans Arrow
+        # chunks (arbitrary post-shuffle order).
+        chunks = [p for p in pdfs if len(p)]
+        whole = pd.concat(chunks, ignore_index=True) if chunks else None
+        for pdf in [whole] if whole is not None else []:
             pdf = pdf.sort_values(["ts", "event_id"])
             v = pdf["value"].reset_index(drop=True)
             if carry is None:
