@@ -123,3 +123,80 @@ def test_compact_partials_crash_recovery(spark, tmp_path):
     rows = eng.histogram_bins(path2).collect()
     # the planted 999 must NOT leak back in
     assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 5)]
+
+
+def test_compact_partials_crash_after_install_stragglers(spark, tmp_path):
+    # Install-first swap: a crash AFTER batch_id=compacted-<g> is
+    # installed but BEFORE the snapshotted partitions are retired
+    # leaves manifest-listed dirs in the base. They are already merged
+    # into the generation, so recovery must remove them (keeping them
+    # would double count) while sparing batches not in the manifest.
+    import json
+    import os
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    path = str(tmp_path / "h3")
+    eng = SignalEngine(spark, path)
+    _write_hist_batch(spark, path, 0, 1, 5)
+    eng.compact_partials(path, "hist")  # installs compacted-0
+    # Simulate: compacted-1 installed, but batch_id=7 (merged into it)
+    # was never retired. batch_id=8 landed after the snapshot.
+    _write_hist_batch(spark, path, 7, 1, 100)
+    _write_hist_batch(spark, path, 8, 1, 2)
+    aside = path + "__compact_old_1"
+    os.makedirs(aside)
+    with open(f"{aside}/_COMPACT_MANIFEST.json", "w") as f:
+        json.dump(["batch_id=compacted-0", "batch_id=7"], f)
+    # fake the installed generation = compacted-0 partials + the 100
+    spark.createDataFrame(
+        [(1, "2024-01-05", 3, 105)],
+        "user_id long, day string, bin int, partial_n long",
+    ).write.mode("overwrite").parquet(f"{path}/batch_id=compacted-1")
+
+    eng.compact_partials(path, "hist")  # recovery then re-compact
+    rows = eng.histogram_bins(path).collect()
+    # exact: 5 + 100 + 2 — neither double-counted nor lost
+    assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 107)]
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=compacted-2"], dirs
+
+
+def test_compact_partials_restore_collision_raises(spark, tmp_path):
+    # A name collision between a crash-aside partial and a live base
+    # dir is ambiguous (a replayed micro-batch may have re-created it)
+    # — recovery must refuse loudly, not silently discard either copy.
+    import os
+    import shutil
+
+    import pytest
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    path = str(tmp_path / "h4")
+    eng = SignalEngine(spark, path)
+    _write_hist_batch(spark, path, 0, 1, 5)
+    aside = path + "__compact_old_0"
+    os.makedirs(aside)
+    _write_hist_batch(spark, path, 1, 1, 9)
+    shutil.move(f"{path}/batch_id=1", f"{aside}/batch_id=1")
+    _write_hist_batch(spark, path, 1, 1, 9)  # replayed twin in base
+    with pytest.raises(RuntimeError, match="both"):
+        eng.compact_partials(path, "hist")
+
+
+def test_compact_partials_glob_metachar_path(spark, tmp_path):
+    # Crash-debris discovery must work on store paths containing glob
+    # metacharacters (recovery enumerates via listdir + startswith;
+    # glob.glob would silently find nothing and leak the aside dir).
+    import os
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    path = str(tmp_path / "h[5]")
+    os.makedirs(path)
+    aside = path + "__compact_old_0"
+    os.makedirs(aside)  # empty pre-install debris
+    eng = SignalEngine(spark, path)
+    assert eng.compact_partials(path, "hist") == 0
+    assert not os.path.exists(aside)  # debris was found and cleared

@@ -266,9 +266,12 @@ def test_no_broadcast_hints_on_sf_proportional_tables():
     )
     hits = []
     for py in sorted(src_dir.rglob("*.py")):
-        for i, line in enumerate(py.read_text().splitlines(), 1):
-            if banned.search(line):
-                hits.append(f"{py.name}:{i}: {line.strip()}")
+        # whole-file search: \s* spans newlines, so a call formatted
+        # as "F.broadcast(\n    orders..." is still caught
+        text = py.read_text()
+        for m in banned.finditer(text):
+            line_no = text.count("\n", 0, m.start()) + 1
+            hits.append(f"{py.name}:{line_no}: {m.group(0)!r}")
     assert not hits, "broadcast hint on SF-proportional relation:\n" + "\n".join(hits)
 
 

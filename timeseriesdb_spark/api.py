@@ -403,36 +403,72 @@ class SignalEngine:
         read, merged, and removed — a micro-batch landing between the
         snapshot and the swap is neither merged nor deleted (it keeps
         merging on top of the new generation at read time). The swap
-        is move-aside → install-new-generation → delete-aside, so the
-        store path itself never disappears, and a crash mid-swap is
-        self-healing on the next call: the aside dir's name carries
-        the generation it feeds (`__compact_old_<n>`), so recovery
-        deletes it if `batch_id=compacted-<n>` was installed (its
-        contents are already merged there — restoring would double
-        count) and restores it otherwise. Never silent data loss.
+        is INSTALL-FIRST: write the aside dir's manifest (the snapshot
+        listing), install `batch_id=compacted-<n>`, then retire the
+        snapshotted partitions into the aside and delete it. The store
+        path therefore never goes empty for a concurrent reader — a
+        reader that lists files inside the retire window sees old+new
+        (a transient double-count for sum-merged sketches, bounded by
+        the window; a reader listing before the install sees exactly
+        the old partials). Single compactor at a time: the aside
+        `os.makedirs` is the mutual-exclusion point — a second
+        concurrent call fails there rather than corrupting the swap.
+
+        Crash mid-swap is self-healing on the next call: the aside
+        dir's name carries the generation it feeds
+        (`__compact_old_<n>`). If `batch_id=compacted-<n>` was
+        installed, every manifest-listed partition — whether already
+        retired into the aside or still sitting in the base — is
+        merged into it, so recovery deletes those (keeping them would
+        double count). If not installed, nothing was retired yet
+        (retire happens only after install), so recovery just clears
+        the aside and tmp debris; any partial it does find is restored,
+        and a base-name collision on restore raises instead of
+        silently discarding either copy. Never silent data loss.
         On an object store this becomes the same manifest protocol
         as apply_retention."""
+        import json as _json
         import os
         import shutil
 
-        import glob as _glob
-
         base = path.rstrip("/")
-        # Recover debris from a crashed previous run FIRST. The aside
-        # dir name carries the generation it feeds, which makes
-        # recovery decidable: if that generation was installed, the
-        # aside partials were already merged into it (delete them,
-        # restoring would double-count); if not, the move-aside was
-        # interrupted (restore them).
-        for aside in _glob.glob(base + "__compact_old_*"):
-            g = aside.rsplit("_", 1)[-1]
+        parent, leaf = os.path.split(base)
+        tmp = base + "__compact_tmp"
+        # Recover debris from a crashed previous run FIRST. Enumerate
+        # siblings with listdir + startswith (glob would silently miss
+        # store paths containing glob metacharacters).
+        for name in sorted(os.listdir(parent or ".")):
+            if not name.startswith(leaf + "__compact_old_"):
+                continue
+            aside = os.path.join(parent, name)
+            g = name.rsplit("_", 1)[-1]
+            manifest_path = os.path.join(aside, "_COMPACT_MANIFEST.json")
+            listed = []
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    listed = _json.load(f)
             if os.path.exists(f"{base}/batch_id=compacted-{g}"):
+                # Generation installed: every manifest-listed partition
+                # is merged into it — remove stragglers still in base,
+                # then the aside itself.
+                for d in listed:
+                    if os.path.exists(f"{base}/{d}"):
+                        shutil.rmtree(f"{base}/{d}")
                 shutil.rmtree(aside)
             else:
                 for d in os.listdir(aside):
-                    if not os.path.exists(f"{base}/{d}"):
-                        shutil.move(f"{aside}/{d}", f"{base}/{d}")
+                    if d == "_COMPACT_MANIFEST.json":
+                        continue
+                    if os.path.exists(f"{base}/{d}"):
+                        raise RuntimeError(
+                            f"compact recovery: {base}/{d} exists in both "
+                            f"the store and crash-aside {aside}; refusing "
+                            "to discard either copy — resolve manually"
+                        )
+                    shutil.move(f"{aside}/{d}", f"{base}/{d}")
                 shutil.rmtree(aside)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         snapshot = sorted(
             d for d in os.listdir(base) if d.startswith("batch_id=")
         )
@@ -444,18 +480,19 @@ class SignalEngine:
             if d.startswith("batch_id=compacted-")
         ]
         gen = (max(gens) + 1) if gens else 0
+        aside = base + f"__compact_old_{gen}"
+        os.makedirs(aside)  # raises if held — single-compactor guard
+        with open(os.path.join(aside, "_COMPACT_MANIFEST.json"), "w") as f:
+            _json.dump(snapshot, f)
         # Read exactly the snapshotted partitions (no partition
         # inference on direct paths — batch_id simply isn't a column).
         df = self.spark.read.parquet(*[f"{base}/{d}" for d in snapshot])
         drop = [c for c in ("batch_id",) if c in df.columns]
         merged = self._PARTIAL_MERGES[kind](df.drop(*drop) if drop else df)
-        tmp = base + "__compact_tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        aside = base + f"__compact_old_{gen}"
-        os.makedirs(aside)
-        for d in snapshot:
+        shutil.move(tmp, f"{base}/batch_id=compacted-{gen}")  # install
+        for d in snapshot:  # retire — readers see old+new, never empty
             shutil.move(f"{base}/{d}", f"{aside}/{d}")
-        shutil.move(tmp, f"{base}/batch_id=compacted-{gen}")
         shutil.rmtree(aside)
         return len(snapshot)
 

@@ -705,7 +705,9 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     top signal's ACCUMULATED Σx² can pass 2⁶³ at scale, and Spark's
     non-ANSI bigint sum would wrap silently — the same discipline as
     q_corr_matrix), and the n·Σxy − Σx·Σy combination stays decimal
-    (exact to 1e38; DuckDB mirrors it in HUGEINT). The final Pearson
+    (exact to 1e38; DuckDB mirrors it in HUGEINT — a per-group
+    magnitude guard raises if 2·n²·max|x|·max|y| approaches that
+    bound, so overflow is detected, never a silent NULL). The final Pearson
     formula is IEEE-identical in both engines from identical exact
     integers (sqrt/division are correctly-rounded ops). The rank over
     (corr desc, lag) is therefore also engine-identical.
@@ -767,6 +769,8 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
             F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
             F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+            F.max(F.abs("x")).alias("mx"),
+            F.max(F.abs("y")).alias("my"),
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
@@ -777,7 +781,30 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.sqrt(
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
-    corr = F.coalesce(num / F.nullif(den, F.lit(0.0)), F.lit(-2.0))
+    # Overflow guard: in non-ANSI Spark a decimal(38,0) combination
+    # like n·Σxy − Σx·Σy that passes ~1e38 returns NULL silently
+    # (DuckDB's HUGEINT would error at ~1.7e38 — the engines would
+    # diverge in that band). |n·Σxy| and |Σx·Σy| are both bounded by
+    # n²·max|x|·max|y|, so 2·n²·mx·my < 1e37 (an order of margin)
+    # proves every combination fits; otherwise fail loudly instead of
+    # ranking a silently-NULLed corr.
+    headroom = (
+        F.lit(2.0)
+        * F.pow(F.col("n").cast("double"), F.lit(2.0))
+        * F.col("mx").cast("double")
+        * F.col("my").cast("double")
+    )
+    corr = F.when(
+        headroom >= F.lit(1e37),
+        F.raise_error(
+            F.concat(
+                F.lit("q_xcorr_lag: moment magnitude exceeds decimal(38,0) "
+                      "headroom for pair ("),
+                F.col("ua"), F.lit(","), F.col("ub"),
+                F.lit(") — rescale the value grid"),
+            )
+        ).cast("double"),
+    ).otherwise(F.coalesce(num / F.nullif(den, F.lit(0.0)), F.lit(-2.0)))
     scored = m.select("ua", "ub", "lag", "n", corr.alias("corr"))
     ranked = scored.withColumn(
         "rk",
