@@ -480,3 +480,63 @@ def test_hybrid_rrf_broadcasts_tiny_legs(spark):
     plan = checks.formatted_plan(df)
     assert "Python" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+def test_running_sum_bucketed_carry(spark):
+    # Scale contract for the cumulative paths: the FACT window (the
+    # one ordered by ts) must partition on (user_id, bkt) — one
+    # signal-DAY per task — never the signal alone (which sorts a hot
+    # signal's entire history in a single task at 100 TB). The
+    # signal-only carry window is fine: it runs over the per-(signal,
+    # day) totals frame. And the two-level decimal carry must equal
+    # the naive single-window form bit-for-bit (decimal addition is
+    # associative).
+    import re as _re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.tables import load_table
+
+    df = QUERIES["q_running_sum"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    for spec in _re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        if "ts#" in spec:
+            assert "bkt#" in spec, spec
+
+    naive_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(naive_w)
+            .cast("double")
+            .alias("running_sum"),
+        )
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.running_sum) for r in df.collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.running_sum) for r in naive.collect()
+    )
+    assert got == want
+
+
+def test_cusum_no_full_signal_rank_window(spark):
+    # The peak pick must be an associative max-over-struct aggregate,
+    # not a row_number over the whole signal; the cumulative window
+    # must carry the day bucket like q_running_sum.
+    import re as _re
+
+    df = QUERIES["q_cusum_changepoint"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "row_number" not in plan, plan
+    for spec in _re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        if "ts#" in spec:
+            assert "bkt#" in spec, spec

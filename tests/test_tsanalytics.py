@@ -83,3 +83,32 @@ def test_counter_rate_increase_nonnegative(spark):
     pdf = q_counter_rate(spark, SF_DIR).toPandas()
     assert (pdf["increase"] >= 0).all()
     assert (pdf["span_sec"] >= 0).all()
+
+def test_recurrences_bit_identical_across_tiny_arrow_chunks(spark):
+    """The O(1)-carry contract of stateful_grouped_scan: with Arrow
+    batches forced down to 7 rows, every signal straddles many chunks,
+    so the kernels run almost entirely off carried state — and the
+    output must be BIT-identical to the large-batch run (the same
+    guarantee the streaming kernels pin for micro-batches)."""
+    from timeseriesdb_spark.operators.tsanalytics import q_holt_forecast
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+
+    def snap(fn, cols):
+        return sorted(
+            tuple(row[c] for c in cols) for row in fn(spark, SF_DIR).collect()
+        )
+
+    big_e = snap(q_ewma, ["user_id", "event_id", "ewma"])
+    big_h = snap(q_holt_forecast, ["user_id", "h", "forecast", "level", "trend"])
+    try:
+        spark.conf.set(key, "7")
+        small_e = snap(q_ewma, ["user_id", "event_id", "ewma"])
+        small_h = snap(
+            q_holt_forecast, ["user_id", "h", "forecast", "level", "trend"]
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert small_e == big_e
+    assert small_h == big_h

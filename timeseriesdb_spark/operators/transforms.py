@@ -73,6 +73,71 @@ def packed_grouped_map(df: DataFrame, kernel, schema: str,
     )
 
 
+def stateful_grouped_scan(df: DataFrame, kernel, schema: str,
+                          key: str = "user_id", finalize=None) -> DataFrame:
+    """Ordered per-key scan with O(1) carried state — NO group
+    materialization, ever.
+
+    `packed_grouped_map` bounds executor memory by "batch + one
+    group", which for a hot signal is still that signal's whole
+    history in one pandas frame. Sequential recurrences (EWMA, Holt,
+    any streaming-style scan) don't need the group: they need the
+    rows IN ORDER plus a constant-size state — the same O(1)-carry
+    discipline the streaming kernels prove bit-identical
+    (streaming/smoothing.py). Here rows are repartitioned on `key`
+    and sorted within partitions by (key, ts, event_id); the
+    mapInPandas iterator walks Arrow batches as they stream, slicing
+    each into contiguous same-key runs, and calls
+    `kernel(run_pdf, state) -> (out_pdf | None, state)` per run —
+    state (not rows) is carried when a key straddles batches, so
+    per-task memory is bounded by ONE ARROW BATCH regardless of how
+    hot the signal is. `finalize(key_value, state) -> pdf | None`
+    fires when a key's last row has passed (for kernels that emit
+    only a per-key summary, e.g. a forecast).
+
+    At 100 TB: one shuffle on the key, per-task memory = Arrow batch
+    size (spark.sql.execution.arrow.maxRecordsPerBatch), state = a
+    few floats per in-flight key. A single signal's recurrence is
+    inherently sequential — that one task streams, it never
+    materializes."""
+    def run(batches):
+        cur_key = None
+        state = None
+        started = False
+        for b in batches:
+            if not len(b):
+                continue
+            keys = b[key].to_numpy()
+            change = (keys[1:] != keys[:-1]).nonzero()[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(b)]))
+            outs = []
+            for s_, e_ in zip(starts, ends):
+                k = keys[s_]
+                if started and k != cur_key:
+                    if finalize is not None:
+                        f = finalize(cur_key, state)
+                        if f is not None and len(f):
+                            outs.append(f)
+                    state = None
+                cur_key, started = k, True
+                out, state = kernel(b.iloc[s_:e_], state)
+                if out is not None and len(out):
+                    outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if started and finalize is not None:
+            f = finalize(cur_key, state)
+            if f is not None and len(f):
+                yield f
+
+    return (
+        df.repartition(key)
+        .sortWithinPartitions(key, "ts", "event_id")
+        .mapInPandas(run, schema)
+    )
+
+
 def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated-FFT reconstruction per signal: rfft, keep the
     largest-magnitude ratio·n/2 coefficients, irfft back — the

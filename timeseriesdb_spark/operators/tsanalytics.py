@@ -107,33 +107,47 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjust=False semantics: s_0 = v_0; s_t = α·v_t + (1−α)·s_{t−1}).
 
     A linear recurrence is inherently sequential per signal, so this
-    is a grouped-map pandas kernel (Arrow-batched, numpy under pandas'
-    C ewm kernel) — the one shape Spark's built-ins can't express —
-    run through transforms.packed_grouped_map so Python is crossed
-    per PARTITION, not per group (1500 tiny groups at sf0.1 made the
-    per-group applyInPandas fixed cost dominate — measured
-    3.9 s → 1.5 s at sf0.1, kernel unchanged). At 100 TB the same kernel runs
-    per (signal, day-partition) chunk with the previous chunk's tail
-    as carry-in state — the applyInPandasWithState form of
-    streaming/smoothing.py; here each signal fits one group.
-    Rows-only check; pytest pins the kernel against pandas ewm
-    directly."""
-    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+    is a pandas kernel (Arrow-batched, pandas' C ewm under the hood)
+    — the one shape Spark's built-ins can't express — run through
+    transforms.stateful_grouped_scan: one shuffle on the signal key,
+    Python crossed per Arrow batch, and ONLY the previous smoothed
+    value carried when a signal straddles batches. The carry seeds
+    the next chunk's ewm by prepending it as a pseudo-row, which for
+    adjust=False reproduces s_t = α·v_t + (1−α)·s_{t−1} exactly from
+    the first real row — chunked output is BIT-IDENTICAL to the
+    one-pass recurrence (the streaming/smoothing.py discipline,
+    pinned there by stream==batch parity and here by
+    tests/test_tsanalytics.py's tiny-Arrow-batch pin). Per-task
+    memory is one Arrow batch even for a hot signal at 100 TB — the
+    group is never materialized. Rows-only check; pytest pins the
+    kernel against pandas ewm directly."""
+    from timeseriesdb_spark.operators.transforms import stateful_grouped_scan
 
     ev = load_table(spark, sf_dir, "events")
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
-        return pd.DataFrame(
+    def ewma(pdf: pd.DataFrame, state):
+        v = pdf["value"].reset_index(drop=True)
+        if state is None:
+            s = v.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        else:
+            seeded = pd.concat([pd.Series([state]), v], ignore_index=True)
+            s = (
+                seeded.ewm(alpha=EWMA_ALPHA, adjust=False)
+                .mean()
+                .iloc[1:]
+                .reset_index(drop=True)
+            )
+        out = pd.DataFrame(
             {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ts": pdf["ts"],
+                "user_id": pdf["user_id"].reset_index(drop=True),
+                "event_id": pdf["event_id"].reset_index(drop=True),
+                "ts": pdf["ts"].reset_index(drop=True),
                 "ewma": s.round(6),
             }
         )
+        return out, float(s.iloc[-1])
 
-    return packed_grouped_map(
+    return stateful_grouped_scan(
         ev.select("user_id", "event_id", "ts", "value"),
         ewma,
         "user_id bigint, event_id bigint, ts timestamp, ewma double",
@@ -201,41 +215,53 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate() and the seasonal profile.
 
     Same execution shape as q_ewma: a sequential recurrence per
-    signal → grouped-map pandas kernel over the one signal-key
-    shuffle (per-partition Python crossing via packed_grouped_map,
-    the q_ewma fix), state-carried per chunk at scale. Rows-only
-    check; pytest pins the kernel: a perfectly linear series
-    forecasts exactly on the line."""
-    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+    signal → stateful_grouped_scan over the one signal-key shuffle,
+    carrying ONLY (level, trend) across Arrow chunks — per-task
+    memory is one Arrow batch, never a signal's history, and the
+    chunked loop is bit-identical to the one-pass form (same float
+    ops, same order). Rows-only check; pytest pins the kernel: a
+    perfectly linear series forecasts exactly on the line."""
+    from timeseriesdb_spark.operators.transforms import stateful_grouped_scan
 
     ev = load_table(spark, sf_dir, "events")
 
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+    def holt(pdf: pd.DataFrame, state):
+        # state = (pending_first_value | None, level, trend): the
+        # recurrence continues across Arrow chunks with exactly these
+        # two floats (plus the un-seeded first value while a signal
+        # has produced only one row) — the same float ops in the same
+        # order as the one-pass loop, so chunking is bit-identical.
         import numpy as np
 
         v = pdf["value"].to_numpy(dtype=np.float64)
-        uid = int(pdf["user_id"].iloc[0])
-        if len(v) < 2:
-            return pd.DataFrame(
-                columns=["user_id", "h", "forecast", "level", "trend"]
-            ).astype(
-                {
-                    "user_id": "int64",
-                    "h": "int64",
-                    "forecast": "float64",
-                    "level": "float64",
-                    "trend": "float64",
-                }
-            )
-        level, trend = v[0], v[1] - v[0]
-        for x in v[1:]:
+        if state is None:
+            if len(v) == 1:
+                return None, (v[0], None, None)
+            level, trend = v[0], v[1] - v[0]
+            rest = v[1:]
+        elif state[1] is None:
+            first = state[0]
+            level, trend = first, v[0] - first
+            rest = v
+        else:
+            _, level, trend = state
+            rest = v
+        for x in rest:
             prev = level
             level = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
             trend = HOLT_BETA * (level - prev) + (1 - HOLT_BETA) * trend
+        return None, (None, level, trend)
+
+    def forecast(uid, state):
+        import numpy as np
+
+        if state is None or state[1] is None:  # fewer than 2 samples
+            return None
+        _, level, trend = state
         hs = np.arange(1, HOLT_H + 1, dtype=np.int64)
         return pd.DataFrame(
             {
-                "user_id": np.full(HOLT_H, uid, dtype=np.int64),
+                "user_id": np.full(HOLT_H, int(uid), dtype=np.int64),
                 "h": hs,
                 "forecast": np.round(level + hs * trend, 6),
                 "level": np.full(HOLT_H, round(level, 6)),
@@ -243,10 +269,11 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return packed_grouped_map(
+    return stateful_grouped_scan(
         ev.select("user_id", "event_id", "ts", "value"),
         holt,
         "user_id bigint, h bigint, forecast double, level double, trend double",
+        finalize=forecast,
     )
 
 

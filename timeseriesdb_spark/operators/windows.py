@@ -345,20 +345,49 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative per-signal sum (unbounded-preceding frame), decimal-
-    routed so every prefix is engine-exact — the integral/energy curve
-    of a signal."""
+    """Cumulative per-signal sum, decimal-routed so every prefix is
+    engine-exact — the integral/energy curve of a signal.
+
+    Two-level (signal, day-bucket) carry instead of a single
+    unbounded window partitioned by signal alone: a per-signal window
+    sorts a signal's ENTIRE history in one task (the scale-killer for
+    a hot signal at 100 TB). Here the fact window partitions on
+    (user_id, day) — per-task work is one signal-DAY — and the
+    cross-bucket prefix ("carry") is a window over the per-(signal,
+    day) totals frame, whose row count is signals × days, orders of
+    magnitude below the fact. running_sum = within-day prefix +
+    carry of prior days; decimal addition is associative, so the
+    result is bit-identical to the single-window form (pinned by
+    tests/test_plans.py::test_running_sum_bucketed_carry)."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
+    dec0 = F.lit(0).cast("decimal(38,6)")
+    evb = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("bkt"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+    )
+    wb = (
+        Window.partitionBy("user_id", "bkt")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ev.select(
+    within = evb.withColumn("wsum", F.sum("v").over(wb))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        evb.groupBy("user_id", "bkt")
+        .agg(F.sum("v").alias("btot"))
+        .select("user_id", "bkt", F.sum("btot").over(wc).alias("carry"))
+    )
+    return within.join(carry, ["user_id", "bkt"]).select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(38,6)"))
-        .over(w)
+        (F.col("wsum") + F.coalesce(F.col("carry"), dec0))
         .cast("double")
         .alias("running_sum"),
     )
@@ -501,8 +530,16 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagrees at boundaries), each residual rounds to decimal once,
     and the cumulative sum is decimal (associative) over the
     deterministic (ts, event_id) order — so the argmax row is the
-    same row in any engine at any parallelism. Shape: one agg + one
-    broadcast join + one window shuffle."""
+    same row in any engine at any parallelism.
+
+    Scale shape (the q_running_sum discipline): the cumulative sum
+    uses the two-level (signal, day-bucket) carry — per-task window
+    input is one signal-DAY, never a signal's whole history — and
+    the peak row is picked by an associative max-over-struct
+    aggregate (map-side combinable) instead of a rank window that
+    would re-sort the full signal in one task. Tie-break matches the
+    original rank: |cusum| desc, then earliest ts, then earliest
+    event_id, via negated keys inside the struct."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("user_id").agg(
         F.count("*").alias("_n"),
@@ -518,25 +555,52 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (signed_units.cast("double") / F.lit(1_000_000.0)).alias("_m"),
     )
-    w = (
-        Window.partitionBy("user_id")
+    dec0 = F.lit(0).cast("decimal(38,6)")
+    evb = ev.join(F.broadcast(means), "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("bkt"),
+        (F.col("value") - F.col("_m")).cast("decimal(38,6)").alias("r"),
+    )
+    wb = (
+        Window.partitionBy("user_id", "bkt")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_cusum = ev.join(F.broadcast(means), "user_id").withColumn(
-        "_c",
-        F.sum((F.col("value") - F.col("_m")).cast("decimal(38,6)")).over(w),
+    within = evb.withColumn("wsum", F.sum("r").over(wb))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    rank = Window.partitionBy("user_id").orderBy(
-        F.abs(F.col("_c")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    carry = (
+        evb.groupBy("user_id", "bkt")
+        .agg(F.sum("r").alias("btot"))
+        .select("user_id", "bkt", F.sum("btot").over(wc).alias("carry"))
     )
+    cum = within.join(carry, ["user_id", "bkt"]).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("wsum") + F.coalesce(F.col("carry"), dec0)).alias("_c"),
+    )
+    pick = F.max(
+        F.struct(
+            F.abs(F.col("_c")).alias("a"),
+            (-F.unix_micros(F.col("ts"))).alias("nts"),
+            (-F.col("event_id")).alias("nid"),
+            F.col("ts").alias("ts"),
+            F.col("_c").alias("c"),
+        )
+    ).alias("p")
     return (
-        with_cusum.withColumn("rn", F.row_number().over(rank))
-        .where(F.col("rn") == 1)
+        cum.groupBy("user_id")
+        .agg(pick)
         .select(
             "user_id",
-            F.col("ts").alias("change_ts"),
-            F.col("_c").cast("double").alias("cusum"),
+            F.col("p.ts").alias("change_ts"),
+            F.col("p.c").cast("double").alias("cusum"),
         )
     )
 
