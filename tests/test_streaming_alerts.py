@@ -168,3 +168,75 @@ def test_rate_kernel_handles_out_of_order_chunks():
     assert out["is_reset"].sum() == 0, out
     assert np.allclose(out["inc_raw"].to_numpy()[1:], [10.0, 10.0, 10.0])
     assert st.get == (40.0,)
+
+def test_stream_alerts_key_spanning_many_arrow_chunks(spark, tmp_path):
+    """The cross-chunk contract: a key whose micro-batch slice exceeds
+    spark.sql.execution.arrow.maxRecordsPerBatch arrives at the kernel
+    split into several Arrow chunks, in arbitrary order — the kernel
+    must concat the whole slice and sort ONCE before the island scan.
+    Forced here with 100-row chunks, 360 rows for one key in a single
+    micro-batch, written to the source in shuffled row order so any
+    per-chunk sort (the pre-fix bug) would split or merge episodes."""
+    import numpy as np
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # pattern: 36 cycles of (7 breaching, 3 calm) → 36 closed episodes
+    # of exactly 7 samples each; ends calm, so nothing stays open
+    n_cycles, hot, calm = 36, 7, 3
+    vals, ids, tss = [], [], []
+    t0 = pd.Timestamp("2024-01-01")
+    i = 0
+    for _ in range(n_cycles):
+        for _ in range(hot):
+            vals.append(200.0 + (i % 5))
+            ids.append(i)
+            tss.append(t0 + pd.Timedelta(seconds=i))
+            i += 1
+        for _ in range(calm):
+            vals.append(1.0)
+            ids.append(i)
+            tss.append(t0 + pd.Timedelta(seconds=i))
+            i += 1
+    pdf = pd.DataFrame(
+        {"user_id": 1, "event_id": ids, "ts": tss, "value": vals}
+    )
+    rng = np.random.RandomState(7)
+    pdf = pdf.iloc[rng.permutation(len(pdf))].reset_index(drop=True)
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "100")
+        stream = spark.readStream.schema(sdf.schema).parquet(src)
+        q = (
+            alerts.alert_stream(stream, SUSTAIN_TH, SUSTAIN_K)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set(key, old)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("start_ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_cycles, len(got)
+    assert (got["n_samples"] == hot).all(), got["n_samples"].tolist()
+    # episode i spans seconds [10i, 10i+6]
+    starts = [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=10 * c)
+              for c in range(n_cycles)]
+    ends = [s + pd.Timedelta(seconds=hot - 1) for s in starts]
+    assert got["start_ts"].tolist() == starts
+    assert got["end_ts"].tolist() == ends
+    assert (got["peak_value"] >= 200.0).all()

@@ -161,10 +161,52 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer checksums over the DECODED pixel grid, per doc:
+    element count, plain sum, and a position-weighted sum
+    Σ pixel[j]·(j+1) over the flattened top-down RGB order. The
+    weighted sum makes the check order-sensitive: a BGR/RGB channel
+    swap, a bottom-up row flip, or a stride/padding slip all move
+    values to different flat indices and change the hash even when
+    the plain sum is invariant. Oracle-checked: pixels tile the UTF-8
+    text bytes cyclically (imaging.synth_image), so DuckDB recomputes
+    both sums closed-form — byte p of the text appears at flat
+    positions p, p+n, p+2n… below N=h·w·3, i.e. K_p = max(0,
+    ⌈(N−p)/n⌉) times, contributing K_p·v_p to the sum and
+    v_p·(K_p(p+1) + n·K_p(K_p−1)/2) to the weighted sum (arithmetic
+    series) — no decoding on the oracle side, full decode on the
+    Spark side. This is the hash-checked companion the rows-only
+    q_multimodal_resize kernel rides on (same decode path)."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_vals": [], "pix_sum": [], "pix_wsum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
+                _, pix = imaging.decode_image(payload)
+                flat = pix.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_vals"].append(int(flat.size))
+                out["pix_sum"].append(int(flat.sum()))
+                out["pix_wsum"].append(
+                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return doc.mapInPandas(
+        check,
+        "doc_id bigint, n_vals bigint, pix_sum bigint, pix_wsum bigint",
+    )
+
+
 QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_checksum": q_multimodal_checksum,
 }
 
 
@@ -196,5 +238,52 @@ ORACLES: dict[str, str] = {
                w AS width, h AS height,
                CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
         FROM d
+    """,
+    # Pixel tiling checksums recomputed WITHOUT decoding: byte p of
+    # the text (value v_p, extracted via hex-pair arithmetic) lands at
+    # flat pixel positions p, p+n, p+2n… < N = h·w·3, so it appears
+    # K_p = max(0, ceil((N-p)/n)) times; Σ of those positions+1 is the
+    # arithmetic series K_p(p+1) + n·K_p(K_p-1)/2. Empty text encodes
+    # as a single 0 byte (both sums 0 either way).
+    "q_multimodal_checksum": f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS rawn
+            FROM documents
+        ),
+        dims AS (
+            SELECT doc_id, hx,
+                   CAST(CASE WHEN rawn = 0 THEN 1 ELSE rawn END AS BIGINT) AS n,
+                   rawn = 0 AS empty,
+                   CAST({imaging.SYNTH_MIN} + rawn % {imaging.SYNTH_W_MOD}
+                        AS BIGINT) AS w,
+                   CAST({imaging.SYNTH_MIN} + (rawn * 7) % {imaging.SYNTH_H_MOD}
+                        AS BIGINT) AS h
+            FROM d
+        ),
+        bytes AS (
+            SELECT doc_id, n, w * h * 3 AS nn,
+                   unnest(range(0, n)) AS p,
+                   hx, empty
+            FROM dims
+        ),
+        vals AS (
+            SELECT doc_id, n, nn, p,
+                   CASE WHEN empty THEN 0 ELSE
+                     (strpos('0123456789ABCDEF',
+                             substr(hx, CAST(2 * p + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2 * p + 2 AS INT), 1)) - 1
+                   END AS v,
+                   GREATEST(0, (nn - p + n - 1) // n) AS kp
+            FROM bytes
+        )
+        SELECT doc_id,
+               CAST(nn AS BIGINT) AS n_vals,
+               CAST(sum(v * kp) AS BIGINT) AS pix_sum,
+               CAST(sum(v * (kp * (p + 1) + n * (kp * (kp - 1) // 2)))
+                    AS BIGINT) AS pix_wsum
+        FROM vals
+        GROUP BY doc_id, nn
     """,
 }

@@ -906,38 +906,47 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(adc, 6).alias("adc"),
         )
     )
+    # All four rankings from ONE scored frame — the crossJoin runs
+    # once, shuffles once on probe_id, and both window sorts reuse
+    # that partitioning. Truth and the cos-ranked candidate subsets
+    # (LSH/IVF) come out of the same cos-ordered window: a filtered
+    # subset's row_number equals the running count of its member rows
+    # (Σ in_lsh up to the current row), so no per-method re-ranking
+    # pipeline, no recomputation of the PQ codes / SRP bits per
+    # method. PQ's ADC ranking is the one extra sort.
     w_cos = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
     w_adc = Window.partitionBy("probe_id").orderBy(F.col("adc").asc(), "vec_id")
-    truth = (
+    run = w_cos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = (
         base.withColumn("rk", F.row_number().over(w_cos))
-        .where(F.col("rk") <= RECALL_K)
-        .select("probe_id", "vec_id")
+        .withColumn("rk_lsh", F.sum(F.col("in_lsh").cast("int")).over(run))
+        .withColumn("rk_ivf", F.sum(F.col("in_ivf").cast("int")).over(run))
+        .withColumn("rk_pq", F.row_number().over(w_adc))
     )
-
-    def hits(name: str, cand: DataFrame, w) -> DataFrame:
-        topk = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= RECALL_K)
-            .select("probe_id", "vec_id")
-        )
-        per_probe = (
-            topk.join(truth, ["probe_id", "vec_id"], "semi")
-            .groupBy("probe_id")
-            .agg(F.count("*").alias("n_hits"))
-        )
-        return probes.select("probe_id").join(per_probe, "probe_id", "left").select(
-            F.lit(name).alias("method"),
-            "probe_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(RECALL_K)), 4
-            ).alias("recall"),
-        )
-
-    return (
-        hits("lsh", base.where("in_lsh"), w_cos)
-        .unionByName(hits("ivf", base.where("in_ivf"), w_cos))
-        .unionByName(hits("pq", base, w_adc))
+    truth_f = F.col("rk") <= RECALL_K
+    k = F.lit(RECALL_K)
+    agg = scored.groupBy("probe_id").agg(
+        F.sum(
+            (truth_f & F.col("in_lsh") & (F.col("rk_lsh") <= k)).cast("long")
+        ).alias("lsh"),
+        F.sum(
+            (truth_f & F.col("in_ivf") & (F.col("rk_ivf") <= k)).cast("long")
+        ).alias("ivf"),
+        F.sum((truth_f & (F.col("rk_pq") <= k)).cast("long")).alias("pq"),
+    )
+    return agg.select(
+        "probe_id",
+        F.stack(
+            F.lit(3),
+            F.lit("lsh"), F.col("lsh"),
+            F.lit("ivf"), F.col("ivf"),
+            F.lit("pq"), F.col("pq"),
+        ).alias("method", "n_hits"),
+    ).select(
+        "method",
+        "probe_id",
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(float(RECALL_K)), 4).alias("recall"),
     )
 
 
