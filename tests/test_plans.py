@@ -540,3 +540,62 @@ def test_cusum_no_full_signal_rank_window(spark):
     for spec in _re.findall(r"windowspecdefinition\([^)]*\)", plan):
         if "ts#" in spec:
             assert "bkt#" in spec, spec
+
+
+def test_tpch_q7_q9_broadcast_dims_only(spark):
+    # Q7/Q9 join trees: nation hints only; no Cartesian, no Python,
+    # single agg exchange at this sf (AQE broadcasts the rest from
+    # stats — at 100 TB those become shuffle joins, which is the point
+    # of NOT hinting them), and the dim filters reach the scans.
+    for name in ("q_volume_shipping", "q_product_profit"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = checks.formatted_plan(df)
+        assert "Python" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "NestedLoop" not in plan, (name, plan)
+        assert checks.exchange_count(df) <= 2, (name, plan)
+    pushed = " ".join(checks.pushed_filters(QUERIES["q_product_profit"](spark, SF_DIR)))
+    assert "p_name" in pushed, pushed  # LIKE '%gear%' reaches the part scan
+
+
+def test_tpch_q12_date_window_pushdown(spark):
+    df = QUERIES["q_shipping_lag"](spark, SF_DIR)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 2, plan
+
+
+def test_tpch_q17_partkey_exchange_reuse(spark):
+    # the per-part avg agg and the probe join both key on l_partkey:
+    # at most two fact exchanges, no window over the fact, no Python
+    df = QUERIES["q_small_qty_revenue"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert checks.exchange_count(df) <= 2, plan
+
+
+def test_tpch_q21_semi_anti_stay_equi_joins(spark):
+    # the EXISTS/NOT EXISTS legs must plan as equi semi/anti joins on
+    # l_orderkey with the suppkey != residual — a NestedLoop or
+    # Cartesian here is the O(n^2) failure mode
+    df = QUERIES["q_waiting_suppliers"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-20, not a full sort
+
+
+def test_tpch_q22_anti_join_and_scalar_threshold(spark):
+    # the 1-row threshold frame may BroadcastNestedLoop (fixed
+    # cardinality); the orders anti-join must stay an equi hash join
+    # and the date filter must reach the orders scan
+    df = QUERIES["q_idle_customers"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed

@@ -600,7 +600,412 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- remaining TPC-H shapes (round 6) ------------------------------
+# The testdata schema drops partsupp, l_commitdate/receiptdate,
+# c_phone and l_shipmode, so the shapes keep each query's PLAN
+# structure (the thing that matters at 100 TB) and adapt the absent
+# columns: distinct (l_partkey, l_suppkey) stands in for partsupp,
+# l_shipdate vs o_orderdate lag for the commit/receipt lateness, and
+# nation for the phone country code.
+
+VOL_NATIONS = ("NATION_1", "NATION_2")  # Q7 trading pair
+PROFIT_UNIT_COST = 0.5                  # Q9: unit cost = half retail
+LAG_START, LAG_END = "1996-01-01", "1998-01-01"  # Q12 window
+SMALLQTY_BRAND = "Brand#3"              # Q17 brand filter
+WAIT_LATE_DAYS = 60                     # Q21 lateness bound
+MINCOST_SIZE, MINCOST_REGION = 15, "EUROPE"      # Q2 filters
+IMPORTANT_NATION, IMPORTANT_SHARE = "NATION_3", 500  # Q11: >1/500 of value
+PROMO_PREFIX = "red"                    # Q20 part-name prefix
+PROMO_YEAR_START, PROMO_YEAR_END = "1997-01-01", "1998-01-01"
+IDLE_CUTOFF = "2000-01-01"              # Q22: no orders since
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between a pair of nations by
+    ship-year — lineitem ⋈ orders ⋈ customer ⋈ nation(cust) plus
+    supplier ⋈ nation(supp), keeping only the two (supp, cust) nation
+    orientations of the pair.
+
+    Scale: both nation joins carry hints (fixed 25 rows, aliased
+    copies); supplier/orders/customer are SF-proportional — AQE
+    decides those. The nation filters cut the fact EARLY: pushing the
+    two-nation IN-list through the supplier/customer joins means only
+    ~2/25 of lineitem survives to the final agg shuffle (8 groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(*VOL_NATIONS))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(*VOL_NATIONS))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order-year over
+    parts matching a name pattern. partsupp is absent, so unit cost is
+    PROFIT_UNIT_COST·p_retailprice — the amount expression keeps Q9's
+    two-term form (revenue minus quantity·cost) and its per-row
+    determinism (identical double ops in both engines, decimal-summed).
+
+    Scale: the p_name LIKE filter prunes part BEFORE the fact join
+    (predicate pushdown into the part scan); nation broadcasts by
+    hint; part/supplier/orders stay AQE-decided."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        PROFIT_UNIT_COST
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(
+            part.where(F.col("p_name").like("%gear%")).select(
+                "p_partkey", "p_retailprice"
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"), F.count("*").alias("n_items"))
+    )
+
+
+def q_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship-lag bucket (days from order to ship,
+    30-day buckets — the stand-in for the absent l_shipmode), how many
+    line items belong to high- vs low-priority orders, over one
+    two-year ship window. Keeps Q12's signature conditional-count agg
+    (SUM(CASE priority IN urgent/high)). One fact join, date filter
+    pushed to the lineitem scan, integer day arithmetic (exact in both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lag_days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= LAG_START) & (F.col("l_shipdate") < LAG_END)
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.floor(lag_days / 30).alias("lag_bucket"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly-averaged revenue from small-lot orders
+    — line items of one brand whose quantity is below 20% of that
+    part's average quantity. The per-part average is a grouped agg
+    re-joined on l_partkey (Q17's correlated subquery, decorrelated),
+    computed as exact-bigint sum / count so the 0.2·avg threshold is
+    the same double in both engines (no order-dependent float sum
+    deciding a boundary row).
+
+    Scale: the avg-qty agg runs over the full lineitem but emits one
+    row per part; the brand filter prunes the probe side before the
+    join. Both shuffles key on l_partkey, so AQE can reuse the
+    exchange; no window over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            / F.count("*")
+        ).alias("aq")
+    )
+    return (
+        li.join(
+            part.where(F.col("p_brand") == SMALLQTY_BRAND).select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(pa, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("aq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up a
+    multi-supplier finalized order — their line shipped late
+    (l_shipdate > o_orderdate + WAIT_LATE_DAYS, the stand-in for the
+    absent receipt/commit dates), some OTHER supplier contributed to
+    the order (EXISTS → semi-join), and NO other supplier was also
+    late (NOT EXISTS → anti-join). Top 20 by wait count.
+
+    Scale: all three legs key the join on l_orderkey — the fact
+    shuffles once per leg on the same key (AQE reuses the exchange
+    layout); the anti/semi sides are the already-filtered late/all
+    projections, never a crossJoin. The s_name ranking is a 100-row
+    TakeOrdered, not a sort of the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {WAIT_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "semi",
+        )
+        .join(
+            late2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waiting.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one size in one region, the
+    supplier(s) with the minimum cost — partsupp is absent, so the
+    observed (l_partkey, l_suppkey) pairs stand in for it and
+    s_acctbal for the supply cost. The correlated min decorrelates
+    into a per-part window min over the joined frame (no second scan);
+    top 100 by (s_acctbal desc, n_name, s_name, p_partkey) is a
+    TakeOrdered.
+
+    Scale: nation/region broadcast by hint (fixed); the
+    distinct pair-set and supplier/part joins stay AQE-decided. The
+    window partitions on p_partkey — bounded fan-in per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    joined = (
+        pairs.join(
+            part.where(F.col("p_size") == MINCOST_SIZE).select("p_partkey"),
+            pairs.l_partkey == F.col("p_partkey"),
+        )
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == MINCOST_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the parts representing a significant share of
+    one nation's shipped inventory value, HAVING-filtered against a
+    scalar fraction of the total. Value is exact integer cents
+    (quantity · round(retail·100)) so the share threshold is an
+    integer comparison — no float sum deciding membership in either
+    engine.
+
+    Scale: one fact pass groups value per part; the 1-row total
+    broadcasts back (fixed cardinality — hint is safe); threshold
+    compare is a map-side filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.col("l_quantity").cast("bigint") * F.round(
+        F.col("p_retailprice") * 100
+    ).cast("bigint")
+    v = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == IMPORTANT_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("value_cents") * IMPORTANT_SHARE > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("value"),
+        )
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer —
+    left join customer → (priority-filtered) orders, count per
+    customer including zeros, then histogram the counts. Two grouped
+    aggs; the second runs on a customer-sized frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+                "o_custkey", "o_orderkey"
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a significant volume of
+    a name-filtered part family in one year — the partsupp/availqty
+    HAVING becomes a shipped-quantity HAVING over the same join tree,
+    then a semi-join back to supplier ⋈ nation. Integer quantity sum
+    (exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.where(
+            (F.col("l_shipdate") >= PROMO_YEAR_START)
+            & (F.col("l_shipdate") < PROMO_YEAR_END)
+        )
+        .join(
+            part.where(F.col("p_name").like(f"{PROMO_PREFIX}%")).select(
+                "p_partkey"
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .where(F.col("qty") > 50)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone quiet — acctbal
+    above the positive-balance average but no orders since
+    IDLE_CUTOFF, grouped by nation (the stand-in for the absent phone
+    country code). The average threshold is exact integer cents
+    (round(bal·100) summed as bigint, compared cross-multiplied) so
+    the boundary is engine-identical; the no-orders test is an
+    anti-join on the date-filtered orders.
+
+    Scale: the threshold is a 1-row agg (broadcast-safe); the
+    anti-join keys on custkey; everything else is customer-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    thr = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .where(cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(
+            orders.where(F.col("o_orderdate") >= IDLE_CUTOFF).select(
+                "o_custkey"
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
 QUERIES = {
+    "q_volume_shipping": q_volume_shipping,
+    "q_product_profit": q_product_profit,
+    "q_shipping_lag": q_shipping_lag,
+    "q_small_qty_revenue": q_small_qty_revenue,
+    "q_waiting_suppliers": q_waiting_suppliers,
+    "q_min_cost_supplier": q_min_cost_supplier,
+    "q_important_parts": q_important_parts,
+    "q_customer_distribution": q_customer_distribution,
+    "q_promo_suppliers": q_promo_suppliers,
+    "q_idle_customers": q_idle_customers,
     "q_promo_revenue": q_promo_revenue,
     "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_basket_affinity": q_basket_affinity,
@@ -625,6 +1030,161 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('{VOL_NATIONS[0]}', '{VOL_NATIONS[1]}')
+          AND n2.n_name IN ('{VOL_NATIONS[0]}', '{VOL_NATIONS[1]}')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+               {dsum_sql(
+                   "l_extendedprice * (1 - l_discount) "
+                   f"- {PROFIT_UNIT_COST} * p_retailprice * l_quantity",
+                   "sum_profit")},
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+    """,
+    "q_shipping_lag": f"""
+        SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)) / 30.0)
+                    AS BIGINT) AS lag_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{LAG_START}'
+          AND l_shipdate < TIMESTAMP '{LAG_END}'
+        GROUP BY 1
+    """,
+    "q_small_qty_revenue": f"""
+        WITH pa AS (
+            SELECT l_partkey AS a_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                       / count(*) AS aq
+            FROM lineitem GROUP BY 1
+        )
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pa ON l_partkey = a_partkey
+        WHERE p_brand = '{SMALLQTY_BRAND}' AND l_quantity < 0.2 * aq
+    """,
+    "q_waiting_suppliers": f"""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL {WAIT_LATE_DAYS} DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q_min_cost_supplier": f"""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        j AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   min(s_acctbal) OVER (PARTITION BY p_partkey) AS mc
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = {MINCOST_SIZE} AND r_name = '{MINCOST_REGION}'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey
+        FROM j WHERE s_acctbal = mc
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q_important_parts": f"""
+        WITH v AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                       AS value_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = '{IMPORTANT_NATION}'
+            GROUP BY 1
+        ),
+        t AS (SELECT SUM(value_cents) AS total_cents FROM v)
+        SELECT l_partkey,
+               CAST(value_cents AS DOUBLE) / 100 AS value
+        FROM v, t
+        WHERE value_cents * {IMPORTANT_SHARE} > total_cents
+    """,
+    "q_customer_distribution": """
+        WITH pc AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count
+    """,
+    "q_promo_suppliers": f"""
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '{PROMO_PREFIX}%'
+              AND l_shipdate >= TIMESTAMP '{PROMO_YEAR_START}'
+              AND l_shipdate < TIMESTAMP '{PROMO_YEAR_END}'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+        )
+    """,
+    "q_idle_customers": f"""
+        WITH thr AS (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+                   count(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name, count(*) AS numcust,
+               {dsum_sql("c_acctbal", "totacctbal")}
+        FROM customer, thr
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > sum_cents
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+        GROUP BY n_name
+    """,
     "q_disjunctive_revenue": f"""
         SELECT CASE WHEN p_brand = '{DISJ_BRANDS[0]}' AND p_size <= 10
                          AND l_quantity < 15
