@@ -55,3 +55,50 @@ def test_corpus_query_smoke(spark):
             assert len(s) == 1 or s == "</w>" or s in produced
         produced.add(row["left"] + row["right"])
     assert (got["pair_count"] > 0).all()
+
+
+def test_apply_bpe_round_trip_and_trainer_parity():
+    # Applying the learned table in rank order must reproduce the
+    # trainer's final symbol sequences on its own corpus, and tokens
+    # must concat back to word + end-of-word marker for ANY word.
+    from timeseriesdb_spark.operators.tokenizer import (
+        END_OF_WORD,
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = [(a, b) for _, a, b, _ in learn_bpe_merges(vocab, 10)]
+    # trainer-side final sequences
+    seqs = {w: tuple(w) + (END_OF_WORD,) for w, _ in vocab}
+    for a, b in merges:
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    for w, _ in vocab:
+        assert tuple(apply_bpe(w, merges)) == seqs[w], w
+    for w in ["lowest", "newlow", "zzz", "a", ""]:
+        toks = apply_bpe(w, merges)
+        assert "".join(toks) == w + END_OF_WORD
+        assert len(toks) <= len(w) + 1
+
+
+def test_bpe_encode_query_accounting(spark):
+    from tests.conftest import SF_DIR
+    from timeseriesdb_spark.operators.tokenizer import q_bpe_encode
+
+    rows = q_bpe_encode(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        # merges only shrink: chars + eow-markers bounds tokens above,
+        # one token per word bounds below
+        assert r.n_words <= r.n_tokens <= r.n_chars + r.n_words, r
+        if r.n_tokens:
+            assert r.chars_per_token == round(r.n_chars / r.n_tokens, 6)

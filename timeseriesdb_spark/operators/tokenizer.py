@@ -98,8 +98,122 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def apply_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a learned merge table: start from chars +
+    end-of-word marker, apply merges in RANK ORDER (the BPE apply
+    contract — rank order, not greedy-longest), each left-to-right
+    non-overlapping. Deterministic for any input."""
+    syms = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tokenizer APPLY — the other half of the BPE story:
+    encode every document with the corpus-learned merge table and emit
+    per-doc token accounting (word count, BPE token count, char count,
+    and the rounded chars-per-token ratio a data pipeline budgets
+    with).
+
+    Scale: the merge table is the bounded object (a few KB–MB even at
+    a production vocab) and ships inside the closure; documents stream
+    through mapInPandas in Arrow batches — one corpus pass, zero
+    shuffles. Per-batch encoding memoizes distinct words (Zipf makes
+    the cache hit rate high), so cost is ~O(distinct words per batch ×
+    merge ranks). Rows-only driver check; pytest pins the apply kernel
+    against the training kernel (encoding the training corpus with the
+    learned table reproduces the trainer's final symbol sequences) and
+    the round-trip property (concat of a word's tokens == word +
+    marker)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab_rows = (
+        doc.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(BPE_MAX_VOCAB)
+        .collect()
+    )
+    merges = [
+        (a, b)
+        for _, a, b, _ in learn_bpe_merges(
+            [(r["w"], r["freq"]) for r in vocab_rows], BPE_MERGES
+        )
+    ]
+    eow = END_OF_WORD
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            n = cache.get(word)
+            if n is None:
+                syms = list(word) + [eow]
+                for a, b in merges:
+                    if len(syms) < 2:
+                        break
+                    out = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                n = len(syms)
+                cache[word] = n
+            return n
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_words": [], "n_tokens": [], "n_chars": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in text.split(" ") if w]
+                toks = sum(n_tokens(w) for w in words)
+                out["doc_id"].append(doc_id)
+                out["n_words"].append(len(words))
+                out["n_tokens"].append(toks)
+                out["n_chars"].append(sum(len(w) for w in words))
+            yield pd.DataFrame(out)
+
+    return doc.mapInPandas(
+        encode, "doc_id bigint, n_words bigint, n_tokens bigint, n_chars bigint"
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_chars") / F.nullif(F.col("n_tokens"), F.lit(0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 QUERIES = {
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_encode": q_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {}  # argmax-per-level recursion → rows-only
