@@ -505,6 +505,64 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.7          # mixture temperature (UNIMAX/mT5-style)
+TEMP_BUDGET = 1_000_000   # training-token budget to allocate
+
+
+def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture — the OTHER standard mixing
+    policy next to q_domain_mix's fixed target weights: sampling
+    weights w_d ∝ p_d^α derived from the OBSERVED token shares p_d
+    (α = 0.7 upsamples the tail the way multilingual LM data recipes
+    do; α = 1 is proportional, α = 0 uniform). Emits, per domain, the
+    observed share, the temperature weight, the token allocation under
+    TEMP_BUDGET, and the implied epochs (allocation ÷ available — the
+    oversampling factor a repeated-epoch sampler would apply; > 1
+    means the domain's data is seen more than once).
+
+    Determinism: shares are exact bigint ratios; pow/÷ are evaluated
+    from identical operands in both engines and every emitted double
+    is round(·, 6) (the AVG discipline — possible 1-ulp libm pow
+    differences sit ~10 orders below the rounding grid). round() runs
+    BEFORE the bigint cast so Spark's truncating cast and DuckDB's
+    rounding cast see an exact integer.
+
+    Scale: one partial-agg scan for per-domain totals; everything
+    after is domain-cardinality (two 1-row broadcast reductions)."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    ).cast("bigint")
+    avail = (
+        doc.select(F.col("lang").alias("domain"), n_tokens.alias("n"))
+        .groupBy("domain")
+        .agg(F.sum("n").alias("avail_tokens"))
+    )
+    tot = avail.agg(F.sum("avail_tokens").alias("total_tokens"))
+    scored = avail.join(F.broadcast(tot)).select(
+        "domain",
+        "avail_tokens",
+        (F.col("avail_tokens").cast("double") / F.col("total_tokens")).alias(
+            "p"
+        ),
+        F.pow(
+            F.col("avail_tokens").cast("double") / F.col("total_tokens"),
+            F.lit(TEMP_ALPHA),
+        ).alias("s"),
+    )
+    z = scored.agg(F.sum("s").alias("z"))
+    alloc = F.lit(float(TEMP_BUDGET)) * F.col("s") / F.col("z")
+    return scored.join(F.broadcast(z)).select(
+        "domain",
+        "avail_tokens",
+        F.round("p", 6).alias("share"),
+        F.round(F.col("s") / F.col("z"), 6).alias("weight"),
+        F.round(alloc).cast("bigint").alias("alloc_tokens"),
+        F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
+    )
+
+
 CUTOFF_FRAC = 0.1  # drop the bottom decile per source
 
 
@@ -587,6 +645,7 @@ QUERIES = {
     "q_gopher_rules": q_gopher_rules,
     "q_decontaminate": q_decontaminate,
     "q_domain_mix": q_domain_mix,
+    "q_domain_temperature": q_domain_temperature,
     "q_quality_cutoff": q_quality_cutoff,
     "q_clean_text": q_clean_text,
     "q_pack_sequences": q_pack_sequences,
@@ -696,6 +755,35 @@ ORACLES = {
                min(ng) AS first_shared
         FROM train_ng JOIN bench_ng USING (ng)
         GROUP BY doc_id
+    """,
+    "q_domain_temperature": f"""
+        WITH tok AS (
+            SELECT lang AS domain,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n
+            FROM documents
+        ),
+        a AS (
+            SELECT domain, CAST(SUM(n) AS BIGINT) AS avail_tokens
+            FROM tok GROUP BY domain
+        ),
+        t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens FROM a),
+        s AS (
+            SELECT domain, avail_tokens,
+                   CAST(avail_tokens AS DOUBLE) / total_tokens AS p,
+                   pow(CAST(avail_tokens AS DOUBLE) / total_tokens,
+                       {TEMP_ALPHA}) AS sc
+            FROM a, t
+        ),
+        z AS (SELECT SUM(sc) AS z FROM s)
+        SELECT domain, avail_tokens,
+               round(p, 6) AS share,
+               round(sc / z, 6) AS weight,
+               CAST(round({float(TEMP_BUDGET)} * sc / z) AS BIGINT)
+                   AS alloc_tokens,
+               round({float(TEMP_BUDGET)} * sc / z / avail_tokens, 6)
+                   AS epochs
+        FROM s, z
     """,
     "q_domain_mix": f"""
         WITH weights(domain, weight) AS (VALUES {_MIX_VALUES}),
