@@ -311,3 +311,104 @@ def test_stop_shingle_cap_kills_hot_shingle_pairs(spark):
         .count()
         == SHINGLE_DF_CAP
     )
+
+
+def _run_scan_locally(batches, kernel, key, finalize=None):
+    """Line-for-line mirror of stateful_grouped_scan's batch-slicing
+    runner (transforms.py keeps the real one nested so the closure
+    ships by value — a module-level shared function would pickle by
+    reference and demand the package on executor PYTHONPATH). The
+    mirror lets hypothesis sweep arbitrary chunk boundaries without a
+    Spark round trip; the REAL Spark path's chunk bit-identity is
+    pinned by test_tsanalytics's 7-row-Arrow-batch test, so mirror
+    and engine are cross-checked the same way as the zigzag/chunker
+    mirrors above."""
+    import numpy as np
+    import pandas as pd
+
+    outs = []
+    cur_key, state, started = None, None, False
+    for b in batches:
+        if not len(b):
+            continue
+        keys = b[key].to_numpy()
+        change = (keys[1:] != keys[:-1]).nonzero()[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(b)]))
+        for s_, e_ in zip(starts, ends):
+            k = keys[s_]
+            if started and k != cur_key:
+                if finalize is not None:
+                    f = finalize(cur_key, state)
+                    if f is not None and len(f):
+                        outs.append(f)
+                state = None
+            cur_key, started = k, True
+            out, state = kernel(b.iloc[s_:e_], state)
+            if out is not None and len(out):
+                outs.append(out)
+    if started and finalize is not None:
+        f = finalize(cur_key, state)
+        if f is not None and len(f):
+            outs.append(f)
+    import pandas as pd
+
+    return (
+        pd.concat(outs, ignore_index=True)
+        if outs
+        else pd.DataFrame()
+    )
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=64
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    chunk=st.integers(min_value=1, max_value=7),
+)
+def test_stateful_scan_chunking_invariant(vals, chunk):
+    """The runner contract: for a kernel that carries exact state
+    (running sum + count here), ANY chunking of the key-sorted input
+    produces output identical to the single-chunk run — state, not
+    rows, crosses every boundary."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [k for k, _ in vals],
+            "ts": range(len(vals)),  # already unique/ordered per row
+            "event_id": range(len(vals)),
+            "value": [v for _, v in vals],
+        }
+    ).sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+    def kernel(g, state):
+        s0, n0 = state if state is not None else (0.0, 0)
+        cs = g["value"].cumsum() + s0
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].reset_index(drop=True),
+                "event_id": g["event_id"].reset_index(drop=True),
+                "rsum": cs.reset_index(drop=True),
+            }
+        )
+        return out, (float(cs.iloc[-1]), n0 + len(g))
+
+    def fin(uid, state):
+        return pd.DataFrame(
+            {"user_id": [uid], "event_id": [-1], "rsum": [float(state[1])]}
+        )
+
+    whole = _run_scan_locally([pdf], kernel, "user_id", fin)
+    chunks = [
+        pdf.iloc[i : i + chunk] for i in range(0, len(pdf), chunk)
+    ]
+    chunked = _run_scan_locally(chunks, kernel, "user_id", fin)
+    pd.testing.assert_frame_equal(whole, chunked)
