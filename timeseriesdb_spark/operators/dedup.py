@@ -487,6 +487,7 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_EDGES_PER_PART = 50_000  # target edge rows per task in the CC loop
 CC_MAX_ITERS = 12   # safety bound; min-label + pointer-jump converges in
                     # O(log(longest chain)) rounds, typically 3-4
 CC_MIN_EST = 0.5    # candidate pairs below this est-Jaccard are not edges
@@ -524,6 +525,19 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # Size the loop's input partitioning to the EDGE count, not the
+    # corpus scan that produced it: the checkpoint inherits the pair
+    # pipeline's partitioning (32 map slots of a handful of rows at
+    # test SF), and every CC round pays a task per partition per stage
+    # before AQE can coalesce anything. Counting the materialized
+    # checkpoint is one cheap job; coalesce (narrow, no shuffle) then
+    # bounds the loop's fixed cost by ~CC_EDGES_PER_PART rows per
+    # task. At 100 TB millions of edges keep their parallelism — this
+    # only collapses partitions that are nearly empty.
+    n_parts = edges.rdd.getNumPartitions()
+    target = max(1, min(n_parts, edges.count() // CC_EDGES_PER_PART + 1))
+    if target < n_parts:
+        edges = edges.coalesce(target)
     # Iterate ONLY over nodes that touch an edge — the dup graph is
     # orders of magnitude smaller than the corpus (sf0.1: ~500 nodes vs
     # 5000 docs; at 100 TB: millions vs billions). Singletons are
