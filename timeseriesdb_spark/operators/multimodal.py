@@ -84,11 +84,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame.
 
     Output is one row per (doc_id, dim) — scalar columns only, so the
-    driver's rows-only canonicalizer can hash the result (an
-    array<double> column is unhashable driver-side). Internally the
-    vector form feeds the similarity operators (q_ann_*,
-    q_embedding_neardup) directly; `F.collect_list` over dim
-    re-assembles it when needed."""
+    driver's canonicalizer can hash the result (an array<double>
+    column is unhashable driver-side). Internally the vector form
+    feeds the similarity operators (q_ann_*, q_embedding_neardup)
+    directly; `F.collect_list` over dim re-assembles it when needed.
+
+    Oracle-checked (round 6, was rows-only): stripe means are PURE
+    INTEGER arithmetic — Σ(r+g+b) over the stripe is an exact bigint,
+    the mean is the half-up integer division
+    (2·S·10⁶ + denom) // (2·denom) with denom = 3·255·|stripe| (the
+    cusum/STL rounding discipline: engine round(double) disagrees at
+    half-way quotients, integer half-up cannot) — so DuckDB recomputes
+    every feature value exactly from the byte-tiling contract without
+    decoding, while the Spark side reads them off genuinely decoded
+    pixels."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     feat_dim, frame_every = FEAT_DIM, FRAME_EVERY
 
@@ -100,13 +109,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
                 _, pix = imaging.decode_image(payload)
-                gray = pix.astype(np.float64).mean(axis=2).ravel()
-                stripes = np.array_split(gray, feat_dim)
-                nf = len(range(0, pix.shape[0], frame_every))
+                gsum = pix.astype(np.int64).sum(axis=2).ravel()
+                stripes = np.array_split(gsum, feat_dim)
+                nf = (pix.shape[0] + frame_every - 1) // frame_every
                 for d, s in enumerate(stripes):
+                    total = int(s.sum())
+                    denom = 3 * 255 * len(s)
+                    v6 = (2 * total * 1_000_000 + denom) // (2 * denom)
                     out_doc.append(doc_id)
                     out_dim.append(d)
-                    out_val.append(round(float(s.mean()) / 255.0, 6))
+                    out_val.append(v6 / 1e6)
                     out_frames.append(nf)
             yield pd.DataFrame(
                 {
@@ -238,6 +250,70 @@ ORACLES: dict[str, str] = {
                w AS width, h AS height,
                CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
         FROM d
+    """,
+    # Stripe features recomputed WITHOUT decoding: pixel j's gray sum
+    # is v[(3j)%n] + v[(3j+1)%n] + v[(3j+2)%n] over the tiled text
+    # bytes; np.array_split's stripe for j is j // (q+1) when
+    # j < r·(q+1) else r + (j − r·(q+1)) // q with q = L//16, r = L%16
+    # (first r stripes one longer); the mean is the same integer
+    # half-up division the Spark kernel uses.
+    "q_multimodal_features": f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS rawn
+            FROM documents
+        ),
+        dims AS (
+            SELECT doc_id, hx,
+                   CAST(CASE WHEN rawn = 0 THEN 1 ELSE rawn END AS BIGINT) AS n,
+                   rawn = 0 AS empty,
+                   CAST({imaging.SYNTH_MIN} + rawn % {imaging.SYNTH_W_MOD}
+                        AS BIGINT) AS w,
+                   CAST({imaging.SYNTH_MIN} + (rawn * 7) % {imaging.SYNTH_H_MOD}
+                        AS BIGINT) AS h
+            FROM d
+        ),
+        px AS (
+            SELECT doc_id, hx, n, empty, h, w * h AS L,
+                   unnest(range(0, w * h)) AS j
+            FROM dims
+        ),
+        g AS (
+            SELECT doc_id, h, L, j,
+                   CASE WHEN empty THEN 0 ELSE
+                     (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j) % n) + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j) % n) + 2 AS INT), 1)) - 1
+                     + (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+1) % n) + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+1) % n) + 2 AS INT), 1)) - 1
+                     + (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+2) % n) + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+2) % n) + 2 AS INT), 1)) - 1
+                   END AS gsum
+            FROM px
+        ),
+        st AS (
+            SELECT doc_id, h, gsum,
+                   CASE WHEN j < (L % {FEAT_DIM}) * (L // {FEAT_DIM} + 1)
+                        THEN j // (L // {FEAT_DIM} + 1)
+                        ELSE (L % {FEAT_DIM})
+                             + (j - (L % {FEAT_DIM}) * (L // {FEAT_DIM} + 1))
+                               // (L // {FEAT_DIM})
+                   END AS dim
+            FROM g
+        )
+        SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+               CAST((2 * SUM(gsum) * 1000000 + 3 * 255 * COUNT(*))
+                    // (2 * 3 * 255 * COUNT(*)) AS DOUBLE) / 1000000
+                   AS value,
+               CAST((h + {FRAME_EVERY} - 1) // {FRAME_EVERY} AS BIGINT)
+                   AS n_frames_sampled
+        FROM st
+        GROUP BY doc_id, dim, h
     """,
     # Pixel tiling checksums recomputed WITHOUT decoding: byte p of
     # the text (value v_p, extracted via hex-pair arithmetic) lands at
