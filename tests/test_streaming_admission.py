@@ -111,3 +111,30 @@ def test_cap_resets_per_window(spark, tmp_path):
     for _, grp in got.groupby(win):
         grp = grp.sort_values(["ts", "event_id"])
         assert grp["admitted"].tolist() == [True] * CAP + [False] * 5
+
+
+def test_engine_ingest_stream_admitted(spark, tmp_path):
+    # Facade wiring: admitted rows land in the signal store, shed rows
+    # in the dead-letter path, nothing lost.
+    from timeseriesdb_spark.api import SignalEngine
+
+    src = str(tmp_path / "src")
+    store_path = str(tmp_path / "store")
+    shed = str(tmp_path / "shed")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = _mk(1, 30, "2024-01-01 00:00:00")  # one window, cap 10
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    eng = SignalEngine(spark, store_path)
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    q = eng.ingest_stream_admitted(stream, ckpt, CAP, WIN_S, shed_path=shed)
+    q.awaitTermination(180)
+
+    kept = eng.events().toPandas()
+    dropped = spark.read.parquet(shed).toPandas()
+    assert len(kept) == CAP
+    assert len(dropped) == 30 - CAP
+    assert sorted(kept["event_id"]) == list(range(CAP))
+    assert set(kept.columns) & {"admitted"} == set()

@@ -63,6 +63,49 @@ class SignalEngine:
             .start()
         )
 
+    def ingest_stream_admitted(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        cap: int,
+        window_sec: int,
+        shed_path: str | None = None,
+    ):
+        """Capacity-bounded streaming ingest: the reference's
+        buffer-full admission (compression_daemon.rs:51-79) as a
+        first-class ingest mode — at most `cap` rows per signal per
+        `window_sec` tumbling window land in the store; the shed
+        remainder is dead-lettered to `shed_path` (observable, never
+        silently lost) or dropped with an explicit flag if no path is
+        given. Trigger sizing still bounds micro-batch volume; this
+        bounds per-signal rate inside a batch
+        (streaming/admission.py)."""
+        from timeseriesdb_spark.streaming.admission import admitted_stream
+
+        flagged = admitted_stream(stream, cap, window_sec)
+
+        def write_batch(batch_df: DataFrame, _bid: int) -> None:
+            batch_df.cache()
+            try:
+                store.write_signal_store(
+                    batch_df.where(F.col("admitted")).drop("admitted"),
+                    self.path,
+                    mode="append",
+                )
+                if shed_path is not None:
+                    batch_df.where(~F.col("admitted")).drop(
+                        "admitted"
+                    ).write.mode("append").parquet(shed_path)
+            finally:
+                batch_df.unpersist()
+
+        return (
+            flagged.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # ---- scans ---------------------------------------------------------
 
     def events(self) -> DataFrame:
