@@ -323,23 +323,50 @@ def _cm_key() -> F.Column:
 
 
 def _cm_bucket(d: int, key: F.Column) -> F.Column:
-    return F.substring(F.md5(F.concat(F.lit(f"{d}|"), key)), 1, CM_WIDTH_CHARS)
+    """Depth-d bucket = the d-th disjoint CM_WIDTH_CHARS region of ONE
+    md5(key) — the MinHash lane discipline: one digest per row feeds
+    all CM_DEPTH rows (codegen's subexpression elimination evaluates
+    the shared md5 once), 4× less hash work than seeded per-depth
+    digests with the same per-row bucket width."""
+    return F.substring(F.md5(key), d * CM_WIDTH_CHARS + 1, CM_WIDTH_CHARS)
 
 
 def _cm_counters(ev: DataFrame) -> DataFrame:
     """Mergeable Count-Min partials: per (signal, day, depth, bucket)
-    counts. One scan; the depth axis is a 4-way generator explode
-    (rows, not columns, so the groupBy stays narrow)."""
+    counts. The fact is NEVER exploded: rows first collapse onto the
+    full CM_DEPTH·CM_WIDTH_CHARS digest prefix (cardinality ≤ distinct
+    sketched keys per signal-day — orders of magnitude below the row
+    count), and only that aggregated frame fans out ×CM_DEPTH into
+    per-depth bucket regions before the final re-sum. Same counters
+    as the direct per-row explode (grouping is associative), with the
+    generator and second aggregation running on key-cardinality rows
+    instead of fact-cardinality."""
     key = _cm_key()
-    cells = ev.select(
+    pre = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.substring(F.md5(key), 1, CM_DEPTH * CM_WIDTH_CHARS).alias(
+                "pfx"
+            ),
+        )
+        .groupBy("user_id", "day", "pfx")
+        .agg(F.count("*").alias("kn"))
+    )
+    cells = pre.select(
         "user_id",
-        F.date_trunc("day", F.col("ts")).alias("day"),
+        "day",
+        "kn",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("depth"),
-                        _cm_bucket(d, key).alias("bucket"),
+                        F.substring(
+                            F.col("pfx"),
+                            d * CM_WIDTH_CHARS + 1,
+                            CM_WIDTH_CHARS,
+                        ).alias("bucket"),
                     )
                     for d in range(CM_DEPTH)
                 ]
@@ -349,7 +376,7 @@ def _cm_counters(ev: DataFrame) -> DataFrame:
     return cells.groupBy(
         "user_id", "day", F.col("cell.depth").alias("depth"),
         F.col("cell.bucket").alias("bucket"),
-    ).agg(F.count("*").alias("partial_n"))
+    ).agg(F.sum("kn").alias("partial_n"))
 
 
 def q_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +415,9 @@ def cm_point_estimates(
             (
                 str(k),
                 d,
-                hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:CM_WIDTH_CHARS],
+                hashlib.md5(str(k).encode()).hexdigest()[
+                    d * CM_WIDTH_CHARS : (d + 1) * CM_WIDTH_CHARS
+                ],
             )
             for k in keys
             for d in range(CM_DEPTH)
@@ -460,7 +489,7 @@ QUERIES = {
 _CM_KEY_SQL = "CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)"
 _CM_CELLS_SQL = " UNION ALL ".join(
     f"SELECT user_id, date_trunc('day', ts) AS day, {d} AS depth, "
-    f"substr(md5('{d}|' || {_CM_KEY_SQL}), 1, {CM_WIDTH_CHARS}) AS bucket "
+    f"substr(md5({_CM_KEY_SQL}), {d * CM_WIDTH_CHARS + 1}, {CM_WIDTH_CHARS}) AS bucket "
     "FROM events"
     for d in range(CM_DEPTH)
 )
@@ -498,9 +527,9 @@ ORACLES = {
         WITH {_CM_MERGED_SQL},
         probes AS (
             SELECT CAST(k AS VARCHAR) AS key, d AS depth,
-                   substr(md5(CAST(d AS VARCHAR) || '|'
-                              || CAST(k AS VARCHAR)),
-                          1, {CM_WIDTH_CHARS}) AS bucket
+                   substr(md5(CAST(k AS VARCHAR)),
+                          1 + d * {CM_WIDTH_CHARS}, {CM_WIDTH_CHARS})
+                       AS bucket
             FROM (VALUES {",".join(f"({k})" for k in CM_PROBE_KEYS)}) kk(k),
                  (VALUES {",".join(f"({d})" for d in range(CM_DEPTH))}) dd(d)
         ),

@@ -325,7 +325,15 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing moving average per signal (frame-spec window: ROWS
     BETWEEN k PRECEDING AND CURRENT ROW) — the smoothing operator the
     reference's PAA approximates with chunk means; this is the exact
-    sliding form. One shuffle on the signal key."""
+    sliding form. One shuffle on the signal key.
+
+    Scale note: a bounded k-row frame streams over the sorted
+    partition with spill-backed sort, so memory is safe at any signal
+    size; the per-signal sort is one task. If a single signal's
+    history ever dominates wall-clock, the q_running_sum two-level
+    (signal, day-bucket) treatment applies here too with a k-row
+    overlap carried across bucket edges — same results, per-task sort
+    bounded by one signal-day."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
