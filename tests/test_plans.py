@@ -276,12 +276,20 @@ def test_no_broadcast_hints_on_sf_proportional_tables():
 
 
 def test_countmin_rollup_single_shuffle_per_level(spark):
-    # cells → daily partials → merged: the generator explode adds no
-    # exchange; both aggs stay JVM-side
+    # digest-prefix pre-agg → per-depth cells → merged: one exchange
+    # per aggregation level, all JVM-side. Only the FIRST level sees
+    # fact rows (and its shuffle carries key-cardinality partials);
+    # the explode runs strictly after the pre-agg, so the plan must
+    # show the generator ABOVE the first aggregate, never over the
+    # scan.
     df = QUERIES["q_countmin_rollup"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
     assert "Python" not in plan, plan
-    assert checks.exchange_count(df) <= 2, plan
+    assert checks.exchange_count(df) <= 3, plan
+    # tree text is top-down, so "an aggregate BELOW the generator"
+    # means a HashAggregate occurrence AFTER Generate in the string
+    gen = plan.find("Generate")
+    assert gen != -1 and plan.rfind("HashAggregate") > gen, plan[:2000]
 
 
 def test_funnel_stays_jvm_no_cartesian(spark):
