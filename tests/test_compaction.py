@@ -200,3 +200,45 @@ def test_compact_partials_glob_metachar_path(spark, tmp_path):
     eng = SignalEngine(spark, path)
     assert eng.compact_partials(path, "hist") == 0
     assert not os.path.exists(aside)  # debris was found and cleared
+
+
+def test_compact_partials_lock_excludes_second_compactor(spark, tmp_path):
+    # A live compactor holds <store>__compact_lock: a second call must
+    # raise up front (NOT run the recovery sweep — which would rmtree
+    # the live compactor's aside + manifest mid-swap). A stale lock
+    # (older than the lease) is reclaimed and compaction proceeds.
+    import os
+    import time
+
+    import pytest
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    path = str(tmp_path / "hist")
+    eng = SignalEngine(spark, path)
+    _write_hist_batch(spark, path, 0, 1, 5)
+
+    # simulate a LIVE compactor mid-swap: fresh lock + aside/manifest
+    lock = path + "__compact_lock"
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} {time.time()}\n")
+    aside = path + "__compact_old_0"
+    os.makedirs(aside)
+    with open(os.path.join(aside, "_COMPACT_MANIFEST.json"), "w") as f:
+        f.write('["batch_id=0"]')
+    with pytest.raises(RuntimeError, match="another compactor"):
+        eng.compact_partials(path, "hist")
+    # the live compactor's swap state was NOT touched
+    assert os.path.exists(aside)
+    assert os.path.exists(os.path.join(aside, "_COMPACT_MANIFEST.json"))
+    assert os.path.exists(lock)
+
+    # stale lock (beyond the lease): reclaimed, recovery runs, compaction
+    # succeeds, lock released at exit
+    old = time.time() - eng.COMPACT_LEASE_S - 10
+    os.utime(lock, (old, old))
+    assert eng.compact_partials(path, "hist") == 1
+    assert not os.path.exists(lock)
+    assert not os.path.exists(aside)
+    rows = eng.histogram_bins(path).collect()
+    assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 5)]

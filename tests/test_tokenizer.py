@@ -102,3 +102,31 @@ def test_bpe_encode_query_accounting(spark):
         assert r.n_words <= r.n_tokens <= r.n_chars + r.n_words, r
         if r.n_tokens:
             assert r.chars_per_token == round(r.n_chars / r.n_tokens, 6)
+
+
+def test_bpe_encode_matches_apply_kernel(spark):
+    # The distributed encoder must produce EXACTLY the token counts of
+    # the module-level apply_bpe kernel under the corpus_merges table —
+    # pinning the executor closure to the tested kernel (no drift
+    # between trainer-derived merges and the encoder's).
+    from tests.conftest import SF_DIR
+    from timeseriesdb_spark.operators.tokenizer import (
+        apply_bpe,
+        corpus_merges,
+        q_bpe_encode,
+    )
+    from timeseriesdb_spark.tables import load_table
+
+    merges = [(a, b) for _, a, b, _ in corpus_merges(spark, SF_DIR)]
+    got = {r.doc_id: r.n_tokens for r in q_bpe_encode(spark, SF_DIR).collect()}
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    )
+    assert docs
+    for r in docs:
+        words = [w for w in r.text.split(" ") if w]
+        want = sum(len(apply_bpe(w, merges)) for w in words)
+        assert got[r.doc_id] == want, r.doc_id

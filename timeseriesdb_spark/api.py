@@ -453,9 +453,15 @@ class SignalEngine:
         reader that lists files inside the retire window sees old+new
         (a transient double-count for sum-merged sketches, bounded by
         the window; a reader listing before the install sees exactly
-        the old partials). Single compactor at a time: the aside
-        `os.makedirs` is the mutual-exclusion point — a second
-        concurrent call fails there rather than corrupting the swap.
+        the old partials). Single compactor at a time: an O_EXCL
+        lease lock (`<store>__compact_lock`, pid + wall-clock inside)
+        is taken BEFORE the recovery sweep and held through the swap —
+        so a second concurrent call raises up front and can never
+        mistake the live compactor's aside+manifest for crash debris
+        and rmtree it mid-swap. A crashed run leaves a stale lock;
+        callers reclaim it only after COMPACT_LEASE_S of age, so
+        within the lease a crash just makes compaction unavailable
+        (never corrupt).
 
         Crash mid-swap is self-healing on the next call: the aside
         dir's name carries the generation it feeds
@@ -470,6 +476,44 @@ class SignalEngine:
         silently discarding either copy. Never silent data loss.
         On an object store this becomes the same manifest protocol
         as apply_retention."""
+        import json as _json
+        import os
+        import shutil
+        import time
+
+        base = path.rstrip("/")
+        parent, leaf = os.path.split(base)
+        tmp = base + "__compact_tmp"
+        lock = base + "__compact_lock"
+        # Liveness gate: take the O_EXCL lease lock BEFORE the
+        # recovery sweep, so recovery can never reclaim the aside of a
+        # compactor that is still running. A stale lock (crashed run)
+        # is reclaimable after COMPACT_LEASE_S.
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                age = 0.0  # lock vanished between open and stat: contended
+            if age <= self.COMPACT_LEASE_S:
+                raise RuntimeError(
+                    f"compact_partials: another compactor holds {lock} "
+                    f"(age {age:.0f}s <= lease {self.COMPACT_LEASE_S}s)"
+                )
+            os.unlink(lock)  # stale: crashed holder — reclaim
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{os.getpid()} {time.time()}\n")
+        try:
+            return self._compact_partials_locked(path, kind)
+        finally:
+            os.unlink(lock)
+
+    COMPACT_LEASE_S = 3600.0  # stale-lock reclaim horizon (seconds)
+
+    def _compact_partials_locked(self, path: str, kind: str) -> int:
+        """Body of compact_partials; caller holds the lease lock."""
         import json as _json
         import os
         import shutil
@@ -524,7 +568,7 @@ class SignalEngine:
         ]
         gen = (max(gens) + 1) if gens else 0
         aside = base + f"__compact_old_{gen}"
-        os.makedirs(aside)  # raises if held — single-compactor guard
+        os.makedirs(aside)  # fresh: recovery above cleared any debris
         with open(os.path.join(aside, "_COMPACT_MANIFEST.json"), "w") as f:
             _json.dump(snapshot, f)
         # Read exactly the snapshotted partitions (no partition

@@ -312,8 +312,14 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CM_DEPTH = 4        # independent hash rows
-CM_WIDTH_CHARS = 2  # bucket = 2 hex chars of the seeded md5 → width 256
+CM_WIDTH_CHARS = 2  # bucket = 2 hex chars of the shared md5 → width 256
 CM_PROBE_KEYS = list(range(10))  # point-query keys (floor(value) items)
+
+# The depth rows slice DISJOINT CM_WIDTH_CHARS regions out of ONE
+# 32-hex md5 — bumping either constant past the digest length would
+# make substring return short/empty buckets and silently collapse
+# depth rows onto each other.
+assert CM_DEPTH * CM_WIDTH_CHARS <= 32, "Count-Min lanes exceed md5 digest"
 
 
 def _cm_key() -> F.Column:

@@ -55,23 +55,42 @@ def q_equal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRECISIONS = range(6)  # pscan sweeps decimal precisions 0..5 (main.rs:51-128)
+
+
 def q_precision_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision-limited decode: values at p decimal digits
-    (split_double.rs:2434; pscan/main.rs:51-79). The reference reads
-    fewer byte-planes; semantically it returns round(value, p)."""
+    """Precision-limited decode at every precision the reference's
+    pscan sweeps (split_double.rs:2434; pscan/main.rs:51-128 runs
+    p = 0..5). The reference reads fewer byte-planes per p;
+    semantically each column is round(value, p). One scan, six wide
+    columns — no row explosion (a 6× stacked fact would sextuple
+    shuffle/IO at 100 TB for no information gain)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", F.round("value", 1).alias("value_p1"))
+    return ev.select(
+        "event_id",
+        *[F.round("value", p).alias(f"value_p{p}") for p in PRECISIONS],
+    )
 
 
 def q_precision_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM at limited precision (pscan/main.rs:80-128): sum of
-    precision-truncated values. round→decimal per row keeps the sum
-    order-independent and engine-exact."""
+    """SUM at limited precision for the full pscan precision sweep
+    (pscan/main.rs:80-128, p = 0..5): sum of precision-truncated
+    values per p. round→decimal per row keeps each sum
+    order-independent and engine-exact. One aggregation pass computes
+    all six (map-side partials); the 1-row result is then stacked to
+    (p, sum_p) rows — the explode touches one row, not the fact."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.sum(F.round("value", 1).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sum_p1")
+    agg = ev.agg(
+        *[
+            F.sum(F.round("value", p).cast("decimal(38,6)"))
+            .cast("double")
+            .alias(f"s{p}")
+            for p in PRECISIONS
+        ]
+    )
+    pairs = ", ".join(f"{p}, s{p}" for p in PRECISIONS)
+    return agg.select(
+        F.expr(f"stack({len(PRECISIONS)}, {pairs}) AS (p, sum_p)")
     )
 
 
@@ -112,12 +131,31 @@ ORACLES = {
         WHERE l_quantity = {EQUAL_QTY}
     """,
     "q_precision_decode": """
-        SELECT event_id, round(value, 1) AS value_p1 FROM events
-    """,
-    "q_precision_sum": """
-        SELECT CAST(SUM(CAST(round(value, 1) AS DECIMAL(38,6))) AS DOUBLE) AS sum_p1
+        SELECT event_id,
+            {cols}
         FROM events
-    """,
+    """.format(
+        cols=",\n            ".join(
+            f"round(value, {p}) AS value_p{p}" for p in PRECISIONS
+        )
+    ),
+    "q_precision_sum": """
+        WITH s AS (
+            SELECT
+                {sums}
+            FROM events
+        )
+        {union}
+    """.format(
+        sums=",\n                ".join(
+            f"CAST(SUM(CAST(round(value, {p}) AS DECIMAL(38,6))) AS DOUBLE)"
+            f" AS s{p}"
+            for p in PRECISIONS
+        ),
+        union="\n        UNION ALL ".join(
+            f"SELECT {p} AS p, s{p} AS sum_p FROM s" for p in PRECISIONS
+        ),
+    ),
     "q_projection_join": """
         SELECT event_id, user_id, value FROM events
         WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

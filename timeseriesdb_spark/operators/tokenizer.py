@@ -75,11 +75,13 @@ def learn_bpe_merges(
     return merges
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first BPE_MERGES merges from the corpus: distributed
-    word-frequency count, bounded-vocab collect, driver-side merge
-    loop (see module docstring for why that split IS the scale
-    design)."""
+def corpus_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Shared driver-side derivation both BPE queries use: distributed
+    word-frequency count → bounded-vocab collect (the documented
+    legitimate collect) → learn_bpe_merges. One definition, so the
+    trainer's merge table and the encoder's can never drift."""
     doc = load_table(spark, sf_dir, "documents")
     vocab_rows = (
         doc.select(F.explode(F.split("text", " ")).alias("w"))
@@ -90,34 +92,60 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_MAX_VOCAB)
         .collect()
     )
-    merges = learn_bpe_merges(
+    return learn_bpe_merges(
         [(r["w"], r["freq"]) for r in vocab_rows], BPE_MERGES
     )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES merges from the corpus: distributed
+    word-frequency count, bounded-vocab collect, driver-side merge
+    loop (see module docstring for why that split IS the scale
+    design)."""
     return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count bigint"
+        corpus_merges(spark, sf_dir),
+        "rank int, left string, right string, pair_count bigint",
     )
+
+
+def make_word_encoder(merges: list[tuple[str, str]]):
+    """Build the one BPE apply kernel both the module-level
+    ``apply_bpe`` (what pytest pins) and the distributed encoder's
+    executor closure use: start from chars + end-of-word marker, apply
+    merges in RANK ORDER (the BPE apply contract — rank order, not
+    greedy-longest), each left-to-right non-overlapping. Deterministic
+    for any input.
+
+    Returned as a NESTED function on purpose: cloudpickle serializes
+    nested functions by value (module-level ones only by reference),
+    so the executor closure carries the kernel itself and never needs
+    `timeseriesdb_spark` importable on a vanilla driver's workers."""
+    eow = END_OF_WORD
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [eow]
+        for a, b in merges:
+            if len(syms) < 2:
+                break
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    return encode_word
 
 
 def apply_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Encode one word with a learned merge table: start from chars +
-    end-of-word marker, apply merges in RANK ORDER (the BPE apply
-    contract — rank order, not greedy-longest), each left-to-right
-    non-overlapping. Deterministic for any input."""
-    syms = list(word) + [END_OF_WORD]
-    for a, b in merges:
-        if len(syms) < 2:
-            break
-        out = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
-    return syms
+    """Encode one word with a learned merge table (delegates to the
+    shared make_word_encoder kernel)."""
+    return make_word_encoder(merges)(word)
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,22 +170,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    vocab_rows = (
-        doc.select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.col("freq").desc(), "w")
-        .limit(BPE_MAX_VOCAB)
-        .collect()
-    )
-    merges = [
-        (a, b)
-        for _, a, b, _ in learn_bpe_merges(
-            [(r["w"], r["freq"]) for r in vocab_rows], BPE_MERGES
-        )
-    ]
-    eow = END_OF_WORD
+    merges = [(a, b) for _, a, b, _ in corpus_merges(spark, sf_dir)]
+    # the SAME kernel the pytest parity suite pins via apply_bpe — a
+    # nested function, so it ships by value inside the closure
+    encode_word = make_word_encoder(merges)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
@@ -165,25 +181,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         def n_tokens(word: str) -> int:
             n = cache.get(word)
             if n is None:
-                syms = list(word) + [eow]
-                for a, b in merges:
-                    if len(syms) < 2:
-                        break
-                    out = []
-                    i = 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == a
-                            and syms[i + 1] == b
-                        ):
-                            out.append(a + b)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                n = len(syms)
+                n = len(encode_word(word))
                 cache[word] = n
             return n
 

@@ -811,15 +811,19 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Overflow guard: in non-ANSI Spark a decimal(38,0) combination
     # like n·Σxy − Σx·Σy that passes ~1e38 returns NULL silently
     # (DuckDB's HUGEINT would error at ~1.7e38 — the engines would
-    # diverge in that band). |n·Σxy| and |Σx·Σy| are both bounded by
-    # n²·max|x|·max|y|, so 2·n²·mx·my < 1e37 (an order of margin)
-    # proves every combination fits; otherwise fail loudly instead of
-    # ranking a silently-NULLed corr.
+    # diverge in that band). The guard must cover ALL THREE
+    # combinations — numerator (|n·Σxy|, |Σx·Σy| ≤ n²·mx·my) AND the
+    # denominator legs (n·Σxx − Σx² needs n²·mx², n·Σyy − Σy² needs
+    # n²·my²). Since mx·my ≤ max(mx,my)², 2·n²·max(mx,my)² < 1e37 (an
+    # order of margin) bounds every one of them; otherwise fail loudly
+    # instead of ranking a silently-NULLed corr. (Guarding only
+    # 2·n²·mx·my would let n·Σxx − Σx² overflow when mx ≫ my.)
+    mmax = F.greatest(F.col("mx"), F.col("my")).cast("double")
     headroom = (
         F.lit(2.0)
         * F.pow(F.col("n").cast("double"), F.lit(2.0))
-        * F.col("mx").cast("double")
-        * F.col("my").cast("double")
+        * mmax
+        * mmax
     )
     corr = F.when(
         headroom >= F.lit(1e37),

@@ -37,8 +37,41 @@ SAX_BP = 0.6745    # N(0,1) quartile breakpoint → 4-symbol alphabet
 
 
 def _with_pos(ev: DataFrame) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.withColumn("pos", F.row_number().over(w) - F.lit(1))
+    """Global per-signal row position via a two-level (signal, day)
+    carry — NOT a single `row_number() OVER (PARTITION BY user_id)`,
+    which would sort a hot signal's ENTIRE history in one task at
+    100 TB (same scale contract as q_running_sum, windows.py:355).
+
+    Level 1: row_number within (user_id, day-of-ts) — per-task input
+    is one signal-DAY. Level 2: exclusive prefix sum of per-(signal,
+    day) row counts — a window over the aggregate-sized counts frame
+    (signals × days rows, orders of magnitude below the fact).
+    pos = local position + prior-days offset. Buckets order by the
+    same ts the rows do (bkt = to_date(ts)), so positions are
+    bit-identical to the naive single-window form (pinned by
+    tests/test_plans.py::test_with_pos_bucketed_carry)."""
+    evb = ev.withColumn("_pbkt", F.to_date("ts"))
+    wl = Window.partitionBy("user_id", "_pbkt").orderBy("ts", "event_id")
+    local = evb.withColumn("_lpos", F.row_number().over(wl) - F.lit(1))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("_pbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        evb.groupBy("user_id", "_pbkt")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "user_id",
+            "_pbkt",
+            F.coalesce(F.sum("_cnt").over(wc), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        local.join(offs, ["user_id", "_pbkt"])
+        .withColumn("pos", F.col("_lpos") + F.col("_off"))
+        .drop("_pbkt", "_lpos", "_off")
+    )
 
 
 def q_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,21 +164,17 @@ def q_rrd_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     second lossy aging level (rrd_sample.rs:20-60; the recoding
     daemon's accuracy question for this tier).
 
-    The anchor value carries forward inside the one signal-key window
-    (`last(...) IGNORE NULLS` over the position order — no join back
-    to the sampled table). Errors are exact bigint cent deltas
+    The anchor of row at pos p is the value at pos p − (p mod k):
+    chunk boundaries (chunk = pos div k) align exactly with anchor
+    positions, so the anchor is the min-pos row of the row's own
+    (signal, chunk) — a WHOLE-partition window of ≤ k rows, never a
+    per-signal history sort. Errors are exact bigint cent deltas
     |vu − vu_anchor|; per-signal MAE/max are single divisions of
     exact integers, nothing rounded."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wc = Window.partitionBy("user_id", F.floor(F.col("pos") / F.lit(RRD_K)))
     vu = F.round(F.col("value") * 100).cast("long")
-    anchor = F.last(
-        F.when(F.col("pos") % RRD_K == 0, F.col("vu")), ignorenulls=True
-    ).over(w)
+    anchor = F.min_by("vu", "pos").over(wc)
     return (
         _with_pos(ev)
         .select("user_id", vu.alias("vu"), F.col("pos").alias("pos"))
@@ -270,13 +299,26 @@ def q_rrd_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last N rows per signal (get_last_n, segment.rs:268-271)."""
+    """Last N rows per signal (get_last_n, segment.rs:268-271).
+
+    Two-level: the global last-N must be a subset of the per-(signal,
+    day) last-N, so level 1 keeps ≤ N rows per signal-DAY (bounded
+    task input) and level 2 ranks the reduced frame (≤ N × days per
+    signal — aggregate-sized) — never a full-signal history sort."""
     ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cand = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= LAST_N)
+        .drop("rn")
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= LAST_N)
         .select("user_id", "event_id", "ts", "value")
     )

@@ -99,6 +99,14 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST instead of shipping driver-unverified for a full round — the
     round-2 `q_embedding_neardup` gap. One unreadable round file is
     skipped without discarding the ordering info from other rounds.
+
+    Tiering (round-6 judge: with 202 queries and a 50-row cap, a
+    naive ranking starves never-committed queries whenever a touched
+    module re-ranks its whole already-committed family): NEVER-
+    committed queries form tier 0 and always outrank changed-but-
+    previously-committed ones (tier 1) — a changed query still has its
+    old committed row plus the per-round local-sim sweep as evidence,
+    a never-committed one has no committed artifact at all.
     """
     import json
     import os
@@ -128,18 +136,18 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         except Exception:
             continue  # one malformed round file must not discard the rest
 
-    def rank(name: str) -> int:
+    def rank(name: str) -> tuple[int, int]:
         rnd = last_clean.get(name, -1)
         if rnd < 0:
-            return -1
+            return (0, -1)  # tier 0: no committed clean row ever
         try:
             src_mtime = os.path.getmtime(_QUERY_SOURCE[name])
             if src_mtime > round_mtime.get(rnd, float("inf")):
-                return -1  # module changed since its last clean row
+                return (1, -1)  # tier 1: changed since its clean row
         except OSError:
             pass
-        return rnd
+        return (1, rnd)
 
     insertion = {name: i for i, name in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (rank(n), insertion[n]))
+    names = sorted(QUERIES, key=lambda n: (*rank(n), insertion[n]))
     return {n: QUERIES[n] for n in names}
