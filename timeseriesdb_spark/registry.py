@@ -34,6 +34,7 @@ from timeseriesdb_spark.operators import (
     tokenizer,
     transforms,
     tsanalytics,
+    ucr,
     windows,
 )
 from timeseriesdb_spark import pipeline
@@ -59,6 +60,7 @@ _MODULES = [
     tokenizer,
     transforms,
     tsanalytics,
+    ucr,
     windows,
     pipeline,
 ]
