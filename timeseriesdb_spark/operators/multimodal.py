@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timeseriesdb_spark.functions import imaging
+from timeseriesdb_spark.operators.common import parallelize_small_scan
 from timeseriesdb_spark.tables import load_table
 
 # Ship the imaging module BY VALUE inside every serialized closure:
@@ -48,7 +49,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     format), with width/height READ BACK from the encoded header by
     the real decoder. Oracle-checked end-to-end: DuckDB derives the
     same values in closed form from the synthesis contract."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,7 +102,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every feature value exactly from the byte-tiling contract without
     decoding, while the Spark side reads them off genuinely decoded
     pixels."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
     feat_dim, frame_every = FEAT_DIM, FRAME_EVERY
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,26 +154,44 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     via pivot/collect when a model consumes it. Pixel-level
     correctness is pinned by tests/test_multimodal.py (solid-color
     and analytic-ramp images through the full Spark path)."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
     w, h = RESIZE_W, RESIZE_H
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # Emit columns are built array-at-a-time; np.round over the
+        # stacked grid is bit-identical to the per-pixel np.float64
+        # __round__ the loop form used (both round via the scale/rint
+        # multiply, unlike Python float.__round__ on decimal ties).
+        px_t = np.tile(np.arange(w, dtype=np.int64), h)
+        py_t = np.repeat(np.arange(h, dtype=np.int64), w)
         for pdf in batches:
-            rows = {"doc_id": [], "px": [], "py": [], "value": []}
+            grids = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
                 _, pix = imaging.decode_image(payload)
                 gray = pix.astype(np.float64).mean(axis=2)[:, :, None]
-                small = imaging.bilinear_resize(gray, h, w)[:, :, 0]
-                for py in range(h):
-                    for px in range(w):
-                        rows["doc_id"].append(doc_id)
-                        rows["px"].append(px)
-                        rows["py"].append(py)
-                        rows["value"].append(round(small[py, px] / 255.0, 6))
-            yield pd.DataFrame(rows)
+                # ravel() is py-major / px-fast — the (py, px) order
+                # px_t/py_t index
+                grids.append(imaging.bilinear_resize(gray, h, w)[:, :, 0].ravel())
+            if not grids:
+                yield pd.DataFrame(
+                    {"doc_id": [], "px": [], "py": [], "value": []}
+                )
+                continue
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, h * w),
+                    "px": np.tile(px_t, len(ids)),
+                    "py": np.tile(py_t, len(ids)),
+                    "value": np.round(np.concatenate(grids) / 255.0, 6),
+                }
+            )
 
     return doc.mapInPandas(
         resize, "doc_id bigint, px bigint, py bigint, value double"
@@ -189,7 +214,10 @@ def q_multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     series) — no decoding on the oracle side, full decode on the
     Spark side. This is the hash-checked companion the rows-only
     q_multimodal_resize kernel rides on (same decode path)."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
