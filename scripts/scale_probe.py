@@ -43,8 +43,26 @@ PROBES = {
     "q_sessionize": "gaps-and-islands sessionization",
     "q_countmin_rollup": "mergeable sketch partials per signal-day",
 }
+# documents-axis probes: the dedup/text families the 100 TB story
+# leans on. Replicas rotate the ALPHABET (a bijection on characters,
+# hence on shingles/words): within-replica duplicate structure is
+# EXACTLY preserved — every replica contributes the same near-dup
+# pairs, LSH buckets, vocabulary shape — while cross-replica shingle
+# spaces stay disjoint, so pair output grows linearly (k· the x1
+# pairs), never quadratically.
+DOC_PROBES = {
+    "q_dedup_exact": "hash-groupBy exact dedup",
+    "q_minhash_lsh_pairs": "MinHash signatures + banded pair join",
+    "q_dedup_clusters": "LSH pairs + iterative CC",
+    "q_gopher_rules": "zero-shuffle quality rules",
+    "q_token_count": "regex tokenization + counts",
+    "q_quality_score": "per-doc quality heuristics",
+}
 USER_STRIDE = 1_000_000  # >> max user_id, keeps replicas disjoint
 EVENT_STRIDE = 1_000_000_000
+DOC_STRIDE = 1_000_000
+_AB = "abcdefghijklmnopqrstuvwxyz"
+_AB_UP = _AB.upper()
 
 
 def build_scaled(spark: SparkSession, k: int) -> str:
@@ -66,6 +84,34 @@ def build_scaled(spark: SparkSession, k: int) -> str:
         "props",
     )
     copies.write.mode("overwrite").parquet(dest)
+    return out
+
+
+def build_scaled_docs(spark: SparkSession, k: int) -> str:
+    out = f"{SCRATCH}/docs_x{k}"
+    dest = f"{out}/documents.parquet"
+    if os.path.exists(dest):
+        return out
+    doc = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = []
+    for rep in range(k):
+        rot = _AB[rep % 26:] + _AB[: rep % 26]
+        reps.append(
+            doc.select(
+                (F.col("doc_id") + F.lit(rep * DOC_STRIDE)).alias("doc_id"),
+                F.translate(
+                    "text", _AB + _AB_UP, rot + rot.upper()
+                ).alias("text"),
+                "lang",
+                F.concat(F.col("source"), F.lit(f"_r{rep}")).alias("source")
+                if rep else F.col("source"),
+                "n_chars",
+            )
+        )
+    allreps = reps[0]
+    for r in reps[1:]:
+        allreps = allreps.unionByName(r)
+    allreps.repartition(32).write.mode("overwrite").parquet(dest)
     return out
 
 
@@ -92,13 +138,22 @@ def main() -> None:
         results[name] = {k: time_query(fn, spark, dirs[k]) for k in FACTORS}
         print(name, {k: round(v, 3) for k, v in results[name].items()})
 
+    ddirs = {k: build_scaled_docs(spark, k) for k in FACTORS}
+    dresults: dict[str, dict[int, float]] = {}
+    drows: dict[str, dict[int, int]] = {}
+    for name in DOC_PROBES:
+        fn = QUERIES[name]
+        dresults[name] = {k: time_query(fn, spark, ddirs[k]) for k in FACTORS}
+        drows[name] = {
+            k: fn(spark, ddirs[k]).count() for k in (1, 16)
+        }
+        print(name, {k: round(v, 3) for k, v in dresults[name].items()},
+              "rows x1/x16:", drows[name])
+
     lines = [
-        "# SCALING — weak-scaling probe (events ×1/×4/×16, local[32])",
+        "# SCALING — weak-scaling probes at ×1/×4/×16 (local[32])",
         "",
-        "Generated by `scripts/scale_probe.py`: the sf0.1 `events` table",
-        f"({rows_at[1]:,} rows) replicated with shifted user_id/event_id",
-        "key spaces — per-signal history length constant, signal count",
-        "grows (how production corpora actually scale). Median of",
+        "Generated by `scripts/scale_probe.py`. Median of",
         f"{RUNS} after warm-up, one JVM. The gate is curve SHAPE:",
         "time(×16)/time(×1) well under 16 means fixed stage overhead",
         "still dominates at this size (headroom), near 16/NCPU-bounded",
@@ -106,6 +161,12 @@ def main() -> None:
         "growth or a per-task memory blowup is what this probe exists to",
         "catch (it would mean some operator state scales with corpus",
         "size, not with its partition).",
+        "",
+        "## Signal axis: events ×1/×4/×16",
+        "",
+        f"The sf0.1 `events` table ({rows_at[1]:,} rows) replicated with",
+        "shifted user_id/event_id key spaces — per-signal history length",
+        "constant, signal count grows (how production telemetry scales).",
         "",
         "| query | family | ×1 s | ×4 s | ×16 s | ×16/×1 |",
         "|---|---|---|---|---|---|",
@@ -126,6 +187,33 @@ def main() -> None:
         "single task's sort larger, only add more tasks; that invariant",
         "(asserted in tests/test_plans.py) is what the ×16 column",
         "demonstrates empirically.",
+        "",
+        "## Corpus axis: documents ×1/×4/×16",
+        "",
+        "Each replica maps the text through a replica-specific alphabet",
+        "rotation — a bijection on characters, hence on words and",
+        "shingles: within-replica duplicate structure (near-dup pairs,",
+        "LSH bucket sizes, vocabulary shape) is EXACTLY preserved while",
+        "cross-replica shingle spaces stay disjoint. A healthy dedup",
+        "stack therefore emits k× the ×1 pairs (linear), never k²;",
+        "the `rows ×16/×1` column is that linearity check, measured.",
+        "",
+        "| query | family | ×1 s | ×4 s | ×16 s | ×16/×1 | rows ×16/×1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, note in DOC_PROBES.items():
+        r = dresults[name]
+        rw = drows[name]
+        lines.append(
+            f"| {name} | {note} | {r[1]:.3f} | {r[4]:.3f} | {r[16]:.3f} "
+            f"| {r[16] / r[1]:.1f}× | {rw[16] / max(rw[1], 1):.1f}× |"
+        )
+    lines += [
+        "",
+        "A superlinear `rows ×16/×1` (≫16) would mean cross-replica",
+        "pair formation — the df² blowup the stop-shingle cap exists to",
+        "prevent; time growing faster than rows would mean per-task",
+        "state tracking corpus size.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
