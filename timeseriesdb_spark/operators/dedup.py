@@ -642,7 +642,15 @@ def incremental_neardup_stored(
 
 
 def _incremental_from_bands(batch: DataFrame, bands_c: DataFrame) -> DataFrame:
-    bands_b = lsh_bands(minhash_signatures(batch))
+    # The batch band frame feeds BOTH probe joins (corpus hits + the
+    # keep-first self-join) on two sides — without materialization the
+    # whole shingle→minhash→band pipeline recomputes three times (no
+    # ReusedExchange: the join keys differ). The batch is the SMALL
+    # side by construction (one crawl increment vs the corpus), so one
+    # localCheckpoint bounds the cost at any scale; the corpus side
+    # stays streamed/stored (write_band_store) and is never
+    # materialized here.
+    bands_b = lsh_bands(minhash_signatures(batch)).localCheckpoint()
     est = _est_jaccard()
     a = bands_b.alias("a")
     corpus_hits = (
