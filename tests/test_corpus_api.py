@@ -48,3 +48,50 @@ def test_corpus_lifecycle(spark, tmp_path):
     st = eng.stats().collect()
     assert sum(r.n_docs for r in st) == len(after)
     assert eng.chunks().count() >= len(after)
+
+
+def test_ann_index_lifecycle(spark, tmp_path):
+    from timeseriesdb_spark.operators import similarity as sim
+    from timeseriesdb_spark.streaming import annprobe
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    eng = CorpusEngine(spark, str(tmp_path / "corpus"))
+    idx = str(tmp_path / "ann_index")
+    eng.build_ann_index(emb, idx)
+
+    # persisted quantizer == a fresh deterministic training run
+    C = eng._load_centroids(idx)
+    C2 = sim.train_ivf_centroids(emb)
+    assert [[float(x) for x in row] for row in C2] == C
+
+    # facade query == direct stored probe with the same quantizer
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    got = eng.ann_query(idx, list(qrow.embedding), k=5).collect()
+    want = sim.ivf_probe_stored(
+        spark, idx, list(qrow.embedding), C, k=5
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5
+
+    # stream facade lands the batch answer
+    queries = emb.orderBy("vec_id").limit(3)
+    src = str(tmp_path / "qsrc")
+    out = str(tmp_path / "qout")
+    queries.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    q = eng.ann_probe_stream(
+        stream, idx, out, str(tmp_path / "qckpt"), k=5
+    )
+    q.awaitTermination(120)
+    store = annprobe.prepared_store(spark, idx)
+    want_s = sorted(
+        annprobe.topk_per_query(
+            annprobe.ann_candidates(queries, store, C), 5
+        ).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    got_s = sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s]

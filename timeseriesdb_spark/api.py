@@ -833,3 +833,81 @@ class CorpusEngine:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
+
+    # ---- ANN index lifecycle ------------------------------------------
+
+    @staticmethod
+    def _centroids_file(index_path: str) -> str:
+        import os
+
+        return os.path.join(index_path, "_centroids.json")
+
+    def build_ann_index(self, embeddings: DataFrame, index_path: str) -> None:
+        """Train the IVF coarse quantizer (bounded driver sample,
+        similarity.train_ivf_centroids) and lay the corpus out as the
+        cell-partitioned parquet store (similarity.write_ivf_store).
+        The centroid matrix persists NEXT TO the store
+        (_centroids.json, atomic rename) so every later probe — batch
+        or stream — loads it instead of retraining; index and
+        quantizer can never drift apart."""
+        import json
+        import os
+        import tempfile
+
+        from timeseriesdb_spark.operators.similarity import (
+            train_ivf_centroids,
+            write_ivf_store,
+        )
+
+        C = train_ivf_centroids(embeddings)
+        write_ivf_store(embeddings, index_path, C)
+        fd, tmp = tempfile.mkstemp(dir=index_path, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump([[float(x) for x in row] for row in C], f)
+        os.replace(tmp, self._centroids_file(index_path))
+
+    def _load_centroids(self, index_path: str):
+        import json
+
+        with open(self._centroids_file(index_path)) as f:
+            return json.load(f)
+
+    def ann_query(
+        self, index_path: str, query_vec, k: int | None = None,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Top-k cosine probe of a build_ann_index store — partition-
+        pruned to the nprobe nearest cells (similarity.ivf_probe_stored
+        with the persisted quantizer)."""
+        from timeseriesdb_spark.operators import similarity as sim
+
+        return sim.ivf_probe_stored(
+            self.spark, index_path, query_vec,
+            self._load_centroids(index_path),
+            nprobe=nprobe if nprobe is not None else sim.IVF_NPROBE,
+            k=k if k is not None else sim.TOP_K,
+        )
+
+    def ann_probe_stream(
+        self, stream: DataFrame, index_path: str, out_path: str,
+        checkpoint: str, k: int | None = None, nprobe: int | None = None,
+    ):
+        """Continuous top-k retrieval: a query-vector stream probes the
+        stored index (streaming/annprobe.py — stateless cell-pruned
+        stream-static joins, per-micro-batch top-k finalize, results
+        appended to out_path). Returns the started StreamingQuery."""
+        from timeseriesdb_spark.operators import similarity as sim
+        from timeseriesdb_spark.streaming import annprobe
+
+        fb = annprobe.make_probe_foreach_batch(
+            self.spark, index_path, self._load_centroids(index_path),
+            out_path,
+            nprobe=nprobe if nprobe is not None else sim.IVF_NPROBE,
+            k=k if k is not None else sim.TOP_K,
+        )
+        return (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

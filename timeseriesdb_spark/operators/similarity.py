@@ -259,6 +259,13 @@ IVF_TRAIN_CAP = 4096  # centroid-training sample cap (driver-side rows)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
+    """train_ivf_centroids over the sf_dir embeddings table."""
+    return train_ivf_centroids(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def train_ivf_centroids(emb: DataFrame) -> "object":
     """Deterministic Lloyd's kmeans on a BOUNDED sample: at most
     IVF_TRAIN_CAP rows reach the driver, picked by md5-order of vec_id
     (a deterministic uniform pseudo-random sample that plans as
@@ -266,9 +273,9 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
     quantizer only needs a representative sketch of the corpus."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pdf = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(IVF_TRAIN_CAP)
         .toPandas()
         .sort_values("vec_id")
