@@ -660,3 +660,41 @@ def test_tpch_q22_anti_join_and_scalar_threshold(spark):
     assert "CartesianProduct" not in plan, plan
     pushed = " ".join(checks.pushed_filters(df))
     assert "o_orderdate" in pushed, pushed
+
+
+def test_ivf_probe_partition_pruning(spark, tmp_path):
+    """The stored-IVF probe's cell IN-filter must reach
+    PartitionFilters — the write_ivf_store layout claim that a probe
+    never opens the (cells - nprobe)/cells fraction of the store."""
+    from timeseriesdb_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    C = sim.train_ivf_centroids(emb)
+    path = str(tmp_path / "ivf_store")
+    sim.write_ivf_store(emb, path, C)
+
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    probe = sim.ivf_probe_stored(spark, path, list(qrow.embedding), C)
+    plan = checks.formatted_plan(probe)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # and the probe answers correctly from the pruned read
+    assert probe.count() == sim.TOP_K
+
+
+def test_multimodal_scan_prunes_columns(spark):
+    """Every multimodal decode kernel reads ONLY (doc_id, text) —
+    payload synthesis happens in the kernel; a scan shipping lang/
+    source/n_chars into the Arrow batches would be wasted width."""
+    from timeseriesdb_spark.operators import multimodal as mm
+
+    for q in (
+        mm.q_multimodal_meta,
+        mm.q_multimodal_features,
+        mm.q_multimodal_checksum,
+        mm.q_multimodal_resize,
+    ):
+        cols = set(checks.read_schema(q(spark, SF_DIR)))
+        assert cols == {"doc_id", "text"}, (q.__name__, cols)
