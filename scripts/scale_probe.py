@@ -29,6 +29,7 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from timeseriesdb_spark.registry import QUERIES  # noqa: E402
 from timeseriesdb_spark.session import get_spark  # noqa: E402
+from timeseriesdb_spark.tables import load_table  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCRATCH = "/tmp/scale_probe"
@@ -68,9 +69,14 @@ _AB_UP = _AB.upper()
 def build_scaled(spark: SparkSession, k: int) -> str:
     out = f"{SCRATCH}/x{k}"
     dest = f"{out}/events.parquet"
-    if os.path.exists(dest):
+    # _SUCCESS, not the directory: a killed prior run leaves a partial
+    # write whose reuse would silently corrupt the linearity table
+    if os.path.exists(f"{dest}/_SUCCESS"):
         return out
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    # load_table, not raw spark.read.parquet: it normalizes the
+    # driver's ts encodings (nanos vs µs NTZ) the same way every
+    # query read does
+    ev = load_table(spark, SRC, "events")
     # k shifted copies: new disjoint signals with identical per-signal
     # history — weak scaling (signal count grows, history doesn't)
     copies = ev.crossJoin(
@@ -90,9 +96,9 @@ def build_scaled(spark: SparkSession, k: int) -> str:
 def build_scaled_docs(spark: SparkSession, k: int) -> str:
     out = f"{SCRATCH}/docs_x{k}"
     dest = f"{out}/documents.parquet"
-    if os.path.exists(dest):
+    if os.path.exists(f"{dest}/_SUCCESS"):
         return out
-    doc = spark.read.parquet(f"{SRC}/documents.parquet")
+    doc = load_table(spark, SRC, "documents")
     reps = []
     for rep in range(k):
         rot = _AB[rep % 26:] + _AB[: rep % 26]

@@ -861,7 +861,12 @@ class CorpusEngine:
 
         C = train_ivf_centroids(embeddings)
         write_ivf_store(embeddings, index_path, C)
-        fd, tmp = tempfile.mkstemp(dir=index_path, suffix=".json.tmp")
+        # "_"-prefixed temp name: Spark's parquet reader ignores
+        # underscore files, so neither the rename window nor a crashed
+        # write can break store reads with a stray non-parquet file.
+        fd, tmp = tempfile.mkstemp(
+            dir=index_path, prefix="_centroids_", suffix=".json.tmp"
+        )
         with os.fdopen(fd, "w") as f:
             json.dump([[float(x) for x in row] for row in C], f)
         os.replace(tmp, self._centroids_file(index_path))
@@ -891,11 +896,16 @@ class CorpusEngine:
     def ann_probe_stream(
         self, stream: DataFrame, index_path: str, out_path: str,
         checkpoint: str, k: int | None = None, nprobe: int | None = None,
+        trigger: dict | None = None,
     ):
         """Continuous top-k retrieval: a query-vector stream probes the
         stored index (streaming/annprobe.py — stateless cell-pruned
         stream-static joins, per-micro-batch top-k finalize, results
-        appended to out_path). Returns the started StreamingQuery."""
+        appended to out_path). ``trigger`` passes through to
+        ``writeStream.trigger`` — default drains what's available and
+        stops (availableNow); a live serving deployment passes e.g.
+        ``{"processingTime": "10 seconds"}``. Returns the started
+        StreamingQuery."""
         from timeseriesdb_spark.operators import similarity as sim
         from timeseriesdb_spark.streaming import annprobe
 
@@ -908,6 +918,6 @@ class CorpusEngine:
         return (
             stream.writeStream.foreachBatch(fb)
             .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
+            .trigger(**(trigger if trigger is not None else {"availableNow": True}))
             .start()
         )

@@ -649,7 +649,13 @@ def _incremental_from_bands(batch: DataFrame, bands_c: DataFrame) -> DataFrame:
     # side by construction (one crawl increment vs the corpus), so one
     # localCheckpoint bounds the cost at any scale; the corpus side
     # stays streamed/stored (write_band_store) and is never
-    # materialized here.
+    # materialized here. EAGER deliberately (unlike the loop sites'
+    # eager=False, which rely on an intermediate collect to
+    # materialize before reuse): there is no action between here and
+    # the final job, and a lazy checkpoint's first materialization
+    # inside that one job would not be shared across its three
+    # branches. Cost: declaring the frame runs the (batch-sized)
+    # band job once.
     bands_b = lsh_bands(minhash_signatures(batch)).localCheckpoint()
     est = _est_jaccard()
     a = bands_b.alias("a")

@@ -7,9 +7,13 @@ shape here is the scale-correct one:
 
 - Cell selection is a pure JVM expression over the tiny literal
   centroid matrix (no Python, no state): each streamed row computes
-  its top-``nprobe`` IVF cells exactly like the batch probe
-  (similarity.ivf_probe_stored — same dot products, same
-  higher-cell-first tie-break).
+  its top-``nprobe`` IVF cells with the batch probe's selection rule
+  (similarity.ivf_probe_stored — same descending-dot ranking, same
+  higher-cell-first tie-break; the dots themselves are a sequential
+  JVM fold vs numpy's BLAS summation, so a centroid pair whose
+  scores agree to within summation-order ulps could in principle
+  rank oppositely — agreement on real vectors is pinned by
+  tests/test_streaming_annprobe.py).
 - Candidate generation is a STATELESS stream-static equi-join on
   ``cell``: the streamed row explodes to ``nprobe`` rows, each
   meeting only its own inverted list. Nothing about the corpus is
@@ -50,11 +54,14 @@ from timeseriesdb_spark.operators.similarity import (
 
 def probe_cells_column(C, nprobe: int = IVF_NPROBE) -> Column:
     """Top-``nprobe`` IVF cell ids for the row's ``qe`` double-array
-    column, as one JVM expression. Ordering matches the batch probe's
-    ``np.argsort(q @ C.T)[::-1][:nprobe]`` exactly: descending dot,
-    HIGHER cell id first on ties (argsort-reversal semantics); cell
-    choice is scale-invariant so the raw (unnormalized) query dot
-    ranks identically to the normalized one."""
+    column, as one JVM expression. Selection rule matches the batch
+    probe's ``np.argsort(q @ C.T)[::-1][:nprobe]``: descending dot,
+    HIGHER cell id first on exact ties (argsort-reversal semantics);
+    cell choice is scale-invariant so the raw (unnormalized) query
+    dot ranks identically to the normalized one. (Float caveat: the
+    JVM fold and numpy's BLAS sum the dot in different orders — a
+    near-tie within ulps could pick a different cell; pinned equal on
+    the fixture corpus.)"""
     structs = F.array(
         *[
             F.struct(
@@ -150,23 +157,33 @@ def make_probe_foreach_batch(
     sink dedupes on (query_id, rank) if exactly-once matters)."""
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        qcells = (
-            batch_df.select(
-                _as_double(F.col("embedding")).alias("qe")
+        # One materialization of the micro-batch: the pruning collect
+        # and the scoring join both read the cached frame instead of
+        # re-scanning the source (and re-evaluating the centroid-dot
+        # expressions) twice.
+        batch_df = batch_df.persist()
+        try:
+            qcells = (
+                batch_df.select(
+                    _as_double(F.col("embedding")).alias("qe")
+                )
+                .select(
+                    F.explode(probe_cells_column(C, nprobe)).alias("cell")
+                )
+                .distinct()
+                .collect()
             )
-            .select(F.explode(probe_cells_column(C, nprobe)).alias("cell"))
-            .distinct()
-            .collect()
-        )
-        cells = [r["cell"] for r in qcells]
-        store = prepared_store(spark, store_path).where(
-            F.col("cell").isin(cells)
-        )
-        out = topk_per_query(
-            ann_candidates(batch_df, store, C, nprobe), k
-        )
-        out.write.mode("append").parquet(out_path)
+            if not qcells:
+                return
+            cells = [r["cell"] for r in qcells]
+            store = prepared_store(spark, store_path).where(
+                F.col("cell").isin(cells)
+            )
+            out = topk_per_query(
+                ann_candidates(batch_df, store, C, nprobe), k
+            )
+            out.write.mode("append").parquet(out_path)
+        finally:
+            batch_df.unpersist()
 
     return fb
