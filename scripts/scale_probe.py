@@ -59,9 +59,23 @@ DOC_PROBES = {
     "q_token_count": "regex tokenization + counts",
     "q_quality_score": "per-doc quality heuristics",
 }
+# embeddings-axis probes: the single-probe ANN scorers (top-k output
+# is k rows regardless of corpus size — cost is the scan+score, which
+# must grow linearly; quantizer/codebook training stays bounded by
+# IVF_TRAIN_CAP however large the table). Pair-forming queries
+# (semdedup, clusters, knn) are deliberately EXCLUDED: exact-replica
+# vectors would manufacture quadratic duplicate pairs that say
+# nothing about real scaling.
+EMB_PROBES = {
+    "q_ann_topk": "brute-force cosine top-k (the baseline scan)",
+    "q_ann_quantized": "fixed-point integer-dot top-k",
+    "q_ann_ivf": "IVF cell-pruned top-k",
+    "q_ann_pq": "PQ ADC top-k",
+}
 USER_STRIDE = 1_000_000  # >> max user_id, keeps replicas disjoint
 EVENT_STRIDE = 1_000_000_000
 DOC_STRIDE = 1_000_000
+VEC_STRIDE = 1_000_000
 _AB = "abcdefghijklmnopqrstuvwxyz"
 _AB_UP = _AB.upper()
 
@@ -121,6 +135,23 @@ def build_scaled_docs(spark: SparkSession, k: int) -> str:
     return out
 
 
+def build_scaled_emb(spark: SparkSession, k: int) -> str:
+    out = f"{SCRATCH}/emb_x{k}"
+    dest = f"{out}/embeddings.parquet"
+    if os.path.exists(f"{dest}/_SUCCESS"):
+        return out
+    emb = load_table(spark, SRC, "embeddings")
+    copies = emb.crossJoin(
+        spark.range(k).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("vec_id") + F.col("rep") * VEC_STRIDE).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    copies.repartition(32).write.mode("overwrite").parquet(dest)
+    return out
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     times = []
     for _ in range(RUNS + 1):  # first run is warm-up
@@ -155,6 +186,13 @@ def main() -> None:
         }
         print(name, {k: round(v, 3) for k, v in dresults[name].items()},
               "rows x1/x16:", drows[name])
+
+    edirs = {k: build_scaled_emb(spark, k) for k in FACTORS}
+    eresults: dict[str, dict[int, float]] = {}
+    for name in EMB_PROBES:
+        fn = QUERIES[name]
+        eresults[name] = {k: time_query(fn, spark, edirs[k]) for k in FACTORS}
+        print(name, {k: round(v, 3) for k, v in eresults[name].items()})
 
     lines = [
         "# SCALING — weak-scaling probes at ×1/×4/×16 (local[32])",
@@ -220,7 +258,25 @@ def main() -> None:
         "pair formation — the df² blowup the stop-shingle cap exists to",
         "prevent; time growing faster than rows would mean per-task",
         "state tracking corpus size.",
+        "",
+        "## Vector axis: embeddings ×1/×4/×16",
+        "",
+        "Strided-vec_id replication; the single-probe ANN scorers (one",
+        "query vector, top-k out — output size fixed, scan+score cost",
+        "must grow linearly; IVF/PQ training stays a bounded",
+        "IVF_TRAIN_CAP driver sample at any table size). Pair-forming",
+        "queries are excluded on purpose: exact replicas would",
+        "manufacture quadratic duplicate pairs.",
+        "",
+        "| query | family | ×1 s | ×4 s | ×16 s | ×16/×1 |",
+        "|---|---|---|---|---|---|",
     ]
+    for name, note in EMB_PROBES.items():
+        r = eresults[name]
+        lines.append(
+            f"| {name} | {note} | {r[1]:.3f} | {r[4]:.3f} | {r[16]:.3f} "
+            f"| {r[16] / r[1]:.1f}× |"
+        )
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
