@@ -233,12 +233,81 @@ def test_compact_partials_lock_excludes_second_compactor(spark, tmp_path):
     assert os.path.exists(os.path.join(aside, "_COMPACT_MANIFEST.json"))
     assert os.path.exists(lock)
 
-    # stale lock (beyond the lease): reclaimed, recovery runs, compaction
-    # succeeds, lock released at exit
+    # stale by age but the recorded holder pid is STILL ALIVE (ours):
+    # refuse to reclaim — a live holder whose heartbeat failed must
+    # never be reclaimed out from under.
     old = time.time() - eng.COMPACT_LEASE_S - 10
+    os.utime(lock, (old, old))
+    with pytest.raises(RuntimeError, match="still.*alive"):
+        eng.compact_partials(path, "hist")
+    assert os.path.exists(lock)
+    assert os.path.exists(aside)
+
+    # stale lock with a DEAD holder pid: reclaimed, recovery runs,
+    # compaction succeeds, lock released at exit
+    import subprocess
+
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()  # proc.pid is now dead (reuse within the test: ~never)
+    with open(lock, "w") as f:
+        f.write(f"{proc.pid}:deadbeef {time.time()}\n")
     os.utime(lock, (old, old))
     assert eng.compact_partials(path, "hist") == 1
     assert not os.path.exists(lock)
     assert not os.path.exists(aside)
     rows = eng.histogram_bins(path).collect()
     assert [(r.user_id, r.bin, r.n) for r in rows] == [(1, 3, 5)]
+
+
+def test_compact_lock_release_is_ownership_checked(spark, tmp_path, monkeypatch):
+    # If some other process replaces the lock while we hold it (e.g. a
+    # buggy reclaimer), the finally-release must NOT unlink their lock.
+    import os
+
+    from timeseriesdb_spark.api import SignalEngine
+
+    path = str(tmp_path / "hist")
+    eng = SignalEngine(spark, path)
+    _write_hist_batch(spark, path, 0, 1, 5)
+
+    lock = path + "__compact_lock"
+
+    orig = SignalEngine._compact_partials_locked
+
+    def hijack(self, p, kind):
+        # mid-compaction, a foreign process steals/replaces the lock
+        with open(lock, "w") as f:
+            f.write("99999:feedface 0.0\n")
+        return orig(self, p, kind)
+
+    monkeypatch.setattr(SignalEngine, "_compact_partials_locked", hijack)
+    assert eng.compact_partials(path, "hist") == 1
+    # the foreign lock survived our release
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read().startswith("99999:feedface")
+
+
+def test_lease_heartbeat_keeps_lock_fresh(tmp_path):
+    # The heartbeat re-touches the lock mtime so a long merge job
+    # never ages past the stale horizon.
+    import os
+    import time
+
+    from timeseriesdb_spark.api import _LeaseHeartbeat
+
+    lock = str(tmp_path / "lk")
+    with open(lock, "w") as f:
+        f.write("x")
+    old = time.time() - 9999
+    os.utime(lock, (old, old))
+    hb = _LeaseHeartbeat(lock, 0.05)
+    hb.start()
+    try:
+        deadline = time.time() + 5.0
+        while os.path.getmtime(lock) < time.time() - 60:
+            assert time.time() < deadline, "heartbeat never touched lock"
+            time.sleep(0.02)
+    finally:
+        hb.stop()
+    assert os.path.getmtime(lock) >= time.time() - 60

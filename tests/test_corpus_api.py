@@ -91,7 +91,7 @@ def test_ann_index_lifecycle(spark, tmp_path):
         key=lambda r: (r.query_id, r.rank),
     )
     got_s = sorted(
-        spark.read.parquet(out).collect(),
+        spark.read.parquet(out).drop("batch_id").collect(),
         key=lambda r: (r.query_id, r.rank),
     )
     assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s]

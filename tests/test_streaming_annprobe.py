@@ -104,7 +104,48 @@ def test_stream_probe_equals_batch(spark, tmp_path):
         key=lambda r: (r.query_id, r.rank),
     )
     got = sorted(
-        spark.read.parquet(out).collect(),
+        spark.read.parquet(out).drop("batch_id").collect(),
         key=lambda r: (r.query_id, r.rank),
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_probe_replay_is_idempotent(spark, tmp_path):
+    # A re-delivered micro-batch (failure after write, before the
+    # checkpoint commit) overwrites its own batch_id partition instead
+    # of appending duplicate (query_id, rank) rows.
+    C, store_path, queries = _store_and_queries(spark, tmp_path)
+    out = str(tmp_path / "out")
+    fb = annprobe.make_probe_foreach_batch(
+        spark, store_path, C, out, nprobe=NPROBE, k=K
+    )
+    fb(queries, 0)
+    once = sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    fb(queries, 0)  # replay of the SAME batch id
+    twice = sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [tuple(r) for r in twice] == [tuple(r) for r in once]
+    # a genuinely new batch id still lands alongside
+    fb(queries.limit(1), 1)
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 2
+
+
+def test_zero_norm_query_fails_loudly(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    C, store_path, queries = _store_and_queries(spark, tmp_path)
+    dim = len(queries.first().embedding)
+    zq = spark.createDataFrame(
+        [(999999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    store = annprobe.prepared_store(spark, store_path)
+    with pytest.raises(Exception, match="zero-norm query"):
+        annprobe.ann_candidates(zq, store, C, NPROBE).collect()
+    with pytest.raises(ValueError, match="zero-norm query"):
+        sim.ivf_probe_stored(spark, store_path, np.zeros(dim), C)

@@ -34,6 +34,54 @@ _AGGS = {
 }
 
 
+def _pid_alive(pid: int) -> bool:
+    """True if a process with `pid` exists on this host (EPERM counts
+    as alive — signal 0 probes existence, not permission)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True
+    return True
+
+
+class _LeaseHeartbeat:
+    """Daemon thread that re-touches a lease-lock file's mtime every
+    `interval` seconds while a long job runs, so a live holder never
+    ages past the stale-reclaim horizon (ADVICE r7: a Spark merge job
+    longer than COMPACT_LEASE_S read as stale and got reclaimed).
+    Touch failures are swallowed — the lock may legitimately be gone
+    if an (incorrect) reclaimer raced us; the ownership-checked
+    release handles that case."""
+
+    def __init__(self, lock_path: str, interval: float):
+        import threading
+
+        self._lock_path = lock_path
+        self._interval = max(interval, 0.01)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        import os
+
+        while not self._stop.wait(self._interval):
+            try:
+                os.utime(self._lock_path)
+            except OSError:
+                pass
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
 class SignalEngine:
     """A signal store at `path` + query surface over it."""
 
@@ -459,9 +507,27 @@ class SignalEngine:
         so a second concurrent call raises up front and can never
         mistake the live compactor's aside+manifest for crash debris
         and rmtree it mid-swap. A crashed run leaves a stale lock;
-        callers reclaim it only after COMPACT_LEASE_S of age, so
-        within the lease a crash just makes compaction unavailable
-        (never corrupt).
+        callers reclaim it only after COMPACT_LEASE_S of age AND only
+        when the recorded holder pid is no longer alive, so within the
+        lease a crash just makes compaction unavailable (never
+        corrupt). Three hardenings close the races a bare
+        age-then-unlink reclaim would leave open:
+
+        * **Heartbeat**: while the merge job runs, a daemon thread
+          re-touches the lock every COMPACT_LEASE_S/4 — a live
+          compaction whose Spark job outlives the lease never *looks*
+          stale to other callers.
+        * **Single-winner reclaim**: a stale lock is reclaimed via
+          ``os.rename`` to a caller-unique name — rename of a missing
+          source fails, so exactly one of N concurrent reclaimers
+          wins; the losers raise instead of unlinking a lock some
+          other winner already recreated (the TOCTOU where two
+          compactors both end up live).
+        * **Ownership-checked release**: the lock body carries a
+          per-acquisition random token, and the finally-release only
+          unlinks the lock if it still contains this call's token —
+          if some other process (wrongly or rightly) replaced the
+          lock, we never delete *their* lease on the way out.
 
         Crash mid-swap is self-healing on the next call: the aside
         dir's name carries the generation it feeds
@@ -476,39 +542,80 @@ class SignalEngine:
         silently discarding either copy. Never silent data loss.
         On an object store this becomes the same manifest protocol
         as apply_retention."""
-        import json as _json
         import os
-        import shutil
         import time
+        import uuid
 
         base = path.rstrip("/")
-        parent, leaf = os.path.split(base)
-        tmp = base + "__compact_tmp"
         lock = base + "__compact_lock"
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
+
+        def acquire() -> None:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(f"{token} {time.time()}\n")
+
         # Liveness gate: take the O_EXCL lease lock BEFORE the
         # recovery sweep, so recovery can never reclaim the aside of a
-        # compactor that is still running. A stale lock (crashed run)
-        # is reclaimable after COMPACT_LEASE_S.
+        # compactor that is still running.
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            acquire()
         except FileExistsError:
             try:
                 age = time.time() - os.path.getmtime(lock)
+                with open(lock) as f:
+                    holder = f.read().split()
             except OSError:
-                age = 0.0  # lock vanished between open and stat: contended
+                raise RuntimeError(
+                    f"compact_partials: {lock} contended (vanished or "
+                    "unreadable mid-check) — retry"
+                )
             if age <= self.COMPACT_LEASE_S:
                 raise RuntimeError(
                     f"compact_partials: another compactor holds {lock} "
                     f"(age {age:.0f}s <= lease {self.COMPACT_LEASE_S}s)"
                 )
-            os.unlink(lock)  # stale: crashed holder — reclaim
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(f"{os.getpid()} {time.time()}\n")
+            # Stale by age — but refuse if the recorded holder process
+            # is still alive (heartbeat failure / clock skew; a live
+            # holder must never be reclaimed out from under).
+            try:
+                holder_pid = int(holder[0].split(":")[0])
+            except (IndexError, ValueError):
+                holder_pid = -1
+            if holder_pid > 0 and _pid_alive(holder_pid):
+                raise RuntimeError(
+                    f"compact_partials: {lock} is past the lease (age "
+                    f"{age:.0f}s) but holder pid {holder_pid} is still "
+                    "alive — refusing to reclaim; investigate"
+                )
+            # Single-winner reclaim: rename to a caller-unique name.
+            # Rename of a missing source fails, so of N concurrent
+            # reclaimers exactly one gets here with the old lock.
+            claim = lock + f"__reclaim_{token}"
+            try:
+                os.rename(lock, claim)
+            except OSError:
+                raise RuntimeError(
+                    f"compact_partials: {lock} reclaim lost to a "
+                    "concurrent caller — retry"
+                )
+            os.unlink(claim)
+            acquire()  # FileExistsError here = fresh contender; propagate
+        hb = _LeaseHeartbeat(lock, self.COMPACT_LEASE_S / 4.0)
+        hb.start()
         try:
             return self._compact_partials_locked(path, kind)
         finally:
-            os.unlink(lock)
+            hb.stop()
+            # Ownership-checked release: only unlink if the lock still
+            # carries this call's token.
+            try:
+                with open(lock) as f:
+                    owned = f.read().split()[:1] == [token]
+            except OSError:
+                owned = False
+            if owned:
+                os.unlink(lock)
 
     COMPACT_LEASE_S = 3600.0  # stale-lock reclaim horizon (seconds)
 
@@ -900,8 +1007,11 @@ class CorpusEngine:
     ):
         """Continuous top-k retrieval: a query-vector stream probes the
         stored index (streaming/annprobe.py — stateless cell-pruned
-        stream-static joins, per-micro-batch top-k finalize, results
-        appended to out_path). ``trigger`` passes through to
+        stream-static joins, per-micro-batch top-k finalize). Results
+        land EXACTLY-ONCE under ``out_path/batch_id=<id>`` — a
+        replayed micro-batch overwrites its own partition, never
+        duplicates rows; readers see a ``batch_id`` partition column.
+        ``trigger`` passes through to
         ``writeStream.trigger`` — default drains what's available and
         stops (availableNow); a live serving deployment passes e.g.
         ``{"processingTime": "10 seconds"}``. Returns the started

@@ -375,6 +375,11 @@ def ivf_probe_stored(
     import numpy as np
 
     qv = np.asarray(qv, dtype=np.float64)
+    if np.linalg.norm(qv) == 0.0:
+        raise ValueError(
+            "ivf_probe_stored: zero-norm query vector — cosine "
+            "similarity is undefined (would NaN silently)"
+        )
     qn = qv / np.linalg.norm(qv)
     probe_cells = [int(i) for i in np.argsort(qn @ np.asarray(C).T)[::-1][:nprobe]]
     emb = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))

@@ -61,7 +61,8 @@ def read_ucr_train(path: str) -> tuple["object", "object"]:
 
     labels, rows = [], []
     with open(path) as f:
-        next(f)  # slurp_file skips the first line
+        if next(f, None) is None:  # slurp_file skips the first line
+            raise ValueError(f"read_ucr_train: {path} is empty")
         for line in f:
             line = line.strip()
             if not line:

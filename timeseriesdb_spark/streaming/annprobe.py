@@ -97,6 +97,21 @@ def ann_candidates(
             _as_double(F.col("embedding")).alias("qe"),
         )
         .withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+        # Degenerate queries fail LOUDLY: a zero-norm vector would make
+        # cos_sim NULL and the query silently return garbage/no rows
+        # (ADVICE r7). raise_error aborts the job with the query id.
+        .withColumn(
+            "qnorm",
+            F.when(
+                F.col("qnorm") == 0.0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("ann_candidates: zero-norm query vector "),
+                        F.col("query_id").cast("string"),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("qnorm")),
+        )
         .withColumn("cell", F.explode(probe_cells_column(C, nprobe)))
     )
     return q.join(store, "cell").select(
@@ -152,9 +167,14 @@ def make_probe_foreach_batch(
 ):
     """foreachBatch runner: per micro-batch, prune the store to the
     union of probed cells (a ≤len(C)-row collect — bounded by the
-    centroid count, NOT by data), score, rank, append to ``out_path``.
-    Replay-safe: a re-delivered batch recomputes the same rows (the
-    sink dedupes on (query_id, rank) if exactly-once matters)."""
+    centroid count, NOT by data), score, rank, land under
+    ``out_path/batch_id=<id>``. EXACTLY-ONCE output: each batch
+    overwrites its own deterministic batch_id partition, so a replay
+    after a failure between write and checkpoint commit rewrites the
+    same partition instead of appending duplicate (query_id, rank)
+    rows (same idempotence idiom as the SignalEngine streamed-
+    maintenance sinks, api.py stream_rollup). Readers of ``out_path``
+    see a ``batch_id`` partition column; drop it if unwanted."""
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         # One materialization of the micro-batch: the pruning collect
@@ -182,7 +202,9 @@ def make_probe_foreach_batch(
             out = topk_per_query(
                 ann_candidates(batch_df, store, C, nprobe), k
             )
-            out.write.mode("append").parquet(out_path)
+            out.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
         finally:
             batch_df.unpersist()
 
