@@ -117,3 +117,25 @@ def test_matrix_profile_planted_motif(spark):
     assert out["mp"].median() > 1.0
     # profile length = n - m + 1
     assert len(out) == n - MP_WINDOW + 1
+
+
+def test_rolling_quantile_selection_invariants(spark):
+    """q_rolling_quantile's type-1 (selection) contract: med and p90
+    are EXISTING samples from the signal, med ≤ p90, and the frame
+    count ramps 1..RQ_ROWS then saturates."""
+    from timeseriesdb_spark.operators.windows import RQ_ROWS
+    from timeseriesdb_spark.tables import load_table
+
+    out = QUERIES["q_rolling_quantile"](spark, SF_DIR).toPandas()
+    full = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    assert len(out) == len(full)
+    assert (out["med"] <= out["p90"]).all()
+    assert out["n_frame"].between(1, RQ_ROWS).all()
+    vals = full.groupby("user_id")["value"].agg(set)
+    for uid, g in out.groupby("user_id"):
+        s = vals[uid]
+        assert set(g["med"]) <= s and set(g["p90"]) <= s

@@ -29,16 +29,14 @@ def test_ewma_matches_pandas_recurrence(spark):
         .orderBy("ts", "event_id")
         .toPandas()
     )
-    want = (
-        raw["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
-    )
+    want = raw["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     pd.testing.assert_series_equal(
         got["ewma"].reset_index(drop=True),
         want.reset_index(drop=True),
         check_names=False,
     )
     # s_0 = v_0 (adjust=False seed)
-    assert got["ewma"].iloc[0] == round(raw["value"].iloc[0], 6)
+    assert got["ewma"].iloc[0] == raw["value"].iloc[0]
 
 
 def test_holt_forecast_exact_on_linear_series(spark, tmp_path):

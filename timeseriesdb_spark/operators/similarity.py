@@ -236,9 +236,14 @@ def _srp_planes() -> list[list[float]]:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: SRP-LSH bucketing. Emits (bucket, n_vecs) — the
     bucket histogram is the operator's observable output (bucket
-    membership is what the candidate join keys on). Rows-only check:
-    bucket codes depend on float sign computations that SQL can
-    replicate but at excessive oracle complexity."""
+    membership is what the candidate join keys on).
+
+    ORACLE-CHECKED (r8): each bucket bit is the sign of a LEFT-FOLD
+    dot product (F.aggregate: ((0 + e₁p₁) + e₂p₂) + …), a fixed IEEE
+    double sequence — the oracle spells the identical fold as a
+    generated nested-paren expression per plane (8 planes × 64 terms),
+    so the sign, and therefore the bucket code, is bit-exact with no
+    rounding tolerance needed."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     planes = _srp_planes()
     bits = [
@@ -1028,7 +1033,30 @@ _CELL_SQL = "(" + " + ".join(
     for k in range(SEM_BITS)
 ) + ")"
 
+def _srp_bucket_sql() -> str:
+    """The SRP bucket code as a DuckDB expression that replays
+    q_ann_lsh's left-fold dot product VERBATIM: one nested-paren
+    chain per hyperplane (same operand order ⇒ same IEEE doubles ⇒
+    same sign), planes repr'd from the identical Python floats."""
+    bits = []
+    for p in _srp_planes():
+        expr = "CAST(0.0 AS DOUBLE)"
+        for i, x in enumerate(p, start=1):
+            expr = (
+                f"({expr} + CAST(embedding[{i}] AS DOUBLE)"
+                f" * CAST({x!r} AS DOUBLE))"
+            )
+        bits.append(f"CASE WHEN {expr} >= 0.0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
 ORACLES = {
+    "q_ann_lsh": f"""
+        SELECT {_srp_bucket_sql()} AS bucket,
+               count(*) AS n_vecs
+        FROM embeddings
+        GROUP BY 1
+    """,
     "q_ann_quantized": f"""
         WITH q AS (
             SELECT i,

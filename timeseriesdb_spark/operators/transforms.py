@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from timeseriesdb_spark.tables import load_table
 
 FFT_RATIO = 0.1    # keep top ratio·n/2 coefficients (ref ratio sweep 0.01-0.5)
-LTTB_RATIO = 0.1   # downsample to ratio·n points
+LTTB_DENOM = 10          # downsample to n // LTTB_DENOM points (ratio 0.1)
+LTTB_Y_SCALE = 1_000_000  # trunc-quantization grid for the area criterion
 
 
 def packed_grouped_map(df: DataFrame, kernel, schema: str,
@@ -168,8 +169,26 @@ def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LTTB downsampling to ratio·n points per signal — the reference's
-    PLA aging level (recoding_daemon.rs progressive degradation).
+    """LTTB downsampling to n/LTTB_DENOM points per signal — the
+    reference's PLA aging level (recoding_daemon.rs progressive
+    degradation; pla_lttb.rs:24-110 semantics: endpoints kept, one
+    point per bucket maximizing triangle area with the previous kept
+    point and the next bucket's centroid).
+
+    ORACLE-CHECKED (r8): every decision runs in EXACT INTEGER
+    arithmetic — x is the row position, y is trunc-quantized to a
+    1e-6 grid for the AREA CRITERION ONLY (outputs are the raw
+    original rows), bucket bounds are the pure-integer
+    1 + (j·(n−2)) // (n_out−2), and the triangle area is scaled
+    through by the centroid-bucket width W so no division occurs:
+    area·W = |(ax·W − Sx)(yq − ayq) − (ax − x)(Syq − ayq·W)|. A
+    selection criterion on integers has no FP association gap, so a
+    DuckDB recursive CTE carrying the previous kept position picks
+    bit-identical rows (argmax ties break to the lowest position on
+    both sides). Selection differences vs the float form only ever
+    occurred at FP-noise-level near-ties; the integer grid makes the
+    operator deterministic across engines — the same discipline as
+    the decimal-exact aggregate family.
 
     NOTE: the LTTB kernel is defined INSIDE the UDF on purpose — a
     module-level helper would be cloudpickled by reference and require
@@ -178,41 +197,51 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
-        def lttb(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
-            """Largest-Triangle-Three-Buckets kept-point indices
-            (pla_lttb.rs:24-110 semantics: endpoints kept, one point
-            per bucket maximizing triangle area with the previous kept
-            point and the next bucket's centroid). Bucket centroids are
-            precomputed with one reduceat pass; only the (inherently
-            sequential) previous-kept-point dependency stays in the
-            python loop."""
-            n = len(x)
+        def lttb(yq: np.ndarray, n_out: int) -> np.ndarray:
+            """Integer-exact LTTB kept-point indices (positions are
+            the x axis; yq is the trunc-quantized value grid)."""
+            n = len(yq)
             if n_out >= n or n_out < 3:
                 return np.arange(n)
+            d = n_out - 2
+            # bounds[j] = 1 + (j*(n-2)) // d, j = 0..n_out-2; the last
+            # bound is exactly n-1 (j = d gives 1 + (n-2))
+            bounds = 1 + (np.arange(n_out - 1, dtype=np.int64) * (n - 2)) // d
+            xs = np.arange(n, dtype=np.int64)
             kept = [0]
-            bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
-            # next-bucket centroids: bucket i+1 spans [bounds[i+1],
-            # bounds[i+2]) with the last bucket running to n
-            starts = bounds[1:]
-            widths = np.diff(np.append(starts, n)).astype(np.float64)
-            widths[widths == 0] = 1.0
-            cxs = np.add.reduceat(x, starts) / widths
-            cys = np.add.reduceat(y, starts) / widths
             for i in range(n_out - 2):
-                lo, hi = bounds[i], max(bounds[i + 1], bounds[i] + 1)
-                cx, cy = cxs[i], cys[i]
-                ax, ay = x[kept[-1]], y[kept[-1]]
-                seg = slice(lo, hi)
-                areas = np.abs((ax - cx) * (y[seg] - ay) - (ax - x[seg]) * (cy - ay))
+                lo = int(bounds[i])
+                hi = int(max(bounds[i + 1], bounds[i] + 1))
+                # centroid bucket: [bounds[i+1], bounds[i+2]) with the
+                # last bucket running to n; empty bucket degrades to
+                # the single point at its start (W=1)
+                cs = int(bounds[i + 1])
+                ce = int(bounds[i + 2]) if i + 2 <= n_out - 2 else n
+                if ce > cs:
+                    w = ce - cs
+                    sx = (cs + ce - 1) * w // 2
+                    sy = int(yq[cs:ce].sum())
+                else:
+                    w, sx = 1, cs
+                    sy = int(yq[cs]) if cs < n else 0
+                ax = kept[-1]
+                ay = int(yq[ax])
+                seg = xs[lo:hi]
+                ys = yq[lo:hi]
+                areas = np.abs(
+                    (ax * w - sx) * (ys - ay) - (ax - seg) * (sy - ay * w)
+                )
                 kept.append(lo + int(np.argmax(areas)))
             kept.append(n - 1)
             return np.array(sorted(set(kept)), dtype=np.int64)
 
         pdf = pdf.reset_index(drop=True)
         n = len(pdf)
-        n_out = max(3, int(n * LTTB_RATIO))
-        xs = np.arange(n, dtype=np.float64)
-        keep = lttb(xs, pdf["value"].to_numpy(dtype=np.float64), n_out)
+        n_out = max(3, n // LTTB_DENOM)
+        yq = np.trunc(
+            pdf["value"].to_numpy(dtype=np.float64) * float(LTTB_Y_SCALE)
+        ).astype(np.int64)
+        keep = lttb(yq, n_out)
         out = pdf.iloc[keep]
         return pd.DataFrame(
             {
@@ -309,4 +338,99 @@ QUERIES = {
     "q_matrix_profile": q_matrix_profile,
 }
 
-ORACLES: dict[str, str] = {}  # non-SQL-expressible → rows-only checks
+# q_fft_recon / q_matrix_profile stay rows-only: their kernels run
+# through numpy FFT / BLAS GEMM whose summation order no SQL engine
+# reproduces bitwise. q_pla_lttb's selection, by contrast, is exact
+# integer arithmetic (see its docstring), so the oracle replays it
+# verbatim: a recursive CTE carries the previous kept position and a
+# correlated argmax subquery picks each bucket's point.
+ORACLES: dict[str, str] = {
+    "q_pla_lttb": f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - 1 AS pos,
+                   CAST(trunc(value * {float(LTTB_Y_SCALE)!r}) AS BIGINT)
+                       AS yq,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        par AS (
+            SELECT user_id, n, GREATEST(3, n // {LTTB_DENOM}) AS n_out
+            FROM (SELECT DISTINCT user_id, n FROM seq)
+        ),
+        cent AS (
+            SELECT p.user_id, t.i,
+                   1 + ((t.i + 1) * (p.n - 2)) // (p.n_out - 2) AS cs,
+                   CASE WHEN t.i + 2 <= p.n_out - 2
+                        THEN 1 + ((t.i + 2) * (p.n - 2))
+                                 // (p.n_out - 2)
+                        ELSE p.n END AS ce
+            FROM par p
+            JOIN (SELECT DISTINCT pos AS i FROM seq) t
+              ON t.i < p.n_out - 2
+            WHERE p.n_out < p.n
+        ),
+        centv AS (
+            SELECT c.user_id, c.i,
+                   CASE WHEN c.ce > c.cs THEN c.ce - c.cs ELSE 1 END AS w,
+                   CASE WHEN c.ce > c.cs
+                        THEN (c.cs + c.ce - 1) * (c.ce - c.cs) // 2
+                        ELSE c.cs END AS sx,
+                   CASE WHEN c.ce > c.cs
+                        THEN CAST((SELECT sum(s.yq) FROM seq s
+                                   WHERE s.user_id = c.user_id
+                                     AND s.pos >= c.cs
+                                     AND s.pos < c.ce) AS BIGINT)
+                        ELSE coalesce(
+                            (SELECT s.yq FROM seq s
+                             WHERE s.user_id = c.user_id
+                               AND s.pos = c.cs), 0)
+                   END AS sy
+            FROM cent c
+        ),
+        sel AS (
+            SELECT user_id, n, n_out, 0 AS i, CAST(0 AS BIGINT) AS prev
+            FROM par WHERE n_out < n
+            UNION ALL
+            SELECT r.user_id, r.n, r.n_out, r.i + 1,
+                   (SELECT s.pos
+                    FROM seq s
+                    JOIN centv c
+                      ON c.user_id = r.user_id AND c.i = r.i
+                    WHERE s.user_id = r.user_id
+                      AND s.pos >= 1 + (r.i * (r.n - 2))
+                                       // (r.n_out - 2)
+                      AND s.pos < GREATEST(
+                            1 + ((r.i + 1) * (r.n - 2))
+                                // (r.n_out - 2),
+                            1 + (r.i * (r.n - 2))
+                                // (r.n_out - 2) + 1)
+                    ORDER BY abs(
+                        (r.prev * c.w - c.sx)
+                          * (s.yq - (SELECT p2.yq FROM seq p2
+                                     WHERE p2.user_id = r.user_id
+                                       AND p2.pos = r.prev))
+                        - (r.prev - s.pos)
+                          * (c.sy - (SELECT p2.yq FROM seq p2
+                                     WHERE p2.user_id = r.user_id
+                                       AND p2.pos = r.prev) * c.w)
+                      ) DESC, s.pos
+                    LIMIT 1)
+            FROM sel r WHERE r.i < r.n_out - 2
+        ),
+        kept AS (
+            SELECT DISTINCT user_id, prev AS pos FROM sel
+            UNION
+            SELECT user_id, n - 1 AS pos FROM par WHERE n_out < n
+            UNION
+            SELECT s.user_id, s.pos
+            FROM seq s JOIN par p ON p.user_id = s.user_id
+            WHERE p.n_out >= p.n
+        )
+        SELECT s.user_id, s.event_id, s.ts, s.value
+        FROM seq s
+        JOIN kept k ON k.user_id = s.user_id AND k.pos = s.pos
+    """,
+}

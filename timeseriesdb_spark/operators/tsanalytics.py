@@ -119,8 +119,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned there by stream==batch parity and here by
     tests/test_tsanalytics.py's tiny-Arrow-batch pin). Per-task
     memory is one Arrow batch even for a hot signal at 100 TB — the
-    group is never materialized. Rows-only check; pytest pins the
-    kernel against pandas ewm directly."""
+    group is never materialized.
+
+    ORACLE-CHECKED (r8): the recurrence is a fixed sequence of IEEE
+    double ops (s ← (1−α)·s + α·v, left-to-right), so a DuckDB
+    recursive CTE stepping one row per signal per iteration produces
+    bit-identical doubles — emitting FULL precision (no round()) is
+    what makes the hash exact, since numpy and DuckDB round()
+    disagree on FP ties while raw IEEE arithmetic cannot."""
     from timeseriesdb_spark.operators.transforms import stateful_grouped_scan
 
     ev = load_table(spark, sf_dir, "events")
@@ -142,7 +148,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": pdf["user_id"].reset_index(drop=True),
                 "event_id": pdf["event_id"].reset_index(drop=True),
                 "ts": pdf["ts"].reset_index(drop=True),
-                "ewma": s.round(6),
+                "ewma": s,
             }
         )
         return out, float(s.iloc[-1])
@@ -219,8 +225,14 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying ONLY (level, trend) across Arrow chunks — per-task
     memory is one Arrow batch, never a signal's history, and the
     chunked loop is bit-identical to the one-pass form (same float
-    ops, same order). Rows-only check; pytest pins the kernel: a
-    perfectly linear series forecasts exactly on the line."""
+    ops, same order). Pytest pins the kernel: a perfectly linear
+    series forecasts exactly on the line.
+
+    ORACLE-CHECKED (r8): like q_ewma, the state update is a fixed
+    IEEE double sequence (l ← α·v + (1−α)(l+b); b ← β(l_new−l_old)
+    + (1−β)b), so a DuckDB recursive CTE carrying (level, trend)
+    per signal reproduces the final state bitwise; outputs are full
+    precision so no round() implementation can disagree."""
     from timeseriesdb_spark.operators.transforms import stateful_grouped_scan
 
     ev = load_table(spark, sf_dir, "events")
@@ -263,9 +275,9 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": np.full(HOLT_H, int(uid), dtype=np.int64),
                 "h": hs,
-                "forecast": np.round(level + hs * trend, 6),
-                "level": np.full(HOLT_H, round(level, 6)),
-                "trend": np.full(HOLT_H, round(trend, 6)),
+                "forecast": level + hs * trend,
+                "level": np.full(HOLT_H, level),
+                "trend": np.full(HOLT_H, trend),
             }
         )
 
@@ -868,6 +880,74 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The EWMA recurrence s_t = (1−α)s_{t−1} + α·v_t is a fixed
+    # left-to-right IEEE double sequence, so a recursive CTE stepping
+    # one row per signal per iteration is bit-identical to the pandas
+    # ewm(adjust=False) kernel (equality verified empirically — see
+    # q_ewma docstring). Constants are repr'd from the same Python
+    # floats the kernel folds, cast to DOUBLE so DuckDB's DECIMAL
+    # literal typing can't perturb them.
+    "q_ewma": f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id, ts, rn,
+                   CAST(value AS DOUBLE) AS ewma
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.ts, s.rn,
+                   CAST({1 - EWMA_ALPHA!r} AS DOUBLE) * r.ewma
+                       + CAST({EWMA_ALPHA!r} AS DOUBLE) * s.value
+            FROM r JOIN seq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ts, ewma FROM r
+    """,
+    # Holt's state update is likewise a fixed double sequence carrying
+    # (level, trend); the new level expression is repeated inside the
+    # trend term (IEEE ops are deterministic, so recomputing it yields
+    # the identical double). Signals with <2 samples emit nothing,
+    # matching the kernel's None-finalize.
+    "q_holt_forecast": f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        r AS (
+            SELECT s1.user_id, s1.rn, s1.n,
+                   CAST(s1.value AS DOUBLE) AS level,
+                   CAST(s2.value - s1.value AS DOUBLE) AS trend
+            FROM seq s1 JOIN seq s2
+              ON s2.user_id = s1.user_id AND s2.rn = 2
+            WHERE s1.rn = 1 AND s1.n >= 2
+            UNION ALL
+            SELECT s.user_id, s.rn, s.n,
+                   CAST({HOLT_ALPHA!r} AS DOUBLE) * s.value
+                       + CAST({1 - HOLT_ALPHA!r} AS DOUBLE)
+                         * (r.level + r.trend) AS level,
+                   CAST({HOLT_BETA!r} AS DOUBLE)
+                       * ((CAST({HOLT_ALPHA!r} AS DOUBLE) * s.value
+                           + CAST({1 - HOLT_ALPHA!r} AS DOUBLE)
+                             * (r.level + r.trend)) - r.level)
+                       + CAST({1 - HOLT_BETA!r} AS DOUBLE) * r.trend
+                       AS trend
+            FROM r JOIN seq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT r.user_id, CAST(h.h AS BIGINT) AS h,
+               r.level + h.h * r.trend AS forecast,
+               r.level, r.trend
+        FROM r JOIN (VALUES (1), (2), (3)) AS h(h) ON r.rn = r.n
+    """,
     "q_ohlc": """
         SELECT user_id, day,
                max(CASE WHEN rn_a = 1 THEN value END) AS open,

@@ -394,6 +394,47 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RQ_ROWS = 25  # trailing quantile frame width (rows)
+
+
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-window quantiles per signal: median and p90 over
+    the last RQ_ROWS samples — the robust sliding statistics a
+    monitoring store serves next to q_moving_avg (a rolling median
+    rejects the spikes a mean chases; sliding p90 is the
+    latency-SLO staple). Extends the reference's sliding surface
+    (§2.5 frame-spec windows) with order statistics.
+
+    Engine-exactness by SELECTION, not interpolation: rank
+    ceil(q·n) of the sorted frame (type-1 quantile), so the output
+    is always an existing sample and no FP interpolation formula can
+    differ between engines — the discipline that makes this
+    oracle-checkable where a percentile_cont would hash-drift.
+
+    Scale: JVM-only (collect_list over the bounded frame +
+    sort_array + element_at; w ≤ 25 so per-row cost is w·log w and
+    frame memory is constant); one shuffle on the signal key. For a
+    hot signal the q_running_sum two-level (signal, day) treatment
+    applies with a w-row overlap carried across bucket edges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(RQ_ROWS - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med_rank = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+    p90_rank = F.floor((F.lit(9) * n + F.lit(9)) / F.lit(10)).cast("int")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.element_at(arr, med_rank).alias("med"),
+        F.element_at(arr, p90_rank).alias("p90"),
+        n.cast("bigint").alias("n_frame"),
+    )
+
+
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-signal sum, decimal-routed so every prefix is
     engine-exact — the integral/energy curve of a signal.
@@ -877,6 +918,7 @@ QUERIES = {
     "q_dow_profile": q_dow_profile,
     "q_gap_report": q_gap_report,
     "q_moving_avg": q_moving_avg,
+    "q_rolling_quantile": q_rolling_quantile,
     "q_running_sum": q_running_sum,
     "q_sessionize": q_sessionize,
     "q_window_max": q_window_max,
@@ -1183,6 +1225,24 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN {MAVG_ROWS - 1} PRECEDING AND CURRENT ROW)
+    """,
+    # type-1 (selection) quantiles: both engines sort the frame's
+    # doubles and pick rank ceil(q·n) — an existing sample, no
+    # interpolation arithmetic to drift.
+    "q_rolling_quantile": f"""
+        SELECT user_id, event_id,
+               l[(n + 1) // 2] AS med,
+               l[(9 * n + 9) // 10] AS p90,
+               n AS n_frame
+        FROM (
+            SELECT user_id, event_id,
+                   list_sort(list(value) OVER w) AS l,
+                   count(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {RQ_ROWS - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
     """,
     "q_running_sum": """
         SELECT user_id, event_id,

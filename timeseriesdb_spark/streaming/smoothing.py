@@ -77,7 +77,7 @@ def make_ewma(alpha: float):
                         "user_id": pdf["user_id"].reset_index(drop=True),
                         "event_id": pdf["event_id"].reset_index(drop=True),
                         "ts": pdf["ts"].reset_index(drop=True),
-                        "ewma": s.round(6),
+                        "ewma": s,
                     }
                 )
             )
