@@ -82,12 +82,19 @@ def test_resize_through_spark_matches_numpy(spark):
     for doc_id, text in rows:
         payload = im.synth_image(text.encode(), doc_id)
         _, pix = im.decode_image(payload)
+        # exact contract: the Spark path equals bilinear_gray_exact
+        # BITWISE (N/D over integer taps)
+        n, d = im.bilinear_gray_exact(pix, RESIZE_H, RESIZE_W)
+        exact = n / float(d)
+        # and the rational geometry agrees with the float bilinear
+        # reference to FP noise
         gray = pix.astype(np.float64).mean(axis=2)[:, :, None]
         small = im.bilinear_resize(gray, RESIZE_H, RESIZE_W)[:, :, 0]
         for py in range(RESIZE_H):
             for px in range(RESIZE_W):
+                assert got[(doc_id, px, py)] == exact[py, px]
                 assert got[(doc_id, px, py)] == pytest.approx(
-                    round(small[py, px] / 255.0, 6), abs=1e-9
+                    small[py, px] / 255.0, abs=1e-9
                 )
 
 

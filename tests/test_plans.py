@@ -698,3 +698,23 @@ def test_multimodal_scan_prunes_columns(spark):
     ):
         cols = set(checks.read_schema(q(spark, SF_DIR)))
         assert cols == {"doc_id", "text"}, (q.__name__, cols)
+
+
+def test_rolling_quantile_single_shuffle_jvm(spark):
+    # r8: selection quantiles ride ONE signal-key exchange, all JVM
+    # (sort_array/element_at are codegen expressions, not Python)
+    df = QUERIES["q_rolling_quantile"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_dup_spans_two_exchanges_jvm(spark):
+    # r8: one shingle-key window exchange + one doc-key islands
+    # exchange (the third is parallelize_small_scan's round-robin
+    # spread of the pre-explode doc rows — narrow data, intentional);
+    # nothing else moves shingle-sized rows
+    df = QUERIES["q_dup_spans"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 3, plan

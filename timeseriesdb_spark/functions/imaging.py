@@ -122,6 +122,43 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def bilinear_gray_exact(pix: np.ndarray, out_h: int, out_w: int):
+    """EXACT-integer grayscale bilinear resample of a (H, W, 3) uint8
+    image: returns (N, D) where value[py, px] = N[py, px] / D with
+    N int64 and D = 3 · (2·out_h) · (2·out_w) · 255.
+
+    Same align_corners=False geometry as bilinear_resize, but the
+    source coordinate x = (px+0.5)·W/out_w − 0.5 is kept as the
+    rational ((2·px+1)·W − out_w) / (2·out_w) instead of a float, so
+    the four tap weights are small integers and the whole resample is
+    integer arithmetic — an oracle can replay it in SQL with zero FP
+    tolerance, and N/D as a final double division is bit-identical
+    everywhere. Gray uses the channel SUM (denominator 3 folded into
+    D) rather than a float mean. Requires W ≥ out_w and H ≥ out_h
+    (no left-edge clip; synth images guarantee this: SYNTH_MIN = 8)."""
+    h, w = pix.shape[:2]
+    if w < out_w or h < out_h:
+        raise ValueError("bilinear_gray_exact requires downsampling")
+    sg = pix.astype(np.int64).sum(axis=2)  # (h, w) channel sums
+    dx, dy = 2 * out_w, 2 * out_h
+    xq = (2 * np.arange(out_w, dtype=np.int64) + 1) * w - out_w
+    yq = (2 * np.arange(out_h, dtype=np.int64) + 1) * h - out_h
+    x0 = xq // dx
+    y0 = yq // dy
+    wx = xq - dx * x0  # in [0, dx)
+    wy = yq - dy * y0
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    top = sg[y0[:, None], x0[None, :]] * (dx - wx)[None, :] + sg[
+        y0[:, None], x1[None, :]
+    ] * wx[None, :]
+    bot = sg[y1[:, None], x0[None, :]] * (dx - wx)[None, :] + sg[
+        y1[:, None], x1[None, :]
+    ] * wx[None, :]
+    n = top * (dy - wy)[:, None] + bot * wy[:, None]
+    return n, 3 * dx * dy * 255
+
+
 # ---- deterministic payload synthesis -------------------------------
 # The testdata carries no binary image column, so payloads are
 # SYNTHESIZED from document text as real encoded images: dimensions

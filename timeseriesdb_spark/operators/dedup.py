@@ -750,8 +750,63 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_OCC_CAP = 256   # boilerplate bound: ignore shingles occurring more often
+SPAN_MIN_WORDS = 5   # emit spans covering at least this many words
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-PASSAGE extraction: maximal runs of consecutive
+    word-3-shingles that also occur in another document, emitted as
+    word-position spans per doc — the locate step of exact-substring
+    dedup (Lee et al. 2022: find the shared span, then trim it),
+    where q_dup_ngram_coverage only scores how much of a doc is
+    duplicated, this says WHERE.
+
+    Shape: positioned shingles (one explode), ONE shingle-key
+    exchange where min(doc)≠max(doc) over the shingle window decides
+    cross-doc duplication (no distinct-count, no self-join) and a
+    row-count cap drops boilerplate shingles; surviving hit positions
+    run gaps-and-islands per doc (pos − row_number is constant within
+    a run) — one more shuffle on doc_id. Spans shorter than
+    SPAN_MIN_WORDS words are noise and dropped. All arithmetic is
+    integer → engine-exact. At 100 TB: identical plan; per-shingle
+    window work is bounded by SPAN_OCC_CAP."""
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    words = F.split(F.col("text"), " ")
+    posed = doc.select(
+        "doc_id",
+        F.posexplode(array_ngrams(words, SHINGLE_K)).alias("pos", "shingle"),
+    ).where(F.length("shingle") > 0)
+    w = Window.partitionBy("shingle")
+    hits = (
+        posed.withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("mx", F.max("doc_id").over(w))
+        .withColumn("occ", F.count("*").over(w))
+        .where((F.col("mn") != F.col("mx")) & (F.col("occ") <= SPAN_OCC_CAP))
+        .select("doc_id", "pos")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    grp = F.col("pos") - F.row_number().over(w2)
+    return (
+        hits.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SHINGLE_K - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .where(
+            F.col("span_end") - F.col("span_start") + 1 >= SPAN_MIN_WORDS
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dup_spans": q_dup_spans,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_ngram_containment": q_ngram_containment,
@@ -856,6 +911,48 @@ ORACLES = {
         SELECT md5(text) AS content_hash, count(*) AS n_copies,
                min(doc_id) AS keep_doc_id
         FROM documents GROUP BY md5(text)
+    """,
+    # positioned shingles (pos = 0-based start word): cross-doc dup iff
+    # min(doc)≠max(doc) over the shingle window; islands by the
+    # pos − row_number constant — all integer, engine-exact.
+    "q_dup_spans": f"""
+        WITH posed AS (
+            SELECT doc_id, i - 1 AS pos,
+                   w || ' '
+                     || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+                     || ' '
+                     || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            )
+        ),
+        hits AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       min(doc_id) OVER ws AS mn,
+                       max(doc_id) OVER ws AS mx,
+                       count(*) OVER ws AS occ
+                FROM posed WHERE shingle IS NOT NULL
+                WINDOW ws AS (PARTITION BY shingle)
+            ) WHERE mn != mx AND occ <= {SPAN_OCC_CAP}
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hits
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {SHINGLE_K - 1} AS BIGINT) AS span_end,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, grp
+        HAVING max(pos) + {SHINGLE_K - 1} - min(pos) + 1
+               >= {SPAN_MIN_WORDS}
     """,
     "q_dup_ngram_coverage": f"""
         WITH shd AS (

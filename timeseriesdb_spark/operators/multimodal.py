@@ -148,12 +148,19 @@ RESIZE_W, RESIZE_H = 8, 8  # target thumbnail grid
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize: payload → decode → grayscale → bilinear
     resample to (RESIZE_W, RESIZE_H) — the thumbnail/preprocess stage
-    of a vision pipeline, on actual decoded pixels (imaging.py,
-    align_corners=False). Emits scalar rows (doc_id, px, py, value)
-    so the rows-only canonicalizer can hash it; the grid reassembles
-    via pivot/collect when a model consumes it. Pixel-level
-    correctness is pinned by tests/test_multimodal.py (solid-color
-    and analytic-ramp images through the full Spark path)."""
+    of a vision pipeline, on actual decoded pixels. Emits scalar rows
+    (doc_id, px, py, value); the grid reassembles via pivot/collect
+    when a model consumes it.
+
+    ORACLE-CHECKED (r8): the resample runs through
+    imaging.bilinear_gray_exact — the align_corners=False source
+    coordinate kept as the rational ((2p+1)·W − out)/(2·out) so all
+    four tap weights are small integers, value = N/D with N an int64
+    tap sum and D = 3·(2out_h)(2out_w)·255. The DuckDB oracle
+    recomputes N closed-form from the byte-tiling contract (the same
+    hex-byte machinery as q_multimodal_features) and the final N/D
+    double division is bit-identical in both engines. Pixel-level
+    geometry stays pinned by tests/test_multimodal.py."""
     doc = parallelize_small_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark,
@@ -163,21 +170,19 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        # Emit columns are built array-at-a-time; np.round over the
-        # stacked grid is bit-identical to the per-pixel np.float64
-        # __round__ the loop form used (both round via the scale/rint
-        # multiply, unlike Python float.__round__ on decimal ties).
         px_t = np.tile(np.arange(w, dtype=np.int64), h)
         py_t = np.repeat(np.arange(h, dtype=np.int64), w)
         for pdf in batches:
             grids = []
+            denom = 1.0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = imaging.synth_image(text.encode("utf-8"), int(doc_id))
                 _, pix = imaging.decode_image(payload)
-                gray = pix.astype(np.float64).mean(axis=2)[:, :, None]
                 # ravel() is py-major / px-fast — the (py, px) order
                 # px_t/py_t index
-                grids.append(imaging.bilinear_resize(gray, h, w)[:, :, 0].ravel())
+                n, d = imaging.bilinear_gray_exact(pix, h, w)
+                grids.append(n.ravel())
+                denom = float(d)
             if not grids:
                 yield pd.DataFrame(
                     {"doc_id": [], "px": [], "py": [], "value": []}
@@ -189,7 +194,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": np.repeat(ids, h * w),
                     "px": np.tile(px_t, len(ids)),
                     "py": np.tile(py_t, len(ids)),
-                    "value": np.round(np.concatenate(grids) / 255.0, 6),
+                    "value": np.concatenate(grids) / denom,
                 }
             )
 
@@ -255,9 +260,89 @@ QUERIES = {
 # parity, exact encoded sizes incl. BMP row padding / PPM header
 # text) is recomputed closed-form here, while the Spark path gets the
 # same numbers only by correctly parsing the bytes it encoded.
-# resize/features stay rows-only (their pixel kernels aren't SQL) and
-# are pytest-pinned instead.
+
+# The shared hex-byte scaffold: dims + per-flat-pixel gray channel
+# sums recomputed from the byte-tiling contract without decoding —
+# pixel j's gray sum is v[(3j)%n] + v[(3j+1)%n] + v[(3j+2)%n] over
+# the tiled text bytes read out of hex(encode(text)).
+_DIMS_SQL = f"""
+        d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS rawn
+            FROM documents
+        ),
+        dims AS (
+            SELECT doc_id, hx,
+                   CAST(CASE WHEN rawn = 0 THEN 1 ELSE rawn END AS BIGINT) AS n,
+                   rawn = 0 AS empty,
+                   CAST({imaging.SYNTH_MIN} + rawn % {imaging.SYNTH_W_MOD}
+                        AS BIGINT) AS w,
+                   CAST({imaging.SYNTH_MIN} + (rawn * 7) % {imaging.SYNTH_H_MOD}
+                        AS BIGINT) AS h
+            FROM d
+        )
+"""
+
+_GSUM_CASE = """
+                   CASE WHEN empty THEN 0 ELSE
+                     (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j) % n) + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j) % n) + 2 AS INT), 1)) - 1
+                     + (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+1) % n) + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+1) % n) + 2 AS INT), 1)) - 1
+                     + (strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+2) % n) + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substr(hx, CAST(2 * ((3*j+2) % n) + 2 AS INT), 1)) - 1
+                   END AS gsum
+"""
+
 ORACLES: dict[str, str] = {
+    # Exact-integer bilinear replayed closed-form: the kernel's
+    # rational geometry (x0/wx from ((2p+1)·W − out) over 2·out) and
+    # integer tap sum N join four gsum lookups; value = N/D is one
+    # double division, identical in both engines.
+    "q_multimodal_resize": f"""
+        WITH {_DIMS_SQL},
+        g AS (
+            SELECT doc_id, j, {_GSUM_CASE}
+            FROM (
+                SELECT doc_id, hx, n, empty,
+                       unnest(range(0, w * h)) AS j
+                FROM dims
+            )
+        ),
+        c AS (
+            SELECT doc_id, w, h, px, py,
+                   ((2 * px + 1) * w - {RESIZE_W}) // {2 * RESIZE_W} AS x0,
+                   ((2 * px + 1) * w - {RESIZE_W}) % {2 * RESIZE_W} AS wx,
+                   ((2 * py + 1) * h - {RESIZE_H}) // {2 * RESIZE_H} AS y0,
+                   ((2 * py + 1) * h - {RESIZE_H}) % {2 * RESIZE_H} AS wy
+            FROM dims,
+                 (SELECT unnest(range(0, {RESIZE_W})) AS px) tx,
+                 (SELECT unnest(range(0, {RESIZE_H})) AS py) ty
+        ),
+        c2 AS (
+            SELECT *, LEAST(x0 + 1, w - 1) AS x1,
+                   LEAST(y0 + 1, h - 1) AS y1
+            FROM c
+        )
+        SELECT c2.doc_id, CAST(px AS BIGINT) AS px,
+               CAST(py AS BIGINT) AS py,
+               CAST(g00.gsum * ({2 * RESIZE_W} - wx) * ({2 * RESIZE_H} - wy)
+                    + g01.gsum * wx * ({2 * RESIZE_H} - wy)
+                    + g10.gsum * ({2 * RESIZE_W} - wx) * wy
+                    + g11.gsum * wx * wy AS DOUBLE)
+                   / {float(3 * 2 * RESIZE_W * 2 * RESIZE_H * 255)!r} AS value
+        FROM c2
+        JOIN g g00 ON g00.doc_id = c2.doc_id AND g00.j = y0 * w + x0
+        JOIN g g01 ON g01.doc_id = c2.doc_id AND g01.j = y0 * w + x1
+        JOIN g g10 ON g10.doc_id = c2.doc_id AND g10.j = y1 * w + x0
+        JOIN g g11 ON g11.doc_id = c2.doc_id AND g11.j = y1 * w + x1
+    """,
     "q_multimodal_meta": f"""
         WITH d AS (
             SELECT doc_id,
