@@ -58,6 +58,11 @@ DOC_PROBES = {
     "q_gopher_rules": "zero-shuffle quality rules",
     "q_token_count": "regex tokenization + counts",
     "q_quality_score": "per-doc quality heuristics",
+    # r8: the alphabet rotation is a bijection on positioned shingles
+    # too — every replica reproduces the x1 span set under its own
+    # alphabet, so span rows must grow EXACTLY k× (the proof that the
+    # shingle-window + islands pipeline never goes cross-replica)
+    "q_dup_spans": "positioned-shingle duplicated-span extraction",
 }
 # embeddings-axis probes: the single-probe ANN scorers (top-k output
 # is k rows regardless of corpus size — cost is the scan+score, which
