@@ -47,3 +47,32 @@ def test_dup_spans_invariants(spark):
         ), (doc_id, span)
         checked += 1
     assert checked > 0
+
+
+def test_trim_spans_invariants(spark):
+    """locate→trim contract: counts reconcile, trimmed text is the
+    doc's uncovered words in order, and no trimmed doc still contains
+    its own first duplicated span verbatim."""
+    from timeseriesdb_spark.operators.dedup import q_trim_spans
+
+    spans = q_dup_spans(spark, SF_DIR).toPandas()
+    out = q_trim_spans(spark, SF_DIR).toPandas()
+    assert set(out["doc_id"]) == set(spans["doc_id"])
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for _, r in out.iterrows():
+        words = docs[r["doc_id"]]
+        assert r["n_kept"] + r["n_removed"] == len(words)
+        g = spans[spans.doc_id == r["doc_id"]]
+        cov = set()
+        for _, s in g.iterrows():
+            cov |= set(range(int(s["span_start"]), int(s["span_end"]) + 1))
+        expect = " ".join(
+            w for i, w in enumerate(words) if i not in cov
+        )
+        assert r["trimmed_text"] == expect
+        assert r["n_removed"] == len(cov)

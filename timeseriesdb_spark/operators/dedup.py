@@ -753,6 +753,48 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_OCC_CAP = 256   # boilerplate bound: ignore shingles occurring more often
 SPAN_MIN_WORDS = 5   # emit spans covering at least this many words
 
+# shared CTE chain for the span oracles (positioned shingles → hits →
+# islands → spans); keep in sync with q_dup_spans' DataFrame form
+_DUP_SPANS_CTES = f"""posed AS (
+            SELECT doc_id, i - 1 AS pos,
+                   w || ' '
+                     || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
+                     || ' '
+                     || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            )
+        ),
+        hits AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       min(doc_id) OVER ws AS mn,
+                       max(doc_id) OVER ws AS mx,
+                       count(*) OVER ws AS occ
+                FROM posed WHERE shingle IS NOT NULL
+                WINDOW ws AS (PARTITION BY shingle)
+            ) WHERE mn != mx AND occ <= {SPAN_OCC_CAP}
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hits
+        ),
+        spans AS (
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {SHINGLE_K - 1} AS BIGINT) AS span_end,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, grp
+            HAVING max(pos) + {SHINGLE_K - 1} - min(pos) + 1
+                   >= {SPAN_MIN_WORDS}
+        )"""
+
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-PASSAGE extraction: maximal runs of consecutive
@@ -804,9 +846,70 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring TRIM — the transform half of Lee et al. 2022:
+    rebuild each affected document with its duplicated spans
+    (q_dup_spans) removed, emitting (doc_id, n_kept, n_removed,
+    trimmed_text). Together with q_dup_spans this is locate→trim:
+    dedup below document granularity, which whole-doc dedup
+    (q_dedup_exact / clusters) cannot express.
+
+    Shape: spans re-derive from the same two-exchange pipeline; words
+    explode once with positions and join spans on doc_id (fan-out =
+    words × spans-per-doc, bounded by the span count per doc — only
+    documents WITH spans join, via the doc-key equi-join); uncovered
+    words reassemble with an order-pinned sort_array(struct(pos,
+    word)) so the string is deterministic. Integer/string ops only →
+    engine-exact."""
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    spans = q_dup_spans(spark, sf_dir)
+    words = doc.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    covered = (
+        words.join(spans, "doc_id")
+        .where(
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end"))
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+    )
+    totals = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    # only docs that actually had spans are interesting output; docs
+    # fully covered by spans (everything removed) emit n_kept = 0
+    affected = spans.select("doc_id").distinct()
+    return (
+        affected.join(totals, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dup_spans": q_dup_spans,
+    "q_trim_spans": q_trim_spans,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_ngram_containment": q_ngram_containment,
@@ -916,13 +1019,15 @@ ORACLES = {
     # min(doc)≠max(doc) over the shingle window; islands by the
     # pos − row_number constant — all integer, engine-exact.
     "q_dup_spans": f"""
-        WITH posed AS (
-            SELECT doc_id, i - 1 AS pos,
-                   w || ' '
-                     || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i)
-                     || ' '
-                     || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i)
-                       AS shingle
+        WITH {_DUP_SPANS_CTES}
+        SELECT doc_id, span_start, span_end, n_grams FROM spans
+    """,
+    # locate→trim: words not covered by any span reassemble with an
+    # ORDER BY pos string_agg (pos is unique per doc → deterministic).
+    "q_trim_spans": f"""
+        WITH {_DUP_SPANS_CTES},
+        wordsx AS (
+            SELECT doc_id, i - 1 AS pos, w
             FROM (
                 SELECT doc_id,
                        unnest(string_split(text, ' ')) AS w,
@@ -930,29 +1035,34 @@ ORACLES = {
                 FROM documents
             )
         ),
-        hits AS (
-            SELECT doc_id, pos FROM (
-                SELECT doc_id, pos,
-                       min(doc_id) OVER ws AS mn,
-                       max(doc_id) OVER ws AS mx,
-                       count(*) OVER ws AS occ
-                FROM posed WHERE shingle IS NOT NULL
-                WINDOW ws AS (PARTITION BY shingle)
-            ) WHERE mn != mx AND occ <= {SPAN_OCC_CAP}
+        covered AS (
+            SELECT DISTINCT wx.doc_id, wx.pos
+            FROM wordsx wx JOIN spans s
+              ON s.doc_id = wx.doc_id
+             AND wx.pos BETWEEN s.span_start AND s.span_end
         ),
-        isl AS (
-            SELECT doc_id, pos,
-                   pos - row_number() OVER (
-                       PARTITION BY doc_id ORDER BY pos) AS grp
-            FROM hits
+        kept AS (
+            SELECT wx.doc_id, wx.pos, wx.w
+            FROM wordsx wx LEFT JOIN covered c
+              ON c.doc_id = wx.doc_id AND c.pos = wx.pos
+            WHERE c.pos IS NULL
+        ),
+        reb AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(w, ' ' ORDER BY pos) AS trimmed_text
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT doc_id, count(*) AS n_words
+            FROM wordsx GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + {SHINGLE_K - 1} AS BIGINT) AS span_end,
-               count(*) AS n_grams
-        FROM isl GROUP BY doc_id, grp
-        HAVING max(pos) + {SHINGLE_K - 1} - min(pos) + 1
-               >= {SPAN_MIN_WORDS}
+        SELECT a.doc_id,
+               coalesce(reb.n_kept, 0) AS n_kept,
+               tot.n_words - coalesce(reb.n_kept, 0) AS n_removed,
+               coalesce(reb.trimmed_text, '') AS trimmed_text
+        FROM (SELECT DISTINCT doc_id FROM spans) a
+        JOIN tot ON tot.doc_id = a.doc_id
+        LEFT JOIN reb ON reb.doc_id = a.doc_id
     """,
     "q_dup_ngram_coverage": f"""
         WITH shd AS (

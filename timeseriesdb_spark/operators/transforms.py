@@ -208,22 +208,27 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             # bound is exactly n-1 (j = d gives 1 + (n-2))
             bounds = 1 + (np.arange(n_out - 1, dtype=np.int64) * (n - 2)) // d
             xs = np.arange(n, dtype=np.int64)
+            # centroid buckets, vectorized: bucket i = [bounds[i+1],
+            # bounds[i+2]) with the last running to n; an empty bucket
+            # degrades to the single point at its start (W=1). Integer
+            # cumsum differences equal per-bucket sums EXACTLY
+            # (integer addition is associative — no FP caveat).
+            cs = bounds[1:]
+            ce = np.append(bounds[2:], n)
+            nonempty = ce > cs
+            ws = np.where(nonempty, ce - cs, 1)
+            sxs = np.where(nonempty, (cs + ce - 1) * (ce - cs) // 2, cs)
+            cum = np.concatenate(([0], np.cumsum(yq)))
+            sys_ = np.where(
+                nonempty,
+                cum[ce] - cum[cs],
+                np.where(cs < n, yq[np.minimum(cs, n - 1)], 0),
+            )
             kept = [0]
             for i in range(n_out - 2):
                 lo = int(bounds[i])
                 hi = int(max(bounds[i + 1], bounds[i] + 1))
-                # centroid bucket: [bounds[i+1], bounds[i+2]) with the
-                # last bucket running to n; empty bucket degrades to
-                # the single point at its start (W=1)
-                cs = int(bounds[i + 1])
-                ce = int(bounds[i + 2]) if i + 2 <= n_out - 2 else n
-                if ce > cs:
-                    w = ce - cs
-                    sx = (cs + ce - 1) * w // 2
-                    sy = int(yq[cs:ce].sum())
-                else:
-                    w, sx = 1, cs
-                    sy = int(yq[cs]) if cs < n else 0
+                w, sx, sy = int(ws[i]), int(sxs[i]), int(sys_[i])
                 ax = kept[-1]
                 ay = int(yq[ax])
                 seg = xs[lo:hi]
