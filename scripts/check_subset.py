@@ -20,7 +20,8 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in [
     "region", "nation", "customer", "supplier", "part", "orders",
