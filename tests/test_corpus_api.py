@@ -95,3 +95,40 @@ def test_ann_index_lifecycle(spark, tmp_path):
         key=lambda r: (r.query_id, r.rank),
     )
     assert [tuple(r) for r in got_s] == [tuple(r) for r in want_s]
+
+
+def test_trim_duplicates_maintenance(spark, tmp_path):
+    """trim_duplicates (r8): trimmed store == per-doc batch trim of
+    the stored corpus; unaffected docs byte-identical; n_tokens
+    recomputed; split assignment preserved."""
+    from timeseriesdb_spark.operators.dedup import trim_spans_frame
+
+    doc = load_table(spark, SF_DIR, "documents")
+    eng = CorpusEngine(spark, str(tmp_path / "corpus"))
+    eng.bootstrap(doc)
+
+    before = {r.doc_id: r for r in eng.docs().collect()}
+    expect = {
+        r.doc_id: r
+        for r in trim_spans_frame(
+            eng.docs().select("doc_id", "text")
+        ).collect()
+    }
+    out_path = str(tmp_path / "trimmed")
+    n = eng.trim_duplicates(out_path)
+    assert n == len(expect)
+
+    after = {r.doc_id: r for r in spark.read.parquet(out_path).collect()}
+    assert set(after) == set(before)  # no docs added or dropped
+    changed = 0
+    for doc_id, row in after.items():
+        b = before[doc_id]
+        assert row.split == b.split  # split preserved
+        if doc_id in expect:
+            assert row.text == expect[doc_id].trimmed_text
+            changed += row.text != b.text
+        else:
+            assert row.text == b.text
+        # n_tokens always consistent with the (possibly new) text
+        assert row.n_tokens == len(row.text.split(" ")) if row.text else 1
+    assert changed > 0, "fixture corpus should contain duplicated spans"

@@ -933,6 +933,45 @@ class CorpusEngine:
 
         return chunk_documents(self.docs())
 
+    def trim_duplicates(self, out_path: str) -> int:
+        """Sub-document dedup maintenance (r8): rewrite the corpus to
+        `out_path` with duplicated passages removed — q_dup_spans
+        locates maximal cross-document shingle runs, q_trim_spans
+        rebuilds affected texts, and unaffected documents pass through
+        untouched. n_tokens is recomputed from the trimmed text (the
+        whitespace count the pipeline's assign_splits uses); the
+        split assignment is PRESERVED (re-hashing trimmed text would
+        silently migrate documents across train/val/test — exactly
+        the leakage a curation run must not introduce). Writes to a
+        NEW path (never in-place over its own input); returns the
+        number of trimmed documents."""
+        from timeseriesdb_spark.operators.dedup import trim_spans_frame
+
+        docs = self.docs()
+        trimmed = trim_spans_frame(docs.select("doc_id", "text"))
+        n_affected = trimmed.count()
+        t = F.col("text")
+        n_tokens = (
+            F.length(t)
+            - F.length(F.replace(t, F.lit(" "), F.lit("")))
+            + F.lit(1)
+        ).cast("bigint")
+        out = (
+            docs.join(
+                trimmed.select("doc_id", "trimmed_text"), "doc_id", "left"
+            )
+            .withColumn("text", F.coalesce("trimmed_text", "text"))
+            .drop("trimmed_text")
+            .withColumn("n_tokens", n_tokens)
+        )
+        (
+            out.write.partitionBy("split")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+        return n_affected
+
     def stats(self) -> DataFrame:
         """The curation funnel dashboard: per (split, source) doc and
         token totals — one pruned grouped scan."""

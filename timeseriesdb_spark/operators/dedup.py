@@ -816,6 +816,12 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = parallelize_small_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
+    return dup_spans_frame(doc)
+
+
+def dup_spans_frame(doc: DataFrame) -> DataFrame:
+    """q_dup_spans over any (doc_id, text) frame — the reusable form
+    the CorpusEngine maintenance path calls on its own store."""
     words = F.split(F.col("text"), " ")
     posed = doc.select(
         "doc_id",
@@ -864,7 +870,13 @@ def q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = parallelize_small_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
-    spans = q_dup_spans(spark, sf_dir)
+    return trim_spans_frame(doc)
+
+
+def trim_spans_frame(doc: DataFrame) -> DataFrame:
+    """q_trim_spans over any (doc_id, text) frame — derives the spans
+    from the same frame so locate and trim share one lineage."""
+    spans = dup_spans_frame(doc)
     words = doc.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
