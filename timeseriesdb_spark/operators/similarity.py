@@ -263,11 +263,20 @@ IVF_ITERS = 15
 IVF_TRAIN_CAP = 4096  # centroid-training sample cap (driver-side rows)
 
 
+_IVF_CACHE: dict[str, "object"] = {}
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
-    """train_ivf_centroids over the sf_dir embeddings table."""
-    return train_ivf_centroids(
-        load_table(spark, sf_dir, "embeddings")
-    )
+    """train_ivf_centroids over the sf_dir embeddings table. Cached
+    per sf_dir like _pq_codebooks (immutable input, same staleness
+    caveat): the coarse quantizer is trained once and reused by every
+    probe — the stored-index lifecycle CorpusEngine.build_ann_index
+    makes durable, here in-process."""
+    if sf_dir not in _IVF_CACHE:
+        _IVF_CACHE[sf_dir] = train_ivf_centroids(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _IVF_CACHE[sf_dir]
 
 
 def train_ivf_centroids(emb: DataFrame) -> "object":
