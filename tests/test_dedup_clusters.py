@@ -61,10 +61,17 @@ def test_clusters_total_and_canonical(spark):
         assert all(m.cluster_size == len(members) for m in members)
 
 
-def test_cluster_pairs_adversarial_topologies(spark):
+import pytest
+
+
+@pytest.mark.parametrize("driver_bound", [None, 0])
+def test_cluster_pairs_adversarial_topologies(spark, driver_bound):
     """CC core on hand-adversarial graphs: a long chain (worst case for
     label propagation depth — pointer jumping must converge within
-    CC_MAX_ITERS), disjoint cliques, a star, and isolated nodes."""
+    CC_MAX_ITERS), disjoint cliques, a star, and isolated nodes.
+    Parametrized over BOTH execution paths (r8 hybrid): driver
+    union-find (default at this size) and, with driver_bound=0, the
+    distributed min-label loop — identical labels required."""
     chain = [(i, i + 1) for i in range(300)]
     clique = [(1000 + a, 1000 + b) for a in range(8) for b in range(a + 1, 8)]
     star = [(2000, 2000 + k) for k in range(1, 20)]
@@ -77,7 +84,7 @@ def test_cluster_pairs_adversarial_topologies(spark):
     pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {
         r.doc_id: r.cluster_id
-        for r in dedup.cluster_pairs(docs, pdf).collect()
+        for r in dedup.cluster_pairs(docs, pdf, driver_bound=driver_bound).collect()
     }
     exp = _union_find(nodes, pairs)
     assert got == exp
@@ -86,8 +93,10 @@ def test_cluster_pairs_adversarial_topologies(spark):
     assert got[9999] == 9999 and got[10000] == 10000
 
 
-def test_cluster_pairs_random_graphs(spark):
-    """Randomized graphs (fixed seeds — deterministic) vs union-find."""
+@pytest.mark.parametrize("driver_bound", [None, 0])
+def test_cluster_pairs_random_graphs(spark, driver_bound):
+    """Randomized graphs (fixed seeds — deterministic) vs union-find,
+    over both CC execution paths."""
     import random
 
     for seed in (7, 21, 99):
@@ -107,6 +116,8 @@ def test_cluster_pairs_random_graphs(spark):
             pdf = pdf.limit(0)
         got = {
             r.doc_id: r.cluster_id
-            for r in dedup.cluster_pairs(docs, pdf).collect()
+            for r in dedup.cluster_pairs(
+                docs, pdf, driver_bound=driver_bound
+            ).collect()
         }
         assert got == _union_find(nodes, pairs), f"seed {seed}"

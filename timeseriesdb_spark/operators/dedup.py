@@ -488,6 +488,9 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_EDGES_PER_PART = 50_000  # target edge rows per task in the CC loop
+CC_DRIVER_BOUND = 1_000_000  # ≤ this many edge rows (~16 MB of long
+                             # pairs) → driver union-find; beyond →
+                             # the distributed loop
 CC_MAX_ITERS = 12   # safety bound; min-label + pointer-jump converges in
                     # O(log(longest chain)) rounds, typically 3-4
 CC_MIN_EST = 0.5    # candidate pairs below this est-Jaccard are not edges
@@ -516,11 +519,26 @@ def dedup_clusters(doc: DataFrame) -> DataFrame:
     return cluster_pairs(docs, pairs)
 
 
-def cluster_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def cluster_pairs(
+    docs: DataFrame, pairs: DataFrame, driver_bound: int = None
+) -> DataFrame:
     """Connected components over an arbitrary undirected pair frame
     (doc_a, doc_b) against a node universe `docs(doc_id)` — the CC
     core of :func:`dedup_clusters`, exposed so any candidate generator
-    (LSH, simhash blocks, semantic cells) feeds the same clustering."""
+    (LSH, simhash blocks, semantic cells) feeds the same clustering.
+
+    Hybrid execution (r8): the dup-pair graph is a DECISION FRAME —
+    orders of magnitude smaller than the corpus (sf0.1: ~500 edges vs
+    5000 docs; at 100 TB: millions vs billions). When the edge count
+    (already measured for partition sizing) is ≤ CC_DRIVER_BOUND
+    (~16 MB of long pairs — the same driver budget as the BPE vocab
+    collect and the IVF training sample), a driver union-find labels
+    components in one pass instead of O(diameter) shuffle rounds;
+    with min-doc_id roots its labels are IDENTICAL to the distributed
+    fixed point (comp = min doc_id in component), pinned by
+    tests/test_dedup_clusters.py. Past the bound, the distributed
+    min-label-propagation loop below runs unchanged — the 100 TB path
+    is not an afterthought, it is the same function."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -535,7 +553,16 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # task. At 100 TB millions of edges keep their parallelism — this
     # only collapses partitions that are nearly empty.
     n_parts = edges.rdd.getNumPartitions()
-    target = max(1, min(n_parts, edges.count() // CC_EDGES_PER_PART + 1))
+    n_edges = edges.count()
+    bound = CC_DRIVER_BOUND if driver_bound is None else driver_bound
+    if n_edges <= bound:
+        # collect from the MATERIALIZED checkpoint (one direction is
+        # enough) — collecting `fwd` would recompute the entire pair
+        # pipeline from scratch
+        return _cluster_pairs_driver(
+            docs, edges.where(F.col("src") < F.col("dst"))
+        )
+    target = max(1, min(n_parts, n_edges // CC_EDGES_PER_PART + 1))
     if target < n_parts:
         edges = edges.coalesce(target)
     # Iterate ONLY over nodes that touch an edge — the dup graph is
@@ -579,6 +606,12 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    return _finish_labels(docs, labels)
+
+
+def _finish_labels(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Union singletons back in and attach cluster sizes — the shared
+    tail of both CC execution paths."""
     singletons = docs.join(
         labels.select(F.col("node").alias("doc_id")), "doc_id", "anti"
     ).select(
@@ -591,6 +624,38 @@ def cluster_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def _cluster_pairs_driver(docs: DataFrame, fwd: DataFrame) -> DataFrame:
+    """Driver union-find over a bounded pair list. Union-by-min keeps
+    the minimum element of every component a root forever (a larger
+    root is always attached under a smaller one), so each node's final
+    root is exactly min(doc_id in component) — the identical fixed
+    point the distributed min-label propagation converges to."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in fwd.collect():
+        a, b = r.src, r.dst
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    spark = docs.sparkSession
+    if parent:
+        labels = spark.createDataFrame(
+            [(int(n), int(find(n))) for n in parent], "node long, comp long"
+        )
+    else:
+        labels = spark.createDataFrame([], "node long, comp long")
+    return _finish_labels(docs, labels)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
