@@ -41,6 +41,8 @@ HEADLINERS = [
     "q_returned_items",  # Q10: pushed returnflag + 3 broadcasts + top-k
     "q_first_touch",     # carry-forward as-of in one signal window
     "q_basket_affinity", # distinct-pair self-join bounded by alphabet
+    "q_rolling_quantile",  # r8: selection quantiles, one exchange, JVM
+    "q_dup_spans",       # r8: shingle window + gaps-and-islands
 ]
 
 SF = "/root/testdata/sf0.01"
