@@ -101,7 +101,11 @@ def test_bpe_encode_query_accounting(spark):
         # one token per word bounds below
         assert r.n_words <= r.n_tokens <= r.n_chars + r.n_words, r
         if r.n_tokens:
-            assert r.chars_per_token == round(r.n_chars / r.n_tokens, 6)
+            # half-up integer millionths, pure bigint arithmetic
+            want = (2 * r.n_chars * 1000000 + r.n_tokens) // (2 * r.n_tokens)
+            assert r.cpt_micros == want
+        else:
+            assert r.cpt_micros is None
 
 
 def test_bpe_encode_matches_apply_kernel(spark):

@@ -14,9 +14,14 @@ anti-pattern the 100 TB rule forbids is collecting corpus-sized data.
 
 Determinism: ties in pair frequency break lexicographically, the
 vocab cap breaks ties by (freq DESC, word ASC), so the merge table is
-identical on any cluster at any parallelism. Not SQL-expressible (an
-argmax-per-level recursion) → rows-only driver check; pytest pins the
-kernel on the classic low/lower/newest/widest corpus.
+identical on any cluster at any parallelism. Because every step is
+pure integer/string arithmetic, BOTH queries are oracle-checked: the
+argmax-per-level recursion unrolls into BPE_MERGES generated SQL
+stages (each merge round = one gaps-and-islands pass selecting
+even-offset matches within runs — DuckDB replays the kernel exactly;
+MATERIALIZED CTEs, else the 20-deep multi-reference chain explodes
+under CTE inlining). pytest additionally pins the kernel on the
+classic low/lower/newest/widest corpus.
 """
 
 from __future__ import annotations
@@ -152,19 +157,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed tokenizer APPLY — the other half of the BPE story:
     encode every document with the corpus-learned merge table and emit
     per-doc token accounting (word count, BPE token count, char count,
-    and the rounded chars-per-token ratio a data pipeline budgets
-    with).
+    and the chars-per-token ratio a data pipeline budgets with — in
+    half-up-rounded integer millionths, so the column is engine-exact
+    and the whole query hash-checks against the DuckDB replay).
 
     Scale: the merge table is the bounded object (a few KB–MB even at
     a production vocab) and ships inside the closure; documents stream
     through mapInPandas in Arrow batches — one corpus pass, zero
     shuffles. Per-batch encoding memoizes distinct words (Zipf makes
     the cache hit rate high), so cost is ~O(distinct words per batch ×
-    merge ranks). Rows-only driver check; pytest pins the apply kernel
-    against the training kernel (encoding the training corpus with the
-    learned table reproduces the trainer's final symbol sequences) and
-    the round-trip property (concat of a word's tokens == word +
-    marker)."""
+    merge ranks). Oracle-checked (see module docstring); pytest pins
+    the apply kernel against the training kernel (encoding the
+    training corpus with the learned table reproduces the trainer's
+    final symbol sequences) and the round-trip property (concat of a
+    word's tokens == word + marker)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -203,10 +209,173 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_tokens",
         "n_chars",
-        F.round(
-            F.col("n_chars") / F.nullif(F.col("n_tokens"), F.lit(0)), 6
-        ).alias("chars_per_token"),
+        # half-up chars/token in integer millionths: pure bigint
+        # arithmetic, bit-identical in any engine (no float rounding)
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                "(2 * n_chars * 1000000 + n_tokens) div (2 * n_tokens)"
+            ),
+        ).alias("cpt_micros"),
     )
+
+
+def _sym_init_sql(src_expr: str, out: str, freq_expr: str) -> str:
+    """CTE turning a word column into (w, syms, freq): chars + the
+    end-of-word marker as a list — the kernel's initial state."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT w,
+               list_append(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> substr(w, i, 1)),
+                   '{END_OF_WORD}') AS syms,
+               {freq_expr} AS freq
+        FROM {src_expr}
+    )"""
+
+
+def _merge_stage_sql(src: str, best: str, out: str) -> str:
+    """One left-to-right non-overlapping merge of pair `best` applied
+    to every (w, syms, freq) row of `src` → `out`. Greedy LTR == keep
+    match positions at even offsets within each island of consecutive
+    match positions (gaps-and-islands over the match-position list) —
+    exactly the while-loop in learn_bpe_merges / make_word_encoder."""
+    return f"""
+    m_{out} AS MATERIALIZED (
+        SELECT w, unnest(mpos) AS i,
+               unnest(generate_series(1, len(mpos))) AS k
+        FROM (
+            SELECT s.w,
+                   list_filter(generate_series(1, len(s.syms) - 1),
+                               j -> s.syms[j] = b.l AND s.syms[j+1] = b.r2)
+                       AS mpos
+            FROM {src} s, {best} b
+        )
+    ),
+    k_{out} AS MATERIALIZED (
+        SELECT w, list(i ORDER BY i) AS kept
+        FROM (
+            SELECT w, i,
+                   min(i) OVER (PARTITION BY w, i - k) AS run_start
+            FROM m_{out}
+        )
+        WHERE (i - run_start) % 2 = 0
+        GROUP BY w
+    ),
+    {out} AS MATERIALIZED (
+        SELECT s.w,
+               CASE WHEN k.kept IS NULL THEN s.syms ELSE
+                   flatten(list_transform(
+                       generate_series(1, len(s.syms)),
+                       i -> CASE
+                           WHEN list_contains(k.kept, i)
+                               THEN [b.l || b.r2]
+                           WHEN list_contains(k.kept, i - 1) THEN []
+                           ELSE [s.syms[i]]
+                       END))
+               END AS syms,
+               s.freq
+        FROM {src} s
+        CROSS JOIN {best} b
+        LEFT JOIN k_{out} k USING (w)
+    )"""
+
+
+def _pair_stage_sql(src: str, r: int) -> str:
+    """Count adjacent symbol pairs weighted by freq; b{r} = the argmax
+    with the kernel's tie-break (count DESC, then lexicographically
+    smallest pair)."""
+    return f"""
+    p{r} AS MATERIALIZED (
+        SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT syms[i] AS l, syms[i+1] AS r2, freq
+            FROM (
+                SELECT syms, freq,
+                       unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM {src}
+            )
+        )
+        GROUP BY l, r2
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l, r2 LIMIT 1)"""
+
+
+def _train_ctes() -> list[str]:
+    """The unrolled trainer: bounded vocab → s0 → (pair count, argmax,
+    merge) × BPE_MERGES, yielding merge tables b0..b{n-1}."""
+    parts = [
+        f"""
+    v AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0
+        GROUP BY w
+        ORDER BY freq DESC, w
+        LIMIT {BPE_MAX_VOCAB}
+    )""",
+        _sym_init_sql("v", "s0", "freq"),
+    ]
+    for r in range(BPE_MERGES):
+        parts.append(_pair_stage_sql(f"s{r}", r))
+        if r + 1 < BPE_MERGES:
+            parts.append(_merge_stage_sql(f"s{r}", f"b{r}", f"s{r+1}"))
+    return parts
+
+
+def _bpe_merges_oracle() -> str:
+    finals = "\n        UNION ALL\n".join(
+        f'SELECT {r} AS rank, l AS "left", r2 AS "right",'
+        f" cnt AS pair_count FROM b{r}"
+        for r in range(BPE_MERGES)
+    )
+    return "WITH " + ",".join(_train_ctes()) + "\n" + finals
+
+
+def _bpe_encode_oracle() -> str:
+    parts = _train_ctes()
+    # apply table: EVERY distinct corpus word, merges applied in rank
+    # order (the make_word_encoder contract)
+    parts.append(_sym_init_sql(
+        """(
+            SELECT DISTINCT w
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) > 0
+        )""",
+        "d0",
+        "CAST(1 AS BIGINT)",
+    ))
+    for r in range(BPE_MERGES):
+        parts.append(_merge_stage_sql(f"d{r}", f"b{r}", f"d{r+1}"))
+    parts.append(f"""
+    tok AS MATERIALIZED (
+        SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM d{BPE_MERGES}
+    ),
+    acct AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(length(dw.w)) AS BIGINT) AS n_chars
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) dw
+        JOIN tok t USING (w)
+        WHERE len(dw.w) > 0
+        GROUP BY doc_id
+    )""")
+    final = """
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_chars, 0) AS n_chars,
+           CASE WHEN a.n_tokens IS NULL THEN NULL
+                ELSE (2 * a.n_chars * 1000000 + a.n_tokens)
+                     // (2 * a.n_tokens)
+           END AS cpt_micros
+    FROM documents d LEFT JOIN acct a USING (doc_id)"""
+    return "WITH " + ",".join(parts) + "\n" + final
 
 
 QUERIES = {
@@ -214,4 +383,7 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
 }
 
-ORACLES: dict[str, str] = {}  # argmax-per-level recursion → rows-only
+ORACLES: dict[str, str] = {
+    "q_bpe_merges": _bpe_merges_oracle(),
+    "q_bpe_encode": _bpe_encode_oracle(),
+}
