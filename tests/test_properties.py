@@ -412,3 +412,58 @@ def test_stateful_scan_chunking_invariant(vals, chunk):
     ]
     chunked = _run_scan_locally(chunks, kernel, "user_id", fin)
     pd.testing.assert_frame_equal(whole, chunked)
+
+
+def test_heavy_hitters_bounds_and_completeness(spark, duck):
+    """The daily top-K tier's interval guarantee: every reported
+    candidate's exact count lies in [lb, ub], ranks follow (lb DESC,
+    key), and any key whose exact count exceeds the summed residuals
+    must have surfaced in some day's top-K (completeness)."""
+    from tests.conftest import SF_DIR
+    from timeseriesdb_spark.operators.aggregates import (
+        HH_K,
+        HH_M,
+        q_heavy_hitters,
+    )
+
+    rows = q_heavy_hitters(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= HH_M
+    assert [r.hh_rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        assert r.lb <= r.exact_n <= r.ub, r
+        if prev is not None:
+            # lb DESC, then key ASC
+            assert prev.lb > r.lb or (
+                prev.lb == r.lb and prev.key < r.key
+            ), (prev, r)
+        prev = r
+
+    # completeness: any key whose exact count exceeds the summed
+    # residuals must surface in >= one day's top-K (be a candidate)
+    tier = duck.execute(f"""
+        WITH day_counts AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(floor(value * 10) AS BIGINT) AS key,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT day, key, cnt, row_number() OVER (
+                PARTITION BY day ORDER BY cnt DESC, key) AS rk
+            FROM day_counts
+        )
+        SELECT CAST((SELECT coalesce(sum(resid), 0) FROM (
+                   SELECT day, coalesce(
+                       max(CASE WHEN rk > {HH_K} THEN cnt END), 0)
+                       AS resid
+                   FROM ranked GROUP BY day)) AS BIGINT) AS total_resid,
+               list(DISTINCT key) FILTER (rk <= {HH_K}) AS cand_keys
+        FROM ranked
+    """).fetchone()
+    total_resid, cand_keys = tier[0], set(tier[1])
+    heavy = duck.execute(f"""
+        SELECT CAST(floor(value * 10) AS BIGINT) AS key, count(*) AS n
+        FROM events GROUP BY 1 HAVING count(*) > {total_resid}
+    """).fetchall()
+    for key, n in heavy:
+        assert key in cand_keys, (key, n, total_resid)

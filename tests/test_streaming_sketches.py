@@ -79,3 +79,55 @@ def test_streamed_cm_equals_batch_sketch(spark, tmp_path):
         got[["user_id", "key", "est_n"]],
         check_dtype=False,
     )
+
+
+def test_streamed_heavy_hitters_equals_batch(spark, tmp_path):
+    """The (day, key) partial is linear, and the top-K + residual
+    summarization runs downstream of the merged exact counts — so the
+    streamed tier must reproduce q_heavy_hitters EXACTLY, and stay
+    identical through compaction."""
+    from timeseriesdb_spark.operators.aggregates import q_heavy_hitters
+
+    src = str(tmp_path / "src")
+    tier = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    edges = pd.date_range(lo, hi, periods=5)
+    for i in range(4):
+        chunk = ev.filter(
+            (F.col("ts") >= str(edges[i]))
+            & (F.col("ts") < str(edges[i + 1]) if i < 3 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    eng = SignalEngine(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = eng.maintain_heavyhitters_stream(stream, tier, ckpt)
+    q.awaitTermination(180)
+
+    cols = ["hh_rank", "key", "lb", "ub", "exact_n"]
+    got = eng.heavy_hitters(tier).toPandas()[cols]
+    exp = q_heavy_hitters(spark, SF_DIR).toPandas()[cols]
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.sort_values("hh_rank").reset_index(drop=True),
+        exp.sort_values("hh_rank").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    n = eng.compact_partials(tier, "hh")
+    assert n >= 4
+    got2 = eng.heavy_hitters(tier).toPandas()[cols]
+    pd.testing.assert_frame_equal(
+        got2.sort_values("hh_rank").reset_index(drop=True),
+        got.sort_values("hh_rank").reset_index(drop=True),
+        check_dtype=False,
+    )

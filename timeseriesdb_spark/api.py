@@ -445,6 +445,9 @@ class SignalEngine:
         "hist": lambda df: df.groupBy("user_id", "day", "bin").agg(
             F.sum("partial_n").alias("partial_n")
         ),
+        "hh": lambda df: df.groupBy("day", "key").agg(
+            F.sum("cnt").alias("cnt")
+        ),
     }
 
     def maintain_histogram_stream(
@@ -478,6 +481,47 @@ class SignalEngine:
             .groupBy("user_id", "bin")
             .agg(F.sum("partial_n").alias("n"))
         )
+
+    def maintain_heavyhitters_stream(
+        self, stream: DataFrame, hh_path: str, checkpoint: str
+    ):
+        """Incremental heavy-hitter tier maintenance — the candidate-
+        enumeration twin of maintain_frequency_stream (Count-Min can
+        only answer point queries; this tier can LIST the heavy keys
+        with deterministic [lb, ub] bounds). Each micro-batch writes
+        its exact per-(day, key) count partials into its own batch_id
+        partition (idempotent under replay). The partial is linear, so
+        merge-at-read reproduces the one-pass day counts exactly, and
+        the top-K + residual summarization happens downstream of the
+        merged exact counts — streamed == batch EXACTLY
+        (tests/test_streaming_sketches.py)."""
+        from timeseriesdb_spark.operators.aggregates import hh_day_counts
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            hh_day_counts(batch_df).write.mode("overwrite").parquet(
+                f"{hh_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def heavy_hitters(self, hh_path: str) -> DataFrame:
+        """Ranked heavy-hitter candidates with [lb, ub] bounds from the
+        maintained tier (merge partials, then summarize)."""
+        from timeseriesdb_spark.operators.aggregates import (
+            hh_from_day_counts,
+        )
+
+        merged = (
+            self.spark.read.parquet(hh_path)
+            .groupBy("day", "key")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return hh_from_day_counts(merged)
 
     def compact_partials(self, path: str, kind: str) -> int:
         """Collapse a streamed partial store's per-batch partitions

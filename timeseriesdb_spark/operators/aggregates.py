@@ -472,7 +472,124 @@ def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_K = 16  # per-day counters kept in the heavy-hitter tier
+HH_M = 20  # final heavy hitters reported
+
+
+def _hh_key() -> F.Column:
+    """Sketched item: floor(value*10) — one decimal digit of the
+    signal value. Multiply-then-floor, never a rounding cast, so both
+    engines derive the identical bigint key."""
+    return F.floor(F.col("value") * 10).cast("bigint")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters from a bounded daily top-K tier —
+    the third mergeable-sketch family next to Count-Min (point
+    frequencies) and HLL (cardinality): the tier ENUMERATES candidate
+    keys, which neither of those can.
+
+    Tier: per day, the exact per-key counts collapse to the top HH_K
+    keys (count DESC, key ASC — total order) plus one residual = the
+    largest dropped count. That is the SpaceSaving/Misra-Gries
+    guarantee made associative: a key absent from a day's tier
+    contributed at most that day's residual, so for any candidate
+    key the true range count lies in [lb, ub] where lb = sum of
+    counts over days where kept and ub = lb + sum of residuals over
+    days where dropped. Completeness: any key with true count >
+    sum(residuals) MUST surface in some day's top-K. Every step is
+    integer arithmetic with total-order tie-breaks → the whole sketch
+    is oracle hash-checked (unlike CM/HLL whose hash mixing is
+    engine-specific); exact_n rides along as the in-row witness
+    (lb <= exact_n <= ub), which in production you would drop.
+
+    At 100 TB: ONE fact-sized exchange (the (day, key) partial count,
+    map-side combinable); the persisted tier is days x (HH_K + 1)
+    rows regardless of key cardinality, and any day-range top-k
+    question answers from the tier alone — this query IS that read
+    path, expressed over the tier it just built. The final ranking
+    window is a single-partition sort over candidate keys (bounded by
+    days x HH_K), never over fact rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return hh_from_day_counts(hh_day_counts(ev))
+
+
+def hh_day_counts(ev: DataFrame) -> DataFrame:
+    """The linear partial of the heavy-hitter tier: exact per
+    (day, key) counts — the one fact-sized, map-side-combinable
+    exchange. Associative under sum-merge, so per-micro-batch partials
+    (api.maintain_heavyhitters_stream) merge to exactly the one-pass
+    frame."""
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            _hh_key().alias("key"),
+        )
+        .groupBy("day", "key")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hh_from_day_counts(day_counts: DataFrame) -> DataFrame:
+    """Summarize merged (day, key) counts into ranked heavy-hitter
+    candidates with [lb, ub] bounds (see q_heavy_hitters).
+
+    SINGLE lineage on purpose: a join-based formulation re-derives
+    day_counts in four plan subtrees (four fact scans unless runtime
+    exchange reuse happens to fire), so everything here is windows
+    over the one frame instead. Because ranking is (cnt DESC, key),
+    the largest dropped count per day IS the rank-(K+1) row — the
+    per-day residual and the global residual total both read off that
+    one row. exact_n attaches as a key-partitioned window on the full
+    frame (it must see dropped days too); the per-day and whole-frame
+    residual windows run AFTER the rk <= K+1 filter, i.e. over the
+    bounded tier (days x (K+1) rows), so the single-partition total
+    window is never a scale hazard. The rk filter sits directly above
+    the rank window, keeping Spark's WindowGroupLimit pushdown (per-
+    partition top-(K+1) before the day shuffle) in play."""
+    wk = Window.partitionBy("key")
+    wd = Window.partitionBy("day").orderBy(F.col("cnt").desc(), "key")
+    ranked = (
+        day_counts.withColumn("exact_n", F.sum("cnt").over(wk))
+        .withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= HH_K + 1)
+    )
+    at_k1 = F.when(F.col("rk") == HH_K + 1, F.col("cnt"))
+    tier = ranked.withColumn(
+        "resid",
+        F.coalesce(F.max(at_k1).over(Window.partitionBy("day")), F.lit(0)),
+    ).withColumn(
+        "total_resid",
+        F.coalesce(F.sum(at_k1).over(Window.partitionBy()), F.lit(0)),
+    )
+    cand = (
+        tier.where(F.col("rk") <= HH_K)
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("lb"),
+            F.sum("resid").alias("present_resid"),
+            F.max("exact_n").alias("exact_n"),
+            F.max("total_resid").alias("total_resid"),
+        )
+    )
+    wr = Window.orderBy(F.col("lb").desc(), "key")
+    return (
+        cand.select(
+            "key",
+            "lb",
+            (
+                F.col("lb") + F.col("total_resid") - F.col("present_resid")
+            ).alias("ub"),
+            "exact_n",
+        )
+        .withColumn("hh_rank", F.row_number().over(wr))
+        .where(F.col("hh_rank") <= HH_M)
+        .select("hh_rank", "key", "lb", "ub", "exact_n")
+    )
+
+
 QUERIES = {
+    "q_heavy_hitters": q_heavy_hitters,
     "q_signal_corr": q_signal_corr,
     "q_autocorr": q_autocorr,
     "q_equidepth_bins": q_equidepth_bins,
@@ -525,6 +642,51 @@ _AC_LAGS = ", ".join(
 )
 
 ORACLES = {
+    "q_heavy_hitters": f"""
+        WITH day_counts AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(floor(value * 10) AS BIGINT) AS key,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT day, key, cnt,
+                   row_number() OVER (
+                       PARTITION BY day ORDER BY cnt DESC, key) AS rk
+            FROM day_counts
+        ),
+        resid AS (
+            SELECT day,
+                   coalesce(max(CASE WHEN rk > {HH_K} THEN cnt END), 0)
+                       AS resid
+            FROM ranked GROUP BY day
+        ),
+        total AS (
+            SELECT CAST(sum(resid) AS BIGINT) AS total_resid FROM resid
+        ),
+        cand AS (
+            SELECT r.key,
+                   CAST(sum(r.cnt) AS BIGINT) AS lb,
+                   CAST(sum(d.resid) AS BIGINT) AS present_resid
+            FROM ranked r JOIN resid d USING (day)
+            WHERE r.rk <= {HH_K}
+            GROUP BY r.key
+        ),
+        exact AS (
+            SELECT key, CAST(sum(cnt) AS BIGINT) AS exact_n
+            FROM day_counts GROUP BY key
+        ),
+        scored AS (
+            SELECT c.key, c.lb,
+                   c.lb + t.total_resid - c.present_resid AS ub,
+                   x.exact_n,
+                   row_number() OVER (ORDER BY c.lb DESC, c.key)
+                       AS hh_rank
+            FROM cand c CROSS JOIN total t JOIN exact x USING (key)
+        )
+        SELECT hh_rank, key, lb, ub, exact_n
+        FROM scored WHERE hh_rank <= {HH_M}
+    """,
     "q_countmin_rollup": f"""
         WITH {_CM_MERGED_SQL}
         SELECT user_id, depth, bucket, n FROM merged
