@@ -43,6 +43,10 @@ PROBES = {
     "q_ohlc": "single (signal, day) exchange, endpoint structs",
     "q_sessionize": "gaps-and-islands sessionization",
     "q_countmin_rollup": "mergeable sketch partials per signal-day",
+    # r8: one fact exchange into the (day, key) tier; the candidate /
+    # residual windows run on the bounded rk<=K+1 tier, so growth must
+    # track the fact scan, never the (single-partition) total window
+    "q_heavy_hitters": "daily top-K + residual heavy-hitter tier",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,
