@@ -43,6 +43,7 @@ HEADLINERS = [
     "q_basket_affinity", # distinct-pair self-join bounded by alphabet
     "q_rolling_quantile",  # r8: selection quantiles, one exchange, JVM
     "q_dup_spans",       # r8: shingle window + gaps-and-islands
+    "q_heavy_hitters",   # r8: one fact exchange into bounded tier
 ]
 
 SF = "/root/testdata/sf0.01"
