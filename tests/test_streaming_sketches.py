@@ -131,3 +131,26 @@ def test_streamed_heavy_hitters_equals_batch(spark, tmp_path):
         got.sort_values("hh_rank").reset_index(drop=True),
         check_dtype=False,
     )
+
+    # day-range read path: pruning tier partials to [lo2, hi2] must
+    # equal the batch sketch over the same event slice (residual
+    # accounting re-derives for exactly the days in range)
+    from timeseriesdb_spark.operators.aggregates import (
+        hh_day_counts,
+        hh_from_day_counts,
+    )
+
+    lo2, hi2 = str(edges[1]), str(edges[3])
+    ranged = eng.heavy_hitters(tier, start_day=lo2, end_day=hi2)
+    sliced = ev.filter(
+        (F.date_trunc("day", F.col("ts")) >= lo2)
+        & (F.date_trunc("day", F.col("ts")) <= hi2)
+    )
+    exp_ranged = hh_from_day_counts(hh_day_counts(sliced))
+    pd.testing.assert_frame_equal(
+        ranged.toPandas()[cols].sort_values("hh_rank").reset_index(drop=True),
+        exp_ranged.toPandas()[cols]
+        .sort_values("hh_rank")
+        .reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -509,18 +509,26 @@ class SignalEngine:
             .start()
         )
 
-    def heavy_hitters(self, hh_path: str) -> DataFrame:
+    def heavy_hitters(
+        self, hh_path: str, start_day=None, end_day=None
+    ) -> DataFrame:
         """Ranked heavy-hitter candidates with [lb, ub] bounds from the
-        maintained tier (merge partials, then summarize)."""
+        maintained tier (merge partials, then summarize). Optional
+        [start_day, end_day] bounds (inclusive) restrict the question
+        to a day range BEFORE summarization — the range filter prunes
+        tier partials (never raw facts), and the residual accounting
+        automatically re-derives for exactly the days in range, so the
+        interval guarantee holds for the range query too."""
         from timeseriesdb_spark.operators.aggregates import (
             hh_from_day_counts,
         )
 
-        merged = (
-            self.spark.read.parquet(hh_path)
-            .groupBy("day", "key")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        tier = self.spark.read.parquet(hh_path)
+        if start_day is not None:
+            tier = tier.where(F.col("day") >= F.lit(start_day))
+        if end_day is not None:
+            tier = tier.where(F.col("day") <= F.lit(end_day))
+        merged = tier.groupBy("day", "key").agg(F.sum("cnt").alias("cnt"))
         return hh_from_day_counts(merged)
 
     def compact_partials(self, path: str, kind: str) -> int:
