@@ -718,3 +718,23 @@ def test_dup_spans_two_exchanges_jvm(spark):
     plan = checks.formatted_plan(df)
     assert "Python" not in plan, plan
     assert checks.exchange_count(df) <= 3, plan
+
+
+def test_heavy_hitters_single_lineage_jvm(spark):
+    # r8: single plan lineage (no join-based re-derivation of the day
+    # counts — a four-subtree formulation scans the fact four times),
+    # all JVM, with the WindowGroupLimit pushdown on the rank filter.
+    # Exchanges: (day,key) partial agg, key window, day rank window,
+    # tier-sized day/global windows + candidate groupBy + final sort.
+    df = QUERIES["q_heavy_hitters"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    # formatted plans list each node twice (tree + detail section):
+    # one fact scan == 2 occurrences; a join-based re-derivation
+    # would show 4+ scans == 8+
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert checks.exchange_count(df) <= 7, plan
+    assert checks.read_schema(df) == ["ts", "value"] or set(
+        checks.read_schema(df)
+    ) == {"ts", "value"}

@@ -467,3 +467,106 @@ def test_heavy_hitters_bounds_and_completeness(spark, duck):
     """).fetchall()
     for key, n in heavy:
         assert key in cand_keys, (key, n, total_resid)
+
+
+def _hh_mirror(rows, K, M):
+    """Pure-Python mirror of hh_from_day_counts over (day, key, cnt)
+    rows: per-day sort (cnt DESC, key ASC), residual = the (K+1)-th
+    count, [lb, ub] accounting, final (lb DESC, key ASC) top-M."""
+    from collections import defaultdict
+
+    by_day = defaultdict(list)
+    exact = defaultdict(int)
+    for d, k, c in rows:
+        by_day[d].append((k, c))
+        exact[k] += c
+    resid = {}
+    for d, lst in by_day.items():
+        lst.sort(key=lambda kc: (-kc[1], kc[0]))
+        resid[d] = lst[K][1] if len(lst) > K else 0
+    total = sum(resid.values())
+    kept = defaultdict(lambda: [0, 0])  # key -> [lb, present_resid]
+    for d, lst in by_day.items():
+        for k, c in lst[:K]:
+            kept[k][0] += c
+            kept[k][1] += resid[d]
+    cand = sorted(
+        ((k, lb, lb + total - pr, exact[k]) for k, (lb, pr) in kept.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return [
+        (i + 1, k, lb, ub, ex)
+        for i, (k, lb, ub, ex) in enumerate(cand[:M])
+    ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),    # day
+            st.integers(0, 8),    # key
+            st.integers(1, 20),   # cnt
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 4),  # K
+)
+def test_hh_mirror_interval_and_completeness(raw, K):
+    # collapse duplicates like the (day, key) groupBy would
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for d, k, c in raw:
+        agg[(d, k)] += c
+    rows = [(d, k, c) for (d, k), c in agg.items()]
+    out = _hh_mirror(rows, K, M=10**9)  # all candidates
+    exact = defaultdict(int)
+    for d, k, c in rows:
+        exact[k] += c
+    # interval guarantee on every candidate
+    for _, k, lb, ub, ex in out:
+        assert lb <= exact[k] <= ub
+        assert ex == exact[k]
+    # completeness: count above the summed residuals => candidate
+    by_day = defaultdict(list)
+    for d, k, c in rows:
+        by_day[d].append((k, c))
+    total_resid = 0
+    for d, lst in by_day.items():
+        lst.sort(key=lambda kc: (-kc[1], kc[0]))
+        if len(lst) > K:
+            total_resid += lst[K][1]
+    cand_keys = {k for _, k, *_ in out}
+    for k, n in exact.items():
+        if n > total_resid:
+            assert k in cand_keys, (k, n, total_resid)
+
+
+def test_heavy_hitters_spark_matches_mirror(spark):
+    """hh_from_day_counts == the mirror on a handcrafted frame that
+    exercises the edges: a day with exactly K keys (zero residual), a
+    day with ties straddling the K/K+1 boundary, keys kept in one day
+    and dropped in another."""
+    from timeseriesdb_spark.operators.aggregates import (
+        HH_K,
+        HH_M,
+        hh_from_day_counts,
+    )
+
+    rows = []
+    # day 0: exactly K keys -> no residual
+    rows += [(0, k, 10 + (k % 3)) for k in range(HH_K)]
+    # day 1: K+6 keys, counts engineered so the K/K+1 boundary is a tie
+    rows += [(1, k, 5) for k in range(HH_K + 6)]
+    # day 2: overlapping keys with day 0, steep counts
+    rows += [(2, k, 50 - k) for k in range(HH_K + 3)]
+    df = spark.createDataFrame(
+        [(d, k, c) for d, k, c in rows], "day int, key bigint, cnt bigint"
+    )
+    got = [
+        (r.hh_rank, r.key, r.lb, r.ub, r.exact_n)
+        for r in hh_from_day_counts(df).collect()
+    ]
+    exp = _hh_mirror(rows, HH_K, HH_M)
+    assert sorted(got) == sorted(exp)
