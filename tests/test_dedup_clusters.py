@@ -121,3 +121,75 @@ def test_cluster_pairs_random_graphs(spark, driver_bound):
             ).collect()
         }
         assert got == _union_find(nodes, pairs), f"seed {seed}"
+
+
+def test_lsh_recall_invariants(spark):
+    """q_lsh_recall's accounting invariants on a crafted corpus with a
+    full similarity spectrum (identical, high-, mid-, low-overlap and
+    disjoint docs): truth counts non-increasing in the threshold,
+    caught <= min(truth, candidates), candidate count constant across
+    thresholds, and both ratios equal to their half-up integer-
+    millionths definition recomputed from the counts."""
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.operators.dedup import (
+        LSH_EVAL_T_MICROS,
+        lsh_pairs,
+        q_lsh_recall,
+    )
+    import timeseriesdb_spark.tables as tables
+
+    texts = []
+    words = [f"w{i}" for i in range(200)]
+    # pairs of docs sharing a prefix of varying length -> a spread of
+    # exact Jaccard values across the eval thresholds
+    for share in (40, 30, 20, 10, 4, 0):
+        a = " ".join(words[:40])
+        b = " ".join(words[:share] + words[100 : 140 - share])
+        texts += [a, b]
+    rows = [
+        (i, t, "en", "crafted", len(t)) for i, t in enumerate(texts)
+    ]
+    doc = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    # run the query body against the crafted frame via monkeypatched
+    # load_table (q_lsh_recall only reads `documents`)
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda sp, sf, t: doc
+        import timeseriesdb_spark.operators.dedup as dd
+
+        dd_orig = dd.load_table
+        dd.load_table = lambda sp, sf, t: doc
+        try:
+            out = {
+                r.t_micros: r for r in q_lsh_recall(spark, "ignored").collect()
+            }
+        finally:
+            dd.load_table = dd_orig
+    finally:
+        tables.load_table = orig
+
+    assert sorted(out) == sorted(LSH_EVAL_T_MICROS)
+    n_cands = {r.n_cand for r in out.values()}
+    assert len(n_cands) == 1  # candidate set independent of threshold
+    prev_truth = None
+    for t in sorted(out):
+        r = out[t]
+        assert 0 <= r.n_caught <= min(r.n_truth, r.n_cand), r
+        if prev_truth is not None:
+            assert r.n_truth <= prev_truth  # truth shrinks as t grows
+        prev_truth = r.n_truth
+        if r.n_truth:
+            want = (2 * r.n_caught * 1_000_000 + r.n_truth) // (2 * r.n_truth)
+            assert r.recall_micros == want
+        else:
+            assert r.recall_micros is None
+        if r.n_cand:
+            want = (2 * r.n_caught * 1_000_000 + r.n_cand) // (2 * r.n_cand)
+            assert r.precision_micros == want
+    # the spectrum actually spans the thresholds: strictly more truth
+    # at the lowest threshold than the highest
+    assert out[min(out)].n_truth > out[max(out)].n_truth

@@ -396,6 +396,111 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jaccard thresholds (in millionths) the LSH candidate set is graded
+# against — brackets the CC_MIN_EST=0.5 operating point.
+LSH_EVAL_T_MICROS = [200_000, 350_000, 500_000, 650_000, 800_000]
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade the LSH candidate generator against exact truth — the
+    dedup twin of q_ann_recall: at each Jaccard threshold t, truth =
+    pairs whose EXACT capped-universe Jaccard is >= t (the same
+    universe q_ngram_jaccard scores, so the metric grades the sketch
+    against the business definition of near-dup, not against itself),
+    recall = caught/truth and precision = caught/candidates, where
+    caught = truth pairs sharing >= 1 LSH band key.
+
+    Engine-exact throughout: the threshold test is the integer
+    comparison n_inter * 1e6 >= t_micros * n_union (never a float
+    Jaccard), and recall/precision are half-up integer millionths —
+    so the whole evaluation hash-checks against DuckDB.
+
+    Scale: both pair generators are the already-measured linear paths
+    (SCALING.md — shared-shingle join and band join; pairs only ever
+    form on shared non-boilerplate shingles / shared buckets); the
+    evaluation overlay is a full-outer join of two decision-frame-
+    sized pair sets fanned out by |thresholds|, then one tiny
+    aggregate. Nothing here re-touches corpus-sized rows."""
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents"), spark
+    )
+    sh = capped_shingles(doc)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    cand = lsh_pairs(doc).select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+    merged = truth.join(cand, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        # cand-only pairs share no capped shingle: exact Jaccard 0
+        F.coalesce("n_union", F.lit(1)).alias("n_union"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    scored = merged.select(
+        "is_cand",
+        "n_inter",
+        "n_union",
+        F.explode(
+            F.array(*[F.lit(t) for t in LSH_EVAL_T_MICROS])
+        ).alias("t_micros"),
+    ).select(
+        "t_micros",
+        "is_cand",
+        (
+            F.col("n_inter") * F.lit(1_000_000)
+            >= F.col("t_micros") * F.col("n_union")
+        )
+        .cast("int")
+        .alias("is_truth"),
+    )
+    agg = scored.groupBy("t_micros").agg(
+        F.sum("is_truth").alias("n_truth"),
+        F.sum("is_cand").alias("n_cand"),
+        F.sum(F.col("is_truth") * F.col("is_cand")).alias("n_caught"),
+    )
+    return agg.select(
+        "t_micros",
+        "n_truth",
+        "n_cand",
+        "n_caught",
+        F.when(
+            F.col("n_truth") > 0,
+            F.expr("(2 * n_caught * 1000000 + n_truth) div (2 * n_truth)"),
+        ).alias("recall_micros"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.expr("(2 * n_caught * 1000000 + n_cand) div (2 * n_cand)"),
+        ).alias("precision_micros"),
+    )
+
+
 SIMHASH_BITS = 32  # one bit per md5 hex nibble (high bit of the nibble)
 
 
@@ -992,6 +1097,7 @@ QUERIES = {
     "q_ngram_containment": q_ngram_containment,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_lsh_recall": q_lsh_recall,
     "q_simhash": q_simhash,
     "q_simhash_clusters": q_simhash_clusters,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1194,6 +1300,62 @@ ORACLES = {
     "q_minhash_lsh_pairs": f"""
         WITH {_LSH_PAIRS_CTES}
         SELECT doc_a, doc_b, est_jaccard FROM pairs
+    """,
+    # exact capped-universe Jaccard truth vs LSH band candidates:
+    # threshold test and both ratios in pure integer arithmetic
+    "q_lsh_recall": f"""
+        WITH {_LSH_PAIRS_CTES},
+        shx AS ({_CAPPED_SHINGLES_SQL}),
+        sizesx AS (
+            SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id
+        ),
+        interx AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_inter
+            FROM shx a JOIN shx b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b, n_inter,
+                   sa.n_sh + sb.n_sh - n_inter AS n_union
+            FROM interx
+            JOIN sizesx sa ON sa.doc_id = doc_a
+            JOIN sizesx sb ON sb.doc_id = doc_b
+        ),
+        cand AS (SELECT doc_a, doc_b, 1 AS is_cand FROM pairs),
+        merged AS (
+            SELECT coalesce(t.n_inter, 0) AS n_inter,
+                   coalesce(t.n_union, 1) AS n_union,
+                   coalesce(c.is_cand, 0) AS is_cand
+            FROM truth t FULL JOIN cand c USING (doc_a, doc_b)
+        ),
+        th AS (
+            SELECT unnest([{", ".join(map(str, LSH_EVAL_T_MICROS))}])
+                AS t_micros
+        ),
+        scored AS (
+            SELECT th.t_micros, m.is_cand,
+                   CASE WHEN m.n_inter * 1000000
+                             >= th.t_micros * m.n_union
+                        THEN 1 ELSE 0 END AS is_truth
+            FROM merged m CROSS JOIN th
+        ),
+        agg AS (
+            SELECT t_micros,
+                   CAST(sum(is_truth) AS BIGINT) AS n_truth,
+                   CAST(sum(is_cand) AS BIGINT) AS n_cand,
+                   CAST(sum(is_truth * is_cand) AS BIGINT) AS n_caught
+            FROM scored GROUP BY t_micros
+        )
+        SELECT t_micros, n_truth, n_cand, n_caught,
+               CASE WHEN n_truth > 0 THEN
+                   (2 * n_caught * 1000000 + n_truth) // (2 * n_truth)
+               END AS recall_micros,
+               CASE WHEN n_cand > 0 THEN
+                   (2 * n_caught * 1000000 + n_cand) // (2 * n_cand)
+               END AS precision_micros
+        FROM agg
     """,
     # transitive closure via recursive min-label reachability: (v, m)
     # ∈ r iff m reaches v over threshold edges; min m per v IS the
