@@ -189,6 +189,46 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_NGRAM_TOPK = 20  # reported trigram sequences
+
+
+def q_event_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type TRIGRAM sequences across all user streams — the
+    sequence-mining step between q_event_transitions (bigram Markov
+    matrix) and q_funnel (one fixed path): which length-3 behavioral
+    paths actually dominate, and how many distinct users walk each.
+
+    One signal-key window (two leads over (ts, event_id)) feeds a
+    (e1, e2, e3) aggregate bounded by |types|³; the top-k ranking runs
+    on that bounded frame with a total-order tie-break, so every
+    column is engine-exact integers. At extreme per-user history the
+    lead-2 frame needs only a 2-row boundary carry, so the same
+    (user, day-bucket) two-level treatment as q_running_sum applies if
+    a single user's stream ever outgrows a task."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    wr = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        tri.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= EVENT_NGRAM_TOPK)
+        .select("rank", "e1", "e2", "e3", "n", "n_users")
+    )
+
+
 RFM_EVENT = "purchase"
 RFM_N = 5  # quintile scores
 
@@ -478,6 +518,7 @@ QUERIES = {
     "q_retention_cohorts": q_retention_cohorts,
     "q_active_users": q_active_users,
     "q_event_transitions": q_event_transitions,
+    "q_event_ngrams": q_event_ngrams,
     "q_rfm_segments": q_rfm_segments,
     "q_first_touch": q_first_touch,
     "q_new_vs_returning": q_new_vs_returning,
@@ -683,6 +724,30 @@ ORACLES = {
                      / CAST(sum(n) OVER (PARTITION BY from_type)
                             AS DOUBLE), 6) AS p
         FROM counts
+    """,
+    "q_event_ngrams": f"""
+        WITH tri AS (
+            SELECT user_id,
+                   event_type AS e1,
+                   lead(event_type, 1) OVER win AS e2,
+                   lead(event_type, 2) OVER win AS e3
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        counts AS (
+            SELECT e1, e2, e3,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY n DESC, e1, e2, e3) AS INT) AS rank
+            FROM counts
+        )
+        SELECT rank, e1, e2, e3, n, n_users
+        FROM ranked WHERE rank <= {EVENT_NGRAM_TOPK}
     """,
     "q_active_users": f"""
         WITH pairs AS (
