@@ -456,7 +456,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
         )
     )
-    cand = lsh_pairs(doc).select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+    # Materialize both pair frames before the overlay: they are
+    # decision-frame-sized (the CC-edges precedent), and without this
+    # the full-outer join's two branches re-derive the shingle and
+    # signature pipelines from scratch (AQE stage reuse does not
+    # reach across the join; measured 4.1 s -> ~2 s at sf0.1).
+    truth = truth.localCheckpoint()
+    cand = (
+        lsh_pairs(doc)
+        .select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+        .localCheckpoint()
+    )
     merged = truth.join(cand, ["doc_a", "doc_b"], "full").select(
         F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
         # cand-only pairs share no capped shingle: exact Jaccard 0
