@@ -448,6 +448,9 @@ class SignalEngine:
         "hh": lambda df: df.groupBy("day", "key").agg(
             F.sum("cnt").alias("cnt")
         ),
+        "ngrams": lambda df: df.groupBy("e1", "e2", "e3", "user_id").agg(
+            F.sum("n").alias("n")
+        ),
     }
 
     def maintain_histogram_stream(
@@ -481,6 +484,54 @@ class SignalEngine:
             .groupBy("user_id", "bin")
             .agg(F.sum("partial_n").alias("n"))
         )
+
+    def maintain_event_ngrams_stream(
+        self, stream: DataFrame, tier_path: str, checkpoint: str
+    ):
+        """Incremental sequence-mining tier — q_event_ngrams maintained
+        on a stream: the stateful trigram operator (two-event tail per
+        user, streaming/sequences.py) closes every triple exactly once
+        across any batch slicing, and each micro-batch writes LINEAR
+        (e1, e2, e3, user_id) count partials into its own batch_id
+        partition. n and n_users both read exactly off the merged tier
+        (user_id is in the partial grain), so the streamed read path
+        equals the batch miner EXACTLY
+        (tests/test_streaming_sequences.py)."""
+        from timeseriesdb_spark.streaming.sequences import (
+            event_trigram_stream,
+        )
+
+        tri = event_trigram_stream(stream)
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            batch_df.groupBy("e1", "e2", "e3", "user_id").agg(
+                F.count("*").alias("n")
+            ).write.mode("overwrite").parquet(f"{tier_path}/batch_id={bid}")
+
+        return (
+            tri.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def event_ngrams(self, tier_path: str) -> DataFrame:
+        """Top trigram paths from the maintained tier (merge partials,
+        then the SAME ranking finalize as the batch query)."""
+        from timeseriesdb_spark.operators.funnels import (
+            rank_trigram_counts,
+        )
+
+        per_user = (
+            self.spark.read.parquet(tier_path)
+            .groupBy("e1", "e2", "e3", "user_id")
+            .agg(F.sum("n").alias("n"))
+        )
+        counts = per_user.groupBy("e1", "e2", "e3").agg(
+            F.sum("n").alias("n"),
+            F.count("*").alias("n_users"),
+        )
+        return rank_trigram_counts(counts)
 
     def maintain_heavyhitters_stream(
         self, stream: DataFrame, hh_path: str, checkpoint: str

@@ -221,6 +221,14 @@ def q_event_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+    return rank_trigram_counts(tri)
+
+
+def rank_trigram_counts(tri: DataFrame) -> DataFrame:
+    """Shared finalize of the trigram miner: top-k by (n DESC, path) on
+    the |types|³-bounded aggregate — used by both the batch query and
+    the streamed-tier read path (api.event_ngrams), so ranking
+    semantics cannot drift."""
     wr = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
     return (
         tri.withColumn("rank", F.row_number().over(wr))
