@@ -58,7 +58,9 @@ MIN_WORDS, MAX_WORDS = 10, 100_000
 MIN_MEAN_WL, MAX_MEAN_WL = 2.0, 12.0
 MAX_SYMBOL_RATIO = 0.1
 MIN_STOPWORD_HITS = 1
-STOPWORDS = ["the", "a", "of", "to"]  # marker set for the presence rule
+# marker set for the presence rule; canonical definition lives in
+# text.py (curation already imports text, so text cannot import back)
+from timeseriesdb_spark.operators.text import STOPWORDS  # noqa: E402,F401
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from timeseriesdb_spark.tables import load_table
 
+# RAKE/Gopher marker stopwords (canonical home: curation.py re-exports)
+STOPWORDS = ["the", "a", "of", "to"]
+
 # language → marker stopword (padded occurrences counted in ' text ')
 LANG_MARKERS = [
     ("en", " the "),
@@ -687,7 +690,81 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KP_TOPK = 3  # keyphrases reported per document
+
+
+def q_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the indexing/
+    curation primitive the text family still lacked: candidate phrases
+    are maximal stopword-free word runs, per-document word scores are
+    degree/freq (degree(w) = Σ phrase length over w's occurrences,
+    freq(w) = w's occurrence count), and a phrase scores the sum of
+    its words' scores; top KP_TOPK phrases per doc.
+
+    Engine-exact formulation: phrase extraction is gaps-and-islands
+    over positioned words (pos − row_number over non-stop rows — the
+    q_dup_spans machinery), word scores are half-up integer millionths
+    of the exact degree/freq rational, and the phrase score is the
+    integer SUM of its member-word micros (per occurrence) — so the
+    whole extraction hash-checks against DuckDB. Ties break by phrase
+    text then start position.
+
+    Scale: one narrow scan explodes to positioned words (zero
+    shuffle), one (doc, island) aggregate and one (doc, word)
+    aggregate — both partition on doc-sized keys, per-task state
+    bounded by one document. The stopword set ships as a literal
+    (dimension-in-the-plan, the broadcast-dictionary pattern)."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = doc.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).where(F.length("w") > 0)
+    nonstop = words.where(~F.col("w").isin(STOPWORDS))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    islands = nonstop.withColumn(
+        "island", F.col("pos") - F.row_number().over(wn)
+    )
+    # per-phrase rows (phrase text in word order) + length
+    phrases = islands.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w")
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+        F.min("pos").alias("start_pos"),
+    )
+    # per-document word stats over phrase members
+    member = islands.join(
+        phrases.select("doc_id", "island", "plen"), ["doc_id", "island"]
+    )
+    wstats = member.groupBy("doc_id", "w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    wscore = wstats.select(
+        "doc_id",
+        "w",
+        F.expr("(2 * degree * 1000000 + freq) div (2 * freq)").alias(
+            "w_micros"
+        ),
+    )
+    scored = (
+        member.join(wscore, ["doc_id", "w"])
+        .groupBy("doc_id", "island")
+        .agg(F.sum("w_micros").alias("score_micros"))
+        .join(phrases, ["doc_id", "island"])
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micros").desc(), "phrase", "start_pos"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= KP_TOPK)
+        .select("doc_id", "rank", "phrase", "plen", "score_micros")
+    )
+
+
 QUERIES = {
+    "q_keyphrases": q_keyphrases,
     "q_regex_tokens": q_regex_tokens,
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_bigram_lm": q_bigram_lm,
@@ -724,7 +801,63 @@ for _lang, _ in LANG_MARKERS:
     _PRED += f"WHEN {_MX} > 0 AND {_SCORES[_lang]} = {_MX} THEN '{_lang}' "
 _PRED += "ELSE 'und' END"
 
+def _keyphrases_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH wordsx AS (
+            SELECT doc_id, i - 1 AS pos, w
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            )
+            WHERE length(w) > 0
+        ),
+        isl AS (
+            SELECT doc_id, pos, w,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM wordsx WHERE w NOT IN ({stop_list})
+        ),
+        ph AS (
+            SELECT doc_id, island,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen,
+                   min(pos) AS start_pos
+            FROM isl GROUP BY 1, 2
+        ),
+        member AS (
+            SELECT i.doc_id, i.island, i.w, p.plen
+            FROM isl i JOIN ph p USING (doc_id, island)
+        ),
+        wscore AS (
+            SELECT doc_id, w,
+                   (2 * CAST(sum(plen) AS BIGINT) * 1000000 + count(*))
+                       // (2 * count(*)) AS w_micros
+            FROM member GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT m.doc_id, m.island,
+                   CAST(sum(s.w_micros) AS BIGINT) AS score_micros
+            FROM member m JOIN wscore s USING (doc_id, w)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT p.doc_id, p.phrase, p.plen, sc.score_micros,
+                   CAST(row_number() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY sc.score_micros DESC, p.phrase,
+                                p.start_pos) AS INT) AS rank
+            FROM sc JOIN ph p USING (doc_id, island)
+        )
+        SELECT doc_id, rank, phrase, plen, score_micros
+        FROM ranked WHERE rank <= {KP_TOPK}
+    """
+
+
 ORACLES = {
+    "q_keyphrases": _keyphrases_oracle(),
     "q_top_terms_by_source": f"""
         SELECT source, term, n, rank FROM (
             SELECT source, term, n,
