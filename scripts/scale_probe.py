@@ -67,6 +67,14 @@ DOC_PROBES = {
     # alphabet, so span rows must grow EXACTLY k× (the proof that the
     # shingle-window + islands pipeline never goes cross-replica)
     "q_dup_spans": "positioned-shingle duplicated-span extraction",
+    # r8: both pair generators are linear and the eval overlay is
+    # pair-frame-sized; output is fixed at |thresholds| rows, so the
+    # rows column reads 1.0× BY DESIGN here — time is the signal.
+    # (q_keyphrases is deliberately absent: the alphabet rotation maps
+    # stopwords to non-stopwords, so replica phrase structure differs
+    # and a row-linearity claim would be dishonest; its islands +
+    # doc-keyed-aggregate shape is the q_dup_spans row anyway.)
+    "q_lsh_recall": "LSH-vs-exact-Jaccard grading (fixed-rows output)",
 }
 # embeddings-axis probes: the single-probe ANN scorers (top-k output
 # is k rows regardless of corpus size — cost is the scan+score, which
