@@ -258,6 +258,9 @@ def main() -> None:
         "cross-replica shingle spaces stay disjoint. A healthy dedup",
         "stack therefore emits k× the ×1 pairs (linear), never k²;",
         "the `rows ×16/×1` column is that linearity check, measured.",
+        "(q_lsh_recall's output is fixed at |thresholds| rows, so its",
+        "rows column reads 1.0× by design — its signal is the time",
+        "curve over the two linear pair generators.)",
         "",
         "| query | family | ×1 s | ×4 s | ×16 s | ×16/×1 | rows ×16/×1 |",
         "|---|---|---|---|---|---|---|",
