@@ -44,6 +44,8 @@ HEADLINERS = [
     "q_rolling_quantile",  # r8: selection quantiles, one exchange, JVM
     "q_dup_spans",       # r8: shingle window + gaps-and-islands
     "q_heavy_hitters",   # r8: one fact exchange into bounded tier
+    "q_keyphrases",      # r8: islands phrases + doc-keyed aggregates
+    "q_lsh_recall",      # r8: two checkpointed pair frames + overlay
 ]
 
 SF = "/root/testdata/sf0.01"
