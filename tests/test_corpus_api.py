@@ -130,5 +130,5 @@ def test_trim_duplicates_maintenance(spark, tmp_path):
         else:
             assert row.text == b.text
         # n_tokens always consistent with the (possibly new) text
-        assert row.n_tokens == len(row.text.split(" ")) if row.text else 1
+        assert row.n_tokens == (len(row.text.split(" ")) if row.text else 1)
     assert changed > 0, "fixture corpus should contain duplicated spans"

@@ -603,9 +603,14 @@ def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_EDGES_PER_PART = 50_000  # target edge rows per task in the CC loop
-CC_DRIVER_BOUND = 1_000_000  # ≤ this many edge rows (~16 MB of long
-                             # pairs) → driver union-find; beyond →
-                             # the distributed loop
+CC_DRIVER_BOUND = 1_000_000  # ≤ this many edge rows → driver
+                             # union-find; beyond → the distributed
+                             # loop. The edges arrive as ONE Arrow
+                             # toPandas (two int64 columns ≈ 16 MB at
+                             # the bound — a Row-object collect() would
+                             # cost hundreds of MB in Python overhead,
+                             # r8 advice); the union-find dict itself
+                             # is the remaining driver cost.
 CC_MAX_ITERS = 12   # safety bound; min-label + pointer-jump converges in
                     # O(log(longest chain)) rounds, typically 3-4
 CC_MIN_EST = 0.5    # candidate pairs below this est-Jaccard are not edges
@@ -755,8 +760,9 @@ def _cluster_pairs_driver(docs: DataFrame, fwd: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in fwd.collect():
-        a, b = r.src, r.dst
+    pairs = fwd.toPandas()  # Arrow path: two int64 columns, no Row objects
+    for a, b in zip(pairs["src"].to_numpy(), pairs["dst"].to_numpy()):
+        a, b = int(a), int(b)
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

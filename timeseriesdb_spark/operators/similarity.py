@@ -266,6 +266,21 @@ IVF_TRAIN_CAP = 4096  # centroid-training sample cap (driver-side rows)
 _IVF_CACHE: dict[str, "object"] = {}
 
 
+def clear_trained_caches(sf_dir: str | None = None) -> None:
+    """Invalidate the per-sf_dir trained-quantizer caches (IVF
+    centroids + PQ codebooks). The caches assume the embeddings table
+    under a dir is immutable; call this after rewriting a dir in
+    place (long-lived processes, test fixtures) to force a retrain —
+    r8 advice: the staleness caveat needs an actual reset hook.
+    With sf_dir=None, clears everything."""
+    if sf_dir is None:
+        _IVF_CACHE.clear()
+        _PQ_CACHE.clear()
+    else:
+        _IVF_CACHE.pop(sf_dir, None)
+        _PQ_CACHE.pop(sf_dir, None)
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
     """train_ivf_centroids over the sf_dir embeddings table. Cached
     per sf_dir like _pq_codebooks (immutable input, same staleness

@@ -946,7 +946,8 @@ ORACLES = {
         SELECT r.user_id, CAST(h.h AS BIGINT) AS h,
                r.level + h.h * r.trend AS forecast,
                r.level, r.trend
-        FROM r JOIN (VALUES (1), (2), (3)) AS h(h) ON r.rn = r.n
+        FROM r JOIN (VALUES {", ".join(f"({h})" for h in range(1, HOLT_H + 1))})
+                 AS h(h) ON r.rn = r.n
     """,
     "q_ohlc": """
         SELECT user_id, day,

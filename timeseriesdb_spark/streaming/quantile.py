@@ -49,6 +49,10 @@ STATE_SCHEMA = StructType([StructField("tail", ArrayType(DoubleType()))])
 def make_rolling_quantile(w_rows: int):
     """Factory for the stateful kernel (closure ships by value — the
     executor never imports this module)."""
+    if w_rows < 2:
+        # w_rows=1 would make the carry slice buf[-(w_rows-1):] ==
+        # buf[-0:] == the WHOLE buffer — unbounded state (r8 advice).
+        raise ValueError(f"rolling quantile needs w_rows >= 2, got {w_rows}")
 
     def quantiles(key, pdfs, state):
         import numpy as np
