@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timeseriesdb_spark.registry import ORACLES, QUERIES, ordered_queries
+from timeseriesdb_spark.registry import QUERIES, ordered_queries, resolve_oracles
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -39,5 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; non-SQL-expressible ops are
-    absent (driver records a rows-only check for those)."""
-    return dict(ORACLES)
+    absent (driver records a rows-only check for those). Includes
+    lazily-generated oracles whose literals embed trained state
+    derived from the data under test (registry.LAZY_ORACLES)."""
+    return resolve_oracles()

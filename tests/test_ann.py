@@ -284,7 +284,9 @@ def test_ann_recall_shape_and_bounds(spark):
     assert methods == {"lsh", "ivf", "pq"}
     for r in rows:
         assert 0 <= r.n_hits <= RECALL_K
-        assert r.recall == pytest.approx(r.n_hits / RECALL_K, abs=1e-9)
+        assert r.recall_micros == (
+            (2 * r.n_hits * 1_000_000 + RECALL_K) // (2 * RECALL_K)
+        )
     # the probe set is fixed -> the whole result is deterministic
     again = q_ann_recall(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
@@ -292,10 +294,13 @@ def test_ann_recall_shape_and_bounds(spark):
 
 def test_ann_recall_pq_matches_numpy(spark):
     # strongest pin: recompute probe 0's PQ recall entirely in numpy
-    # (same codebooks, same 4dp/6dp rounding, same vec_id tie-breaks)
-    # and demand the query's number matches bit-for-bit.
+    # (same codebooks, same integer half-up rank keys, same vec_id
+    # tie-breaks) and demand the query's number matches bit-for-bit.
     import numpy as np
     import pandas as pd
+
+    def half_away(x):  # Spark round(double) / DuckDB round: half AWAY
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
 
     from timeseriesdb_spark.operators.similarity import (
         PQ_KS,
@@ -315,8 +320,8 @@ def test_ann_recall_pq_matches_numpy(spark):
     mask = ids != probe_id
     Xo, ido = X[mask], ids[mask]
     norms = np.linalg.norm(Xo, axis=1)
-    cos = np.round(Xo @ qv / (norms * np.linalg.norm(qv)), 4)
-    order = np.lexsort((ido, -cos))
+    cos_t = half_away(Xo @ qv / (norms * np.linalg.norm(qv)) * 10_000.0)
+    order = np.lexsort((ido, -cos_t))
     truth = set(ido[order[:RECALL_K]])
 
     CB = _pq_codebooks(spark, SF_DIR)
@@ -328,8 +333,8 @@ def test_ann_recall_pq_matches_numpy(spark):
         codes = d2.argmin(axis=1)
         lut = ((qv[m * d : (m + 1) * d][None, :] - CB[m]) ** 2).sum(axis=1)
         adc += lut[codes]
-    adc = np.round(adc, 6)
-    order_pq = np.lexsort((ido, adc))
+    adc_t = half_away(adc * 1_000_000.0)
+    order_pq = np.lexsort((ido, adc_t))
     pq_top = set(ido[order_pq[:RECALL_K]])
     expect_hits = len(pq_top & truth)
 

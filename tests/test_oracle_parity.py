@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_DIR, assert_matches_oracle
-from timeseriesdb_spark.registry import ORACLES, QUERIES
+from timeseriesdb_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -18,7 +18,17 @@ def test_oracle_parity(spark, duck, name):
     assert_matches_oracle(df, duck, ORACLES[name])
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(LAZY_ORACLES))
+def test_lazy_oracle_parity(spark, duck, name):
+    # lazy factories embed trained state from the data under test —
+    # resolve for THIS test run's SF explicitly
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, LAZY_ORACLES[name](SF_DIR))
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES) - set(LAZY_ORACLES))
+)
 def test_rows_only_queries_run(spark, name):
     """Non-SQL-expressible ops: smoke-run, require a stable schema and
     a materializable result (the driver's weaker check)."""

@@ -294,12 +294,14 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
     return _IVF_CACHE[sf_dir]
 
 
-def train_ivf_centroids(emb: DataFrame) -> "object":
-    """Deterministic Lloyd's kmeans on a BOUNDED sample: at most
-    IVF_TRAIN_CAP rows reach the driver, picked by md5-order of vec_id
-    (a deterministic uniform pseudo-random sample that plans as
-    TakeOrderedAndProject — no global materialization). The coarse
-    quantizer only needs a representative sketch of the corpus."""
+def _train_sample_spark(emb: DataFrame):
+    """The deterministic bounded training sample as a float64 matrix:
+    at most IVF_TRAIN_CAP rows reach the driver, picked by md5-order
+    of vec_id (a deterministic uniform pseudo-random sample that plans
+    as TakeOrderedAndProject — no global materialization), then sorted
+    by vec_id. The DuckDB oracle generator draws the IDENTICAL sample
+    via SQL md5 (same lowercase-hex ordering) so both engines train
+    the same quantizers — see _ann_recall_oracle."""
     import numpy as np
 
     pdf = (
@@ -309,7 +311,22 @@ def train_ivf_centroids(emb: DataFrame) -> "object":
         .toPandas()
         .sort_values("vec_id")
     )
-    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
+def train_ivf_centroids(emb: DataFrame) -> "object":
+    """Deterministic Lloyd's kmeans on the bounded sample (see
+    _train_sample_spark). The coarse quantizer only needs a
+    representative sketch of the corpus."""
+    return _kmeans_cells_np(_train_sample_spark(emb))
+
+
+def _kmeans_cells_np(X) -> "object":
+    """The numpy kmeans body, factored so the Spark path and the
+    oracle generator run BYTE-IDENTICAL training given the same
+    sample matrix."""
+    import numpy as np
+
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     order = np.argsort(Xn[:, 0], kind="stable")
     C = Xn[order[np.linspace(0, len(Xn) - 1, IVF_CELLS).astype(int)]].copy()
@@ -449,14 +466,18 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
 
     if sf_dir in _PQ_CACHE:
         return _PQ_CACHE[sf_dir]
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(IVF_TRAIN_CAP)
-        .toPandas()
-        .sort_values("vec_id")
-    )
-    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_train_np(_train_sample_spark(emb))
+    _PQ_CACHE[sf_dir] = books
+    return books
+
+
+def _pq_train_np(X) -> "object":
+    """The numpy per-subspace kmeans body, factored like
+    _kmeans_cells_np so Spark and the oracle generator train
+    identical codebooks from the same sample."""
+    import numpy as np
+
     d = X.shape[1] // PQ_M
     books = np.empty((PQ_M, PQ_KS, d))
     for m in range(PQ_M):
@@ -471,7 +492,6 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "object":
                 if msk.any():
                     C[k] = S[msk].mean(axis=0)
         books[m] = C
-    _PQ_CACHE[sf_dir] = books
     return books
 
 
@@ -860,6 +880,34 @@ RECALL_STRATA = 8   # phase-1 strata: hash(vec_id) buckets. Size with N
                     # is 128 in-memory keys)
 
 
+def _recall_probe_params(ids, vecs, C, CB):
+    """Per-probe literals (probe_id, qv, qnorm, qbucket, qcells, qlut)
+    — the driver-side probe arithmetic shared VERBATIM by the Spark
+    query and the DuckDB oracle generator, so both engines receive
+    bit-identical probe constants."""
+    import numpy as np
+
+    planes = np.asarray(_srp_planes())
+    d = CB.shape[2]
+    out = []
+    for pid, qv in zip(ids, vecs):
+        qv = np.asarray(qv, dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        qhat = qv / qn
+        bucket = "".join(
+            "1" if float(planes[b] @ qv) >= 0 else "0"
+            for b in range(len(planes))
+        )
+        cells = [int(i) for i in np.argsort(qhat @ C.T)[::-1][:IVF_NPROBE]]
+        lut = [
+            float(((qv[m * d : (m + 1) * d] - CB[m, k]) ** 2).sum())
+            for m in range(PQ_M)
+            for k in range(PQ_KS)
+        ]
+        out.append((int(pid), [float(x) for x in qv], qn, bucket, cells, lut))
+    return out
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of every approximate ANN path (LSH / IVF / PQ) against
     the brute-force cosine ground truth, over a fixed deterministic
@@ -875,16 +923,21 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine; PQ ranks everything by ADC distance) resolve through a
     distributive stratified top-K whose exchanges carry candidate
     arrays, never corpus-sized rows (see inline comment).
-    Emits (method, probe_id, n_hits, recall) — 3·P rows, fully
-    deterministic (4-dp cosine / 6-dp ADC with vec_id tie-breaks).
-    Rows-only check; invariants pinned in tests/test_ann.py
-    (recall bounds, IVF→1.0 at full nprobe, PQ hits == ADC-vs-truth
-    overlap recomputed in numpy)."""
-    import numpy as np
-
+    Emits (method, probe_id, n_hits, recall_micros) — 3·P rows.
+    ORACLE-CHECKED (r9, the q_lsh_recall treatment): every ranking
+    key is an INTEGER — cosine as half-up ten-thousandths, ADC as
+    half-up millionths of bit-identical doubles (the corpus-side
+    folds replay exactly in DuckDB; the probe-side constants are the
+    same Python floats on both engines) — and ties break on vec_id,
+    a total order, so the four top-K sets and therefore n_hits and
+    recall_micros hash-match cross-engine. The trained quantizers
+    (IVF centroids, PQ codebooks) reach the oracle by retraining the
+    IDENTICAL numpy kernels on the IDENTICAL md5-ordered sample read
+    via DuckDB — see _ann_recall_oracle. Invariants additionally
+    pinned in tests/test_ann.py (recall bounds, IVF→1.0 at full
+    nprobe, PQ hits == ADC-vs-truth overlap recomputed in numpy)."""
     C = _ivf_centroids(spark, sf_dir)
     CB = _pq_codebooks(spark, sf_dir)
-    planes = np.asarray(_srp_planes())
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
 
     probes_pdf = (
@@ -893,25 +946,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e")
         .toPandas()
     )
-    d = CB.shape[2]
-    prows = []
-    for _, r in probes_pdf.iterrows():
-        qv = np.asarray(r["e"], dtype=np.float64)
-        qn = float(np.linalg.norm(qv))
-        qhat = qv / qn
-        bucket = "".join(
-            "1" if float(planes[b] @ qv) >= 0 else "0"
-            for b in range(len(planes))
-        )
-        cells = [int(i) for i in np.argsort(qhat @ C.T)[::-1][:IVF_NPROBE]]
-        lut = [
-            float(((qv[m * d : (m + 1) * d] - CB[m, k]) ** 2).sum())
-            for m in range(PQ_M)
-            for k in range(PQ_KS)
-        ]
-        prows.append(
-            (int(r["vec_id"]), [float(x) for x in qv], qn, bucket, cells, lut)
-        )
+    prows = _recall_probe_params(
+        probes_pdf["vec_id"].to_numpy(), probes_pdf["e"].to_numpy(), C, CB
+    )
     probes = spark.createDataFrame(
         prows,
         "probe_id long, qe array<double>, qnorm double, qbucket string, "
@@ -939,6 +976,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for m in range(PQ_M)
     )
+    # Rank keys are INTEGERS (cosine in half-up ten-thousandths, ADC
+    # in half-up millionths): float keys would expose −0.0/+0.0 and
+    # round()-semantics gaps between engines at rank boundaries;
+    # integer keys + vec_id are a total order both engines share.
     base = (
         ann.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
@@ -946,12 +987,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "vec_id",
             F.round(
-                _dot(F.col("e"), F.col("qe")) / (F.col("norm") * F.col("qnorm")),
-                4,
-            ).alias("cos"),
+                _dot(F.col("e"), F.col("qe"))
+                / (F.col("norm") * F.col("qnorm"))
+                * F.lit(10_000.0)
+            )
+            .cast("long")
+            .alias("cos_t"),
             (F.col("bucket") == F.col("qbucket")).alias("in_lsh"),
             F.array_contains(F.col("qcells"), F.col("cell")).alias("in_ivf"),
-            F.round(adc, 6).alias("adc"),
+            F.round(adc * F.lit(1_000_000.0)).cast("long").alias("adc_t"),
         )
     )
     # All four rankings via a DISTRIBUTIVE two-phase stratified top-K
@@ -978,10 +1022,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stratum = F.pmod(F.hash("vec_id"), F.lit(RECALL_STRATA))
     local = base.groupBy("probe_id", stratum.alias("stratum")).agg(
-        local_topk(F.lit(True), -F.col("cos"), "t_truth"),
-        local_topk(F.col("in_lsh"), -F.col("cos"), "t_lsh"),
-        local_topk(F.col("in_ivf"), -F.col("cos"), "t_ivf"),
-        local_topk(F.lit(True), F.col("adc"), "t_pq"),
+        local_topk(F.lit(True), -F.col("cos_t"), "t_truth"),
+        local_topk(F.col("in_lsh"), -F.col("cos_t"), "t_lsh"),
+        local_topk(F.col("in_ivf"), -F.col("cos_t"), "t_ivf"),
+        local_topk(F.lit(True), F.col("adc_t"), "t_pq"),
     )
 
     def merge_topk(name):
@@ -1014,7 +1058,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "probe_id",
         "n_hits",
-        F.round(F.col("n_hits") / F.lit(float(RECALL_K)), 4).alias("recall"),
+        F.expr(
+            f"(2 * n_hits * 1000000 + {RECALL_K}) div (2 * {RECALL_K})"
+        ).alias("recall_micros"),
     )
 
 
@@ -1056,6 +1102,361 @@ _CELL_SQL = "(" + " + ".join(
     f"CASE WHEN embedding[{k + 1}] >= 0 THEN {1 << (SEM_BITS - 1 - k)} ELSE 0 END"
     for k in range(SEM_BITS)
 ) + ")"
+
+def _dk(x) -> str:
+    """A Python float as an exact DuckDB DOUBLE literal (repr
+    round-trips; bare decimal literals parse as DECIMAL in DuckDB,
+    so the cast is mandatory)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _fold_dot_duck(vec, col: str = "embedding") -> str:
+    """Replay _dot(e, _lit_vec(vec)) — Spark's left-fold dot
+    ((0 + e₁v₁) + e₂v₂) + … — as a DuckDB nested-paren chain over the
+    same literals: identical operand order ⇒ identical IEEE doubles
+    (the q_ann_lsh precedent, _srp_bucket_sql)."""
+    expr = "CAST(0.0 AS DOUBLE)"
+    for i, x in enumerate(vec, start=1):
+        expr = f"({expr} + CAST({col}[{i}] AS DOUBLE) * {_dk(x)})"
+    return expr
+
+
+def _fold_norm_duck(col: str = "embedding") -> str:
+    """Replay _with_norm's norm = sqrt(fold(e·e)) exactly."""
+    expr = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, DIM + 1):
+        expr = (
+            f"({expr} + CAST({col}[{i}] AS DOUBLE)"
+            f" * CAST({col}[{i}] AS DOUBLE))"
+        )
+    return f"sqrt({expr})"
+
+
+def _build_recall_sql(C, CB, params) -> str:
+    """The q_ann_recall oracle for a concrete trained state: per-vector
+    LSH bucket / IVF cell / PQ codes replayed as exact expression
+    folds (same literals and operand order as the Spark plan ⇒
+    bit-identical doubles ⇒ identical argmax/argmin decisions), probe
+    constants inlined from _recall_probe_params, rankings as
+    row_number over the same integer keys and vec_id tie-break."""
+    import numpy as np
+
+    k = RECALL_K
+    d = CB.shape[2]
+    # per-vector IVF cell: argmax of 8 fold dots, first-max tie-break
+    # (array_position ≡ list_position: 1-based first occurrence)
+    dl = "[" + ", ".join(
+        _fold_dot_duck(C[c]) for c in range(IVF_CELLS)
+    ) + "]"
+    # per-vector PQ codes: argmin over ‖c‖² − 2·x·c, replaying
+    # pq_code_columns' generated expression term-for-term
+    cls = []
+    for m in range(PQ_M):
+        dists = []
+        for kk in range(PQ_KS):
+            dot = " + ".join(
+                f"CAST(embedding[{m * d + j + 1}] AS DOUBLE)"
+                f" * {_dk(CB[m, kk, j])}"
+                for j in range(d)
+            )
+            dists.append(
+                f"{_dk(np.dot(CB[m, kk], CB[m, kk]))}"
+                f" - {_dk(2.0)} * ({dot})"
+            )
+        cls.append("[" + ", ".join(dists) + "]")
+    raw = (
+        "SELECT vec_id, embedding, "
+        + _fold_norm_duck() + " AS norm, "
+        + _srp_bucket_sql() + " AS bucket, "
+        + dl + " AS dl, "
+        + ", ".join(f"{cl} AS cl_{m}" for m, cl in enumerate(cls))
+        + " FROM embeddings"
+    )
+    ann = (
+        "SELECT vec_id, embedding, norm, bucket, "
+        "CAST(list_position(dl, list_aggregate(dl, 'max')) - 1 AS INT)"
+        " AS cell, "
+        + ", ".join(
+            f"CAST(list_position(cl_{m}, list_aggregate(cl_{m}, 'min'))"
+            f" - 1 AS INT) AS code_{m}"
+            for m in range(PQ_M)
+        )
+        + " FROM raw"
+    )
+    branches = []
+    for pid, qv, qn, qbucket, qcells, qlut in params:
+        adc = None
+        for m in range(PQ_M):
+            lut_m = "[" + ", ".join(
+                _dk(x) for x in qlut[m * PQ_KS : (m + 1) * PQ_KS]
+            ) + "]"
+            term = f"list_extract({lut_m}, code_{m} + 1)"
+            adc = term if adc is None else f"({adc} + {term})"
+        cells_csv = ", ".join(str(c) for c in qcells)
+        branches.append(
+            f"SELECT CAST({pid} AS BIGINT) AS probe_id, vec_id, "
+            f"CAST(round({_fold_dot_duck(qv)} / (norm * {_dk(qn)})"
+            f" * 10000.0) AS BIGINT) AS cos_t, "
+            f"(bucket = '{qbucket}') AS in_lsh, "
+            f"(cell IN ({cells_csv})) AS in_ivf, "
+            f"CAST(round(({adc}) * 1000000.0) AS BIGINT) AS adc_t "
+            f"FROM ann WHERE vec_id != {pid}"
+        )
+    base = " UNION ALL ".join(branches)
+
+    def topk(name: str, where: str, order: str) -> str:
+        return (
+            f"{name} AS (SELECT probe_id, vec_id FROM ("
+            f"SELECT probe_id, vec_id, row_number() OVER ("
+            f"PARTITION BY probe_id ORDER BY {order}, vec_id) AS rn"
+            f" FROM base{where}) WHERE rn <= {k})"
+        )
+
+    def hit(method: str, tname: str) -> str:
+        return (
+            f"SELECT '{method}' AS method, p.probe_id,"
+            f" coalesce(c.n, 0) AS n_hits"
+            f" FROM probes p LEFT JOIN ("
+            f"SELECT t.probe_id, count(*) AS n FROM t_truth t"
+            f" JOIN {tname} u USING (probe_id, vec_id)"
+            f" GROUP BY t.probe_id) c USING (probe_id)"
+        )
+
+    probe_vals = ", ".join(f"({pid})" for pid, *_ in params)
+    return f"""
+        WITH raw AS MATERIALIZED ({raw}),
+        ann AS MATERIALIZED ({ann}),
+        base AS MATERIALIZED ({base}),
+        {topk("t_truth", "", "cos_t DESC")},
+        {topk("t_lsh", " WHERE in_lsh", "cos_t DESC")},
+        {topk("t_ivf", " WHERE in_ivf", "cos_t DESC")},
+        {topk("t_pq", "", "adc_t ASC")},
+        probes(probe_id) AS (VALUES {probe_vals}),
+        hits AS (
+            {hit("lsh", "t_lsh")}
+            UNION ALL
+            {hit("ivf", "t_ivf")}
+            UNION ALL
+            {hit("pq", "t_pq")}
+        )
+        SELECT method, CAST(probe_id AS BIGINT) AS probe_id,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST((2 * n_hits * 1000000 + {k}) // (2 * {k})
+                    AS BIGINT) AS recall_micros
+        FROM hits
+    """
+
+
+_RECALL_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ann_recall_oracle(sf_dir: str | None = None) -> str:
+    """Generate the q_ann_recall oracle for the SF under test
+    (SPARK_TSDB_TEST_SF, defaulting to the driver's sf0.01): read the
+    embeddings parquet via DuckDB, retrain the IVF/PQ quantizers with
+    the SAME numpy kernels on the SAME md5-ordered bounded sample the
+    Spark path uses, derive the probe constants with the SAME helper,
+    and inline everything as exact literals. Resolved lazily (registry
+    LAZY_ORACLES) so package import never touches testdata; tests pass
+    sf_dir explicitly to pin a different scale."""
+    import os
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+        )
+    if sf_dir not in _RECALL_ORACLE_CACHE:
+        import duckdb
+        import numpy as np
+
+        con = duckdb.connect()
+        pq = f"{sf_dir}/embeddings.parquet"
+        sample = (
+            con.execute(
+                f"SELECT vec_id, embedding FROM '{pq}' "
+                f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+                f"LIMIT {IVF_TRAIN_CAP}"
+            )
+            .fetch_df()
+            .sort_values("vec_id")
+        )
+        X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        C = _kmeans_cells_np(X)
+        CB = _pq_train_np(X)
+        pr = con.execute(
+            f"SELECT vec_id, embedding FROM '{pq}' "
+            f"ORDER BY vec_id LIMIT {RECALL_PROBES}"
+        ).fetch_df()
+        params = _recall_probe_params(
+            pr["vec_id"].to_numpy(),
+            [np.asarray(v, dtype=np.float64) for v in pr["embedding"]],
+            C,
+            CB,
+        )
+        _RECALL_ORACLE_CACHE[sf_dir] = _build_recall_sql(C, CB, params)
+    return _RECALL_ORACLE_CACHE[sf_dir]
+
+
+def _oracle_embeddings_state(sf_dir: str | None):
+    """Shared lazy-oracle loader: (sf_dir, trained C, trained CB, the
+    QUERY_VEC_ID probe vector as float64) — everything an ANN oracle
+    needs, read via DuckDB from the parquet under test and trained
+    with the exact numpy kernels the Spark path uses."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+        )
+    con = duckdb.connect()
+    pq = f"{sf_dir}/embeddings.parquet"
+    sample = (
+        con.execute(
+            f"SELECT vec_id, embedding FROM '{pq}' "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+            f"LIMIT {IVF_TRAIN_CAP}"
+        )
+        .fetch_df()
+        .sort_values("vec_id")
+    )
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    qrow = con.execute(
+        f"SELECT embedding FROM '{pq}' WHERE vec_id = {QUERY_VEC_ID}"
+    ).fetchone()
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    return sf_dir, _kmeans_cells_np(X), _pq_train_np(X), qv, con, pq
+
+
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ann_ivf_oracle(sf_dir: str | None = None) -> str:
+    """q_ann_ivf as a DuckDB oracle: cell assignment replayed as exact
+    fold-dot argmax (first-max tie-break via list_position), probe
+    cells/norm inlined from the identical driver-side numpy, cosine as
+    the exact fold — so the pruned top-k matches bit-for-bit."""
+    import os
+
+    import numpy as np
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+        )
+    if sf_dir in _IVF_ORACLE_CACHE:
+        return _IVF_ORACLE_CACHE[sf_dir]
+    _, C, _, qv, _, _ = _oracle_embeddings_state(sf_dir)
+    qn = qv / np.linalg.norm(qv)
+    probe_cells = [
+        int(i) for i in np.argsort(qn @ C.T)[::-1][:IVF_NPROBE]
+    ]
+    qnorm = float(np.linalg.norm(qv))
+    dl = "[" + ", ".join(
+        _fold_dot_duck(C[c]) for c in range(IVF_CELLS)
+    ) + "]"
+    cells_csv = ", ".join(str(c) for c in probe_cells)
+    sql = f"""
+        WITH raw AS MATERIALIZED (
+            SELECT vec_id, label, {_fold_norm_duck()} AS norm,
+                   {dl} AS dl,
+                   {_fold_dot_duck([float(x) for x in qv])} AS dot
+            FROM embeddings WHERE vec_id != {QUERY_VEC_ID}
+        ),
+        ann AS (
+            SELECT vec_id, label,
+                   round(dot / (norm * {_dk(qnorm)}), 4) AS cos_sim,
+                   list_position(dl, list_aggregate(dl, 'max')) - 1
+                       AS cell
+            FROM raw
+        )
+        SELECT vec_id, label, cos_sim FROM ann
+        WHERE cell IN ({cells_csv})
+        ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+    """
+    _IVF_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+_PQ_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ann_pq_oracle(sf_dir: str | None = None) -> str:
+    """q_ann_pq as a DuckDB oracle: PQ codes replayed as exact argmin
+    folds (pq_code_columns' expressions term-for-term), the probe's
+    ADC lookup table inlined from the identical numpy, the top-k
+    ordered by the identically-rounded ADC distance."""
+    import os
+
+    import numpy as np
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+        )
+    if sf_dir in _PQ_ORACLE_CACHE:
+        return _PQ_ORACLE_CACHE[sf_dir]
+    _, _, CB, qv, _, _ = _oracle_embeddings_state(sf_dir)
+    d = CB.shape[2]
+    lut = [
+        [
+            float(((qv[m * d : (m + 1) * d] - CB[m, k]) ** 2).sum())
+            for k in range(PQ_KS)
+        ]
+        for m in range(PQ_M)
+    ]
+    cls = []
+    for m in range(PQ_M):
+        dists = []
+        for kk in range(PQ_KS):
+            dot = " + ".join(
+                f"CAST(embedding[{m * d + j + 1}] AS DOUBLE)"
+                f" * {_dk(CB[m, kk, j])}"
+                for j in range(d)
+            )
+            dists.append(
+                f"{_dk(np.dot(CB[m, kk], CB[m, kk]))}"
+                f" - {_dk(2.0)} * ({dot})"
+            )
+        cls.append("[" + ", ".join(dists) + "]")
+    adc = None
+    for m in range(PQ_M):
+        lut_m = "[" + ", ".join(_dk(x) for x in lut[m]) + "]"
+        term = f"list_extract({lut_m}, code_{m} + 1)"
+        adc = term if adc is None else f"({adc} + {term})"
+    sql = f"""
+        WITH raw AS MATERIALIZED (
+            SELECT vec_id, label,
+                   {", ".join(f"{cl} AS cl_{m}" for m, cl in enumerate(cls))}
+            FROM embeddings WHERE vec_id != {QUERY_VEC_ID}
+        ),
+        coded AS (
+            SELECT vec_id, label,
+                   {", ".join(
+                       f"CAST(list_position(cl_{m},"
+                       f" list_aggregate(cl_{m}, 'min')) - 1 AS BIGINT)"
+                       f" AS code_{m}"
+                       for m in range(PQ_M)
+                   )}
+            FROM raw
+        )
+        SELECT vec_id, label, round({adc}, 6) AS adc_dist,
+               {", ".join(f"code_{m}" for m in range(PQ_M))}
+        FROM coded
+        ORDER BY adc_dist, vec_id LIMIT {TOP_K}
+    """
+    _PQ_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+LAZY_ORACLES = {
+    "q_ann_recall": _ann_recall_oracle,
+    "q_ann_ivf": _ann_ivf_oracle,
+    "q_ann_pq": _ann_pq_oracle,
+}
+
 
 def _srp_bucket_sql() -> str:
     """The SRP bucket code as a DuckDB expression that replays

@@ -67,6 +67,13 @@ _MODULES = [
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# name → zero-arg factory producing the oracle SQL at resolve time.
+# For oracles whose literals depend on trained state derived from the
+# data under test (q_ann_recall's IVF centroids / PQ codebooks): the
+# factory retrains from the parquet under SPARK_TSDB_TEST_SF when the
+# driver actually asks for oracle_sql(), keeping package import free
+# of testdata reads.
+LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 _QUERY_SOURCE: dict[str, str] = {}  # query name → implementing module file
 
 for _m in _MODULES:
@@ -76,11 +83,30 @@ for _m in _MODULES:
         QUERIES[_name] = _fn
         _QUERY_SOURCE[_name] = getattr(_m, "__file__", "") or ""
     ORACLES.update(getattr(_m, "ORACLES", {}))
+    LAZY_ORACLES.update(getattr(_m, "LAZY_ORACLES", {}))
 
-# Every oracle must belong to a declared query.
-_orphans = set(ORACLES) - set(QUERIES)
+# Every oracle must belong to a declared query, and no query may have
+# both a static and a lazy oracle.
+_orphans = (set(ORACLES) | set(LAZY_ORACLES)) - set(QUERIES)
 if _orphans:
     raise ValueError(f"oracles without queries: {sorted(_orphans)}")
+_dupes = set(ORACLES) & set(LAZY_ORACLES)
+if _dupes:
+    raise ValueError(f"both static and lazy oracle: {sorted(_dupes)}")
+
+
+def resolve_oracles() -> dict[str, str]:
+    """Static oracles plus lazily-generated ones. A lazy factory that
+    fails (testdata missing, unreadable parquet) silently omits its
+    entry — the driver then records the rows-only check for that
+    query instead of erroring the whole verify pass."""
+    out = dict(ORACLES)
+    for _name, _factory in LAZY_ORACLES.items():
+        try:
+            out[_name] = _factory()
+        except Exception:
+            continue
+    return out
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
