@@ -417,10 +417,25 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both pair generators are the already-measured linear paths
     (SCALING.md — shared-shingle join and band join; pairs only ever
-    form on shared non-boilerplate shingles / shared buckets); the
-    evaluation overlay is a full-outer join of two decision-frame-
-    sized pair sets fanned out by |thresholds|, then one tiny
-    aggregate. Nothing here re-touches corpus-sized rows."""
+    form on shared non-boilerplate shingles / shared buckets). The
+    evaluation overlay is asymmetric BY CONSTRUCTION: the truth frame
+    at the lowest graded threshold is every shared-shingle pair
+    (~280× the candidate count on the test corpus, 16× more at the
+    ×16 probe) while the candidate frame is the sketch-positive
+    decision set — so the overlay is a broadcast LEFT join of the
+    tiny candidate frame ONTO the truth frame, and the truth frame
+    flows scan→join→partial-agg without ever crossing another
+    exchange or being checkpointed (the r8 full-outer + checkpoint
+    shape materialized the big frame twice and shuffled it once —
+    measured 11 s → ~6 s at the ×16 corpus probe). Candidate-only
+    pairs share no capped shingle (exact Jaccard 0), so with all
+    thresholds positive they contribute to n_cand only — counted
+    from the once-checkpointed candidate frame, not by re-deriving
+    the pair pipelines."""
+    assert min(LSH_EVAL_T_MICROS) > 0, (
+        "t=0 would count candidate-only pairs as truth; the broadcast "
+        "left-join overlay assumes all graded thresholds are positive"
+    )
     doc = parallelize_small_scan(
         load_table(spark, sf_dir, "documents"), spark
     )
@@ -456,25 +471,18 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
         )
     )
-    # Materialize both pair frames before the overlay: they are
-    # decision-frame-sized (the CC-edges precedent), and without this
-    # the full-outer join's two branches re-derive the shingle and
-    # signature pipelines from scratch (AQE stage reuse does not
-    # reach across the join; measured 4.1 s -> ~2 s at sf0.1).
-    truth = truth.localCheckpoint()
+    # Checkpoint ONLY the tiny candidate frame (it feeds both the
+    # broadcast overlay and the n_cand count — without this the
+    # signature pipeline would re-derive for the count job); the big
+    # truth frame is consumed in one scan→join→partial-agg pass.
     cand = (
         lsh_pairs(doc)
         .select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
         .localCheckpoint()
     )
-    merged = truth.join(cand, ["doc_a", "doc_b"], "full").select(
-        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
-        # cand-only pairs share no capped shingle: exact Jaccard 0
-        F.coalesce("n_union", F.lit(1)).alias("n_union"),
-        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
-    )
+    merged = truth.join(F.broadcast(cand), ["doc_a", "doc_b"], "left")
     scored = merged.select(
-        "is_cand",
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
         "n_inter",
         "n_union",
         F.explode(
@@ -490,10 +498,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_truth"),
     )
-    agg = scored.groupBy("t_micros").agg(
-        F.sum("is_truth").alias("n_truth"),
-        F.sum("is_cand").alias("n_cand"),
-        F.sum(F.col("is_truth") * F.col("is_cand")).alias("n_caught"),
+    # n_cand is threshold-independent (candidate-only pairs are never
+    # truth at positive t): a 1-row broadcast instead of fanning the
+    # candidate rows through the big aggregate
+    ncand = cand.agg(F.count("*").alias("n_cand"))
+    agg = (
+        scored.groupBy("t_micros")
+        .agg(
+            F.sum("is_truth").alias("n_truth"),
+            F.sum(F.col("is_truth") * F.col("is_cand")).alias("n_caught"),
+        )
+        .crossJoin(F.broadcast(ncand))
     )
     return agg.select(
         "t_micros",
