@@ -448,6 +448,9 @@ class SignalEngine:
         "hh": lambda df: df.groupBy("day", "key").agg(
             F.sum("cnt").alias("cnt")
         ),
+        "qsk": lambda df: df.groupBy("user_id", "day", "bucket").agg(
+            F.sum("partial_n").alias("partial_n")
+        ),
         "ngrams": lambda df: df.groupBy("e1", "e2", "e3", "user_id").agg(
             F.sum("n").alias("n")
         ),
@@ -484,6 +487,46 @@ class SignalEngine:
             .groupBy("user_id", "bin")
             .agg(F.sum("partial_n").alias("n"))
         )
+
+    def maintain_quantile_stream(
+        self, stream: DataFrame, qsk_path: str, checkpoint: str
+    ):
+        """Incremental quantile-sketch maintenance — the rank twin of
+        maintain_histogram_stream: each micro-batch writes its
+        per-(signal, day, bucket) fixed-grid count partials into its
+        own batch_id partition (idempotent under replay). The tier is
+        linear, so streamed partials merge to the exact one-pass
+        sketch and quantile_estimates answers any later p50/p90/p99
+        question from the store (tests/test_quantile_sketch.py)."""
+        from timeseriesdb_spark.operators.aggregates import (
+            qsk_day_buckets,
+        )
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            qsk_day_buckets(batch_df).write.mode("overwrite").parquet(
+                f"{qsk_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def quantile_estimates(self, qsk_path: str) -> DataFrame:
+        """Per-signal graded quantiles from the maintained tier (merge
+        partials, then the SAME finalize as q_quantile_rollup)."""
+        from timeseriesdb_spark.operators.aggregates import (
+            quantiles_from_buckets,
+        )
+
+        merged = (
+            self.spark.read.parquet(qsk_path)
+            .groupBy("user_id", "bucket")
+            .agg(F.sum("partial_n").alias("n"))
+        )
+        return quantiles_from_buckets(merged)
 
     def maintain_event_ngrams_stream(
         self, stream: DataFrame, tier_path: str, checkpoint: str

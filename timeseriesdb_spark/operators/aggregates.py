@@ -588,7 +588,108 @@ def hh_from_day_counts(day_counts: DataFrame) -> DataFrame:
     )
 
 
+QSK_SCALE = 16  # fixed-grid resolution: buckets per value unit (the
+                # quantile answer is exact to 1/QSK_SCALE in value
+                # space — size it to the SLO granularity you report)
+QSK_PS = [500_000, 900_000, 990_000]  # graded quantiles in millionths
+
+
+def qsk_bucket() -> F.Column:
+    """Sketched grid cell: floor(value·SCALE) — multiply-then-floor,
+    never a rounding cast, so both engines derive the identical
+    bigint bucket (the _hh_key discipline)."""
+    return F.floor(F.col("value") * QSK_SCALE).cast("bigint")
+
+
+def qsk_day_buckets(ev: DataFrame) -> DataFrame:
+    """The linear partial of the quantile tier: per (signal, day,
+    bucket) counts — one fact-sized, map-side-combinable exchange,
+    associative under sum-merge (per-micro-batch partials merge to
+    exactly the one-pass frame, api.maintain_quantile_stream)."""
+    return (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            qsk_bucket().alias("bucket"),
+        )
+        .groupBy("user_id", "day", "bucket")
+        .agg(F.count("*").alias("partial_n"))
+    )
+
+
+def quantiles_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Finalize merged (user_id, bucket, n) counts into per-(signal,
+    quantile) answers: the lower quantile at rank ⌈p·N⌉ — the answer
+    bucket is the smallest grid cell whose running count reaches the
+    rank target, tested as the integer cross-multiplication
+    cum·10⁶ ≥ p_micros·N (never a float division). Bucketing is
+    monotone in value, so the answer EQUALS floor(q·SCALE) of the
+    true rank-⌈p·N⌉ value q — exact to one grid cell, pinned in
+    tests/test_quantile_sketch.py. The cumulative window partitions
+    by signal over the BOUNDED bucket frame (≤ range·SCALE cells per
+    signal), never over fact rows."""
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("user_id")
+    cum = buckets.select(
+        "user_id",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    fanned = cum.select(
+        "user_id",
+        "bucket",
+        "cum",
+        "total",
+        F.explode(F.array(*[F.lit(p) for p in QSK_PS])).alias("p_micros"),
+    )
+    return (
+        fanned.where(
+            F.col("cum") * F.lit(1_000_000)
+            >= F.col("p_micros") * F.col("total")
+        )
+        .groupBy("user_id", "p_micros")
+        .agg(
+            F.min("bucket").alias("q_bucket"),
+            F.max("total").alias("n_total"),
+        )
+    )
+
+
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fourth sketch family next to
+    HLL (distinct), Count-Min (point frequency) and the heavy-hitter
+    tier (top keys): a fixed-grid integer-bucket partial per (signal,
+    day) whose sum-merge across any day range answers p50/p90/p99 with
+    a deterministic 1/QSK_SCALE value-space error — the question the
+    reference's AggStats-over-intervals tree (stats.rs:7-58) cannot
+    answer from min/max. Every step is integer arithmetic (grid cell
+    by multiply-then-floor, rank test by cross-multiplication), so
+    unlike KLL/t-digest the whole sketch hash-checks cross-engine:
+    the oracle computes the DIRECT one-pass sketch while this query
+    merges per-day partials — hash-equality IS the merge==direct
+    associativity proof (the q_summary_merge pattern).
+
+    At 100 TB: one map-side-combinable (signal, day, bucket) exchange;
+    the persisted tier is days × occupied-cells rows per signal
+    (bounded by the grid, not the row count), and any day-range
+    quantile question answers from the tier alone — never a raw
+    re-scan, never a per-signal sort of fact rows."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        qsk_day_buckets(ev)
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("partial_n").alias("n"))
+    )
+    return quantiles_from_buckets(merged)
+
+
 QUERIES = {
+    "q_quantile_rollup": q_quantile_rollup,
     "q_heavy_hitters": q_heavy_hitters,
     "q_signal_corr": q_signal_corr,
     "q_autocorr": q_autocorr,
@@ -642,6 +743,30 @@ _AC_LAGS = ", ".join(
 )
 
 ORACLES = {
+    # the DIRECT one-pass sketch: hash-equality against the query's
+    # per-day-partial merge IS the merge==direct associativity proof
+    "q_quantile_rollup": f"""
+        WITH counts AS (
+            SELECT user_id,
+                   CAST(floor(value * {QSK_SCALE}) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT user_id, bucket,
+                   sum(n) OVER (PARTITION BY user_id
+                                ORDER BY bucket) AS cum,
+                   sum(n) OVER (PARTITION BY user_id) AS total
+            FROM counts
+        )
+        SELECT user_id, p_micros,
+               CAST(min(bucket) AS BIGINT) AS q_bucket,
+               CAST(max(total) AS BIGINT) AS n_total
+        FROM cum CROSS JOIN (VALUES {", ".join(f"({p})" for p in QSK_PS)})
+             AS t(p_micros)
+        WHERE cum * 1000000 >= p_micros * total
+        GROUP BY user_id, p_micros
+    """,
     "q_heavy_hitters": f"""
         WITH day_counts AS (
             SELECT date_trunc('day', ts) AS day,
