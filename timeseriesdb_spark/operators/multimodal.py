@@ -247,11 +247,195 @@ def q_multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DHASH_GRID = 8        # resized grid side (DHASH_GRID × DHASH_GRID)
+DHASH_ROW_BITS = DHASH_GRID - 1       # horizontal gradients per row
+DHASH_BITS = DHASH_GRID * DHASH_ROW_BITS  # 56-bit fingerprint
+DHASH_BANDS = 4       # pigeonhole bands: hamming ≤ DHASH_T ⇒ ≥1 band equal
+DHASH_BAND_W = DHASH_BITS // DHASH_BANDS  # 14 bits per band
+DHASH_T = 3           # near-dup threshold on fingerprint hamming distance
+DHASH_BAND_DF_CAP = 64  # boilerplate fence: band buckets larger than
+                        # this are dropped before pairing (the
+                        # SHINGLE_DF_CAP discipline — a hot bucket
+                        # would emit df² pairs; real corpora hit this
+                        # on blank/template images)
+
+
+def image_dhash_fingerprints(doc: DataFrame) -> DataFrame:
+    """Difference-hash image fingerprints over the INTEGER-EXACT
+    resized grid: decode → bilinear_gray_exact to a DHASH_GRID² grid
+    of exact rationals N/D (D constant per image) → bit(py, px) = 1
+    iff N[py, px+1] > N[py, px] (strict; ties → 0). Every comparison
+    is int64-vs-int64, so the fingerprint is deterministic down to
+    the bit in ANY engine — which is what lets the whole image-dedup
+    family hash-check cross-engine (dHash on float pixels would not).
+    Emitted as a '01' string like simhash_fingerprints."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g = DHASH_GRID
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = imaging.synth_image(
+                    text.encode("utf-8"), int(doc_id)
+                )
+                _, pix = imaging.decode_image(payload)
+                n, _ = imaging.bilinear_gray_exact(pix, g, g)
+                bits = (n[:, 1:] > n[:, :-1]).ravel()
+                ids.append(doc_id)
+                fps.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "dhash": fps})
+
+    return doc.mapInPandas(extract, "doc_id bigint, dhash string")
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash fingerprint tier itself (doc_id, dhash) — what a
+    production pipeline PERSISTS (partitioned by band key) so later
+    image batches dedup against the store without re-decoding the
+    corpus (the lsh_bands lifecycle, for images)."""
+    return image_dhash_fingerprints(
+        parallelize_small_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            spark,
+        )
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: banded-Hamming LSH over the dHash
+    fingerprints — the multimodal twin of q_minhash_lsh_pairs. The
+    56-bit fingerprint splits into DHASH_BANDS 14-bit bands; by
+    pigeonhole any pair within hamming DHASH_T (= 3 < 4 bands) shares
+    at least one unchanged band, so candidates only form inside a
+    (band, band_key) bucket — an equi-join, never all-pairs — and the
+    exact hamming filter keeps true near-dups. Buckets past
+    DHASH_BAND_DF_CAP are dropped before pairing (blank/template
+    images are the image-space stop-shingles; the cap bounds pair
+    fan-out at df·CAP, and the oracle applies the identical fence).
+
+    Scale: decode + fingerprint is one Arrow-batched corpus pass;
+    pair formation is bucketed (measured linear on the replicated-
+    image probe — cross-replica images differ, so replicas add pairs,
+    never multiply them); hamming is integer band-XOR popcounts.
+
+    NOTE the sf0.01 test corpus genuinely has no image pair within
+    hamming DHASH_T (closest candidate is 11 bits apart) — the 0-row
+    result there is the true answer, and q_image_dedup covers the
+    same machinery with corpus-sized output at every SF."""
+    fp = image_dhash_fingerprints(
+        parallelize_small_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            spark,
+        )
+    )
+    return image_neardup_pairs(fp)
+
+
+def image_neardup_pairs(fp: DataFrame) -> DataFrame:
+    """Banded-Hamming candidate join + exact hamming filter over a
+    fingerprint frame (doc_id, dhash) — see q_image_neardup."""
+    bands = fp.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "dhash", b * DHASH_BAND_W + 1, DHASH_BAND_W
+                        ).alias("bkey"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "dhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey")
+    bands = (
+        bands.withColumn("_df", F.count("*").over(w))
+        .where(F.col("_df") <= DHASH_BAND_DF_CAP)
+        .drop("_df")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("da"),
+            F.col("b.dhash").alias("db"),
+        )
+        .distinct()
+    )
+    band_int = lambda c, i: F.conv(  # noqa: E731
+        F.substring(c, i * DHASH_BAND_W + 1, DHASH_BAND_W), 2, 10
+    ).cast("long")
+    hamming = sum(
+        F.bit_count(band_int("da", i).bitwiseXOR(band_int("db", i)))
+        for i in range(DHASH_BANDS)
+    )
+    return (
+        pairs.select(
+            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+        )
+        .where(F.col("hamming") <= DHASH_T)
+    )
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total image keep/drop decision — the q_semdedup shape for the
+    multimodal column: every document gets a row (doc_id, dhash,
+    keep), keep = 0 iff a smaller-id document's image is within
+    hamming DHASH_T (via the banded pairs). This is the query a
+    curation pipeline actually consumes (q_image_neardup's pair list
+    is its evidence trail), and it stays corpus-sized at every SF.
+    The fingerprint frame is checkpointed so the decode pass runs
+    once, not once per plan branch."""
+    fp = image_dhash_fingerprints(
+        parallelize_small_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            spark,
+        )
+    ).localCheckpoint()
+    dropped = (
+        image_neardup_pairs(fp)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return fp.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        "dhash",
+        F.when(F.col("dropped").isNotNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_checksum": q_multimodal_checksum,
+    "q_image_dhash": q_image_dhash,
+    "q_image_neardup": q_image_neardup,
+    "q_image_dedup": q_image_dedup,
 }
 
 
@@ -300,7 +484,119 @@ _GSUM_CASE = """
                    END AS gsum
 """
 
+# The dHash fingerprint recomputed WITHOUT decoding: the 8×8 exact
+# bilinear grid (integer tap sums N — same geometry as the
+# q_multimodal_resize oracle, division by D skipped since only
+# N-vs-N comparisons matter), then bit = lead(N) > N per row and an
+# ordered string_agg. Shared WITH-chain for both image-dedup oracles.
+_DHASH_FP_SQL = f"""
+        {_DIMS_SQL},
+        g AS (
+            SELECT doc_id, j, {_GSUM_CASE}
+            FROM (
+                SELECT doc_id, hx, n, empty,
+                       unnest(range(0, w * h)) AS j
+                FROM dims
+            )
+        ),
+        c AS (
+            SELECT doc_id, w, h, px, py,
+                   ((2 * px + 1) * w - {DHASH_GRID}) // {2 * DHASH_GRID} AS x0,
+                   ((2 * px + 1) * w - {DHASH_GRID}) % {2 * DHASH_GRID} AS wx,
+                   ((2 * py + 1) * h - {DHASH_GRID}) // {2 * DHASH_GRID} AS y0,
+                   ((2 * py + 1) * h - {DHASH_GRID}) % {2 * DHASH_GRID} AS wy
+            FROM dims,
+                 (SELECT unnest(range(0, {DHASH_GRID})) AS px) tx,
+                 (SELECT unnest(range(0, {DHASH_GRID})) AS py) ty
+        ),
+        c2 AS (
+            SELECT *, LEAST(x0 + 1, w - 1) AS x1,
+                   LEAST(y0 + 1, h - 1) AS y1
+            FROM c
+        ),
+        grid AS (
+            SELECT c2.doc_id, px, py,
+                   g00.gsum * ({2 * DHASH_GRID} - wx) * ({2 * DHASH_GRID} - wy)
+                   + g01.gsum * wx * ({2 * DHASH_GRID} - wy)
+                   + g10.gsum * ({2 * DHASH_GRID} - wx) * wy
+                   + g11.gsum * wx * wy AS nval
+            FROM c2
+            JOIN g g00 ON g00.doc_id = c2.doc_id AND g00.j = y0 * w + x0
+            JOIN g g01 ON g01.doc_id = c2.doc_id AND g01.j = y0 * w + x1
+            JOIN g g10 ON g10.doc_id = c2.doc_id AND g10.j = y1 * w + x0
+            JOIN g g11 ON g11.doc_id = c2.doc_id AND g11.j = y1 * w + x1
+        ),
+        bits AS (
+            SELECT doc_id, py, px,
+                   CASE WHEN lead(nval) OVER (
+                            PARTITION BY doc_id, py ORDER BY px) > nval
+                        THEN '1' ELSE '0' END AS b
+            FROM grid
+        ),
+        fp AS (
+            SELECT doc_id, string_agg(b, '' ORDER BY py, px) AS dhash
+            FROM bits WHERE px < {DHASH_ROW_BITS}
+            GROUP BY doc_id
+        )
+"""
+
 ORACLES: dict[str, str] = {
+    "q_image_dhash": f"""
+        WITH {_DHASH_FP_SQL}
+        SELECT doc_id, dhash FROM fp
+    """,
+    "q_image_neardup": f"""
+        WITH {_DHASH_FP_SQL},
+        bands AS (
+            SELECT doc_id, dhash, band,
+                   substr(dhash, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM fp CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        capped AS (
+            SELECT doc_id, dhash, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM bands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.dhash AS da, b.dhash AS db
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming(da, db) AS BIGINT) AS hamming
+        FROM pairs WHERE hamming(da, db) <= {DHASH_T}
+    """,
+    "q_image_dedup": f"""
+        WITH {_DHASH_FP_SQL},
+        bands AS (
+            SELECT doc_id, dhash, band,
+                   substr(dhash, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM fp CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        capped AS (
+            SELECT doc_id, dhash, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM bands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        dropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+            WHERE hamming(a.dhash, b.dhash) <= {DHASH_T}
+        )
+        SELECT f.doc_id, f.dhash,
+               CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM fp f LEFT JOIN dropped d USING (doc_id)
+    """,
     # Exact-integer bilinear replayed closed-form: the kernel's
     # rational geometry (x0/wx from ((2p+1)·W − out) over 2·out) and
     # integer tap sum N join four gsum lookups; value = N/D is one
