@@ -132,3 +132,29 @@ def test_trim_duplicates_maintenance(spark, tmp_path):
         # n_tokens always consistent with the (possibly new) text
         assert row.n_tokens == (len(row.text.split(" ")) if row.text else 1)
     assert changed > 0, "fixture corpus should contain duplicated spans"
+
+
+def test_trim_duplicates_fixpoint_idempotent(spark, tmp_path):
+    """trim(trim(S)) == trim(S) (r9): with max_rounds high enough to
+    reach the fixpoint, a second full trim of the trimmed store finds
+    NOTHING to remove and reproduces it byte-identically. (One pass is
+    provably not enough — rejoined seams create fresh cross-doc
+    shingles — so this property is what max_rounds exists for.)"""
+    doc = load_table(spark, SF_DIR, "documents")
+    eng = CorpusEngine(spark, str(tmp_path / "corpus"))
+    eng.bootstrap(doc)
+
+    out1 = str(tmp_path / "trim1")
+    n1 = eng.trim_duplicates(out1, max_rounds=16)
+    assert n1 > 0
+
+    eng2 = CorpusEngine(spark, out1)
+    out2 = str(tmp_path / "trim2")
+    n2 = eng2.trim_duplicates(out2, max_rounds=16)
+    assert n2 == 0, "fixpoint trim must leave no duplicated spans"
+
+    t1 = {r.doc_id: (r.text, r.n_tokens, r.split)
+          for r in spark.read.parquet(out1).collect()}
+    t2 = {r.doc_id: (r.text, r.n_tokens, r.split)
+          for r in spark.read.parquet(out2).collect()}
+    assert t1 == t2

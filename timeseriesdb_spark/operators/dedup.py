@@ -986,14 +986,16 @@ _DUP_SPANS_CTES = f"""posed AS (
                        PARTITION BY doc_id ORDER BY pos) AS grp
             FROM hits
         ),
-        spans AS (
+        spans_all AS (
             SELECT doc_id,
                    CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + {SHINGLE_K - 1} AS BIGINT) AS span_end,
                    count(*) AS n_grams
             FROM isl GROUP BY doc_id, grp
-            HAVING max(pos) + {SHINGLE_K - 1} - min(pos) + 1
-                   >= {SPAN_MIN_WORDS}
+        ),
+        spans AS (
+            SELECT * FROM spans_all
+            WHERE span_end - span_start + 1 >= {SPAN_MIN_WORDS}
         )"""
 
 
@@ -1023,6 +1025,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_spans_frame(doc: DataFrame) -> DataFrame:
     """q_dup_spans over any (doc_id, text) frame — the reusable form
     the CorpusEngine maintenance path calls on its own store."""
+    return raw_spans_frame(doc).where(
+        F.col("span_end") - F.col("span_start") + 1 >= SPAN_MIN_WORDS
+    )
+
+
+def raw_spans_frame(doc: DataFrame) -> DataFrame:
+    """Maximal cross-document shingle runs WITHOUT the minimum-length
+    floor — shared by dup_spans_frame (floor = SPAN_MIN_WORDS) and
+    q_span_length_sweep (which grades every candidate floor from one
+    span derivation)."""
     words = F.split(F.col("text"), " ")
     posed = doc.select(
         "doc_id",
@@ -1046,10 +1058,39 @@ def dup_spans_frame(doc: DataFrame) -> DataFrame:
             (F.max("pos") + F.lit(SHINGLE_K - 1)).alias("span_end"),
             F.count("*").alias("n_grams"),
         )
-        .where(
-            F.col("span_end") - F.col("span_start") + 1 >= SPAN_MIN_WORDS
-        )
         .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+SPAN_SWEEP_WORDS = [3, 5, 8, 13, 21]  # candidate SPAN_MIN_WORDS floors
+
+
+def q_span_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-span-length operating curve for the locate→trim policy
+    knob: spans derive ONCE (raw_spans_frame, no floor), then fan out
+    by the candidate floors — at each floor, how many spans survive,
+    how many documents are affected, and how many words the trim
+    would remove (sum of surviving span lengths; islands are disjoint
+    in hit positions, so the overlap between adjacent spans is at
+    most SHINGLE_K−1 words of tail extension). The artifact a
+    pipeline owner reads before pinning SPAN_MIN_WORDS — all integer
+    arithmetic, hash-checked cross-engine."""
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    raw = raw_spans_frame(doc)
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    fanned = raw.select(
+        "doc_id",
+        span_len.alias("span_words"),
+        F.explode(
+            F.array(*[F.lit(m) for m in SPAN_SWEEP_WORDS])
+        ).alias("min_words"),
+    ).where(F.col("span_words") >= F.col("min_words"))
+    return fanned.groupBy("min_words").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("span_words").alias("sum_span_words"),
     )
 
 
@@ -1123,6 +1164,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dup_spans": q_dup_spans,
     "q_trim_spans": q_trim_spans,
+    "q_span_length_sweep": q_span_length_sweep,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dup_ngram_coverage": q_dup_ngram_coverage,
     "q_ngram_containment": q_ngram_containment,
@@ -1232,6 +1274,17 @@ ORACLES = {
     # positioned shingles (pos = 0-based start word): cross-doc dup iff
     # min(doc)≠max(doc) over the shingle window; islands by the
     # pos − row_number constant — all integer, engine-exact.
+    "q_span_length_sweep": f"""
+        WITH {_DUP_SPANS_CTES}
+        SELECT min_words, count(*) AS n_spans,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(span_end - span_start + 1) AS BIGINT)
+                   AS sum_span_words
+        FROM spans_all CROSS JOIN (VALUES {", ".join(
+            f"({m})" for m in SPAN_SWEEP_WORDS)}) AS t(min_words)
+        WHERE span_end - span_start + 1 >= min_words
+        GROUP BY min_words
+    """,
     "q_dup_spans": f"""
         WITH {_DUP_SPANS_CTES}
         SELECT doc_id, span_start, span_end, n_grams FROM spans
