@@ -451,6 +451,9 @@ class SignalEngine:
         "qsk": lambda df: df.groupBy("user_id", "day", "bucket").agg(
             F.sum("partial_n").alias("partial_n")
         ),
+        "terms": lambda df: df.groupBy("source", "term").agg(
+            F.sum("cnt").alias("cnt")
+        ),
         "ngrams": lambda df: df.groupBy("e1", "e2", "e3", "user_id").agg(
             F.sum("n").alias("n")
         ),
@@ -1078,6 +1081,53 @@ class CorpusEngine:
         from timeseriesdb_spark.operators.chunking import chunk_documents
 
         return chunk_documents(self.docs())
+
+    def maintain_trending_terms_stream(
+        self, stream: DataFrame, tier_path: str, checkpoint: str
+    ):
+        """Incremental trending-terms tier — the text twin of
+        SignalEngine.maintain_heavyhitters_stream: each micro-batch of
+        documents writes its (source, term) count partials into its
+        own batch_id partition (idempotent under replay). The partial
+        is linear and the top-K + residual summarization runs
+        downstream of the merged counts, so the streamed read path
+        equals the batch q_trending_terms EXACTLY
+        (tests/test_streaming_trending.py)."""
+        from timeseriesdb_spark.operators.text import term_source_counts
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            term_source_counts(batch_df).write.mode("overwrite").parquet(
+                f"{tier_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def trending_terms(self, tier_path: str) -> DataFrame:
+        """Trending terms from the maintained tier (merge partials,
+        then the SAME finalize as the batch query)."""
+        from timeseriesdb_spark.operators.text import (
+            trending_from_term_counts,
+        )
+
+        merged = (
+            self.spark.read.parquet(tier_path)
+            .groupBy("source", "term")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return trending_from_term_counts(merged)
+
+    def compact_partials(self, path: str, kind: str) -> int:
+        """Delegate to the SignalEngine partial compactor (shared
+        lease/manifest machinery; _PARTIAL_MERGES carries the 'terms'
+        kind this engine maintains)."""
+        return SignalEngine(self.spark, self.path).compact_partials(
+            path, kind
+        )
 
     def trim_duplicates(self, out_path: str, max_rounds: int = 1) -> int:
         """Sub-document dedup maintenance (r8): rewrite the corpus to
