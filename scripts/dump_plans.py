@@ -45,7 +45,11 @@ HEADLINERS = [
     "q_dup_spans",       # r8: shingle window + gaps-and-islands
     "q_heavy_hitters",   # r8: one fact exchange into bounded tier
     "q_keyphrases",      # r8: islands phrases + doc-keyed aggregates
-    "q_lsh_recall",      # r8: two checkpointed pair frames + overlay
+    "q_lsh_recall",      # r9: one-pass truth frame + broadcast overlay
+    "q_ann_recall",      # r9: stratified distributive top-K, int keys
+    "q_quantile_rollup",  # r9: (signal, day, bucket) tier + rank finalize
+    "q_image_neardup",   # r9: Arrow decode pass + banded-Hamming join
+    "q_trending_terms",  # r9: (source, term) tier + HH summarization
 ]
 
 SF = "/root/testdata/sf0.01"

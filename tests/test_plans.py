@@ -738,3 +738,40 @@ def test_heavy_hitters_single_lineage_jvm(spark):
     assert checks.read_schema(df) == ["ts", "value"] or set(
         checks.read_schema(df)
     ) == {"ts", "value"}
+
+
+def test_quantile_rollup_jvm_bounded_windows(spark):
+    # r9: one fact-sized (signal, day, bucket) partial agg + one
+    # merge agg; the cumulative/total windows and the threshold
+    # fan-out run over the BOUNDED bucket frame. All JVM, one scan,
+    # only (ts, value, user_id) read.
+    df = QUERIES["q_quantile_rollup"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert set(checks.read_schema(df)) == {"ts", "value", "user_id"}
+    assert checks.exchange_count(df) <= 4, plan
+
+
+def test_trending_terms_single_fact_exchange(spark):
+    # r9: single plan lineage like heavy hitters — one (source, term)
+    # partial count exchange; every later window runs on the bounded
+    # tier. Only (text, source) read.
+    df = QUERIES["q_trending_terms"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert set(checks.read_schema(df)) == {"text", "source"}
+
+
+def test_image_neardup_single_decode_pass(spark):
+    # r9: the Arrow decode/fingerprint pass (the ONE intentional
+    # Python stage) feeds a band-bucket window + equi-join; the
+    # banded join must be an equi-join (hash/merge), never a
+    # nested-loop cross product, and only (doc_id, text) is read.
+    df = QUERIES["q_image_neardup"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert set(checks.read_schema(df)) == {"doc_id", "text"}
