@@ -47,6 +47,10 @@ PROBES = {
     # residual windows run on the bounded rk<=K+1 tier, so growth must
     # track the fact scan, never the (single-partition) total window
     "q_heavy_hitters": "daily top-K + residual heavy-hitter tier",
+    # r9: the quantile tier is the same one-fact-exchange shape as
+    # heavy hitters; the cumulative windows run over the BOUNDED
+    # bucket frame, so growth must track the scan
+    "q_quantile_rollup": "fixed-grid quantile tier + rank finalize",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,
@@ -75,6 +79,17 @@ DOC_PROBES = {
     # and a row-linearity claim would be dishonest; its islands +
     # doc-keyed-aggregate shape is the q_dup_spans row anyway.)
     "q_lsh_recall": "LSH-vs-exact-Jaccard grading (fixed-rows output)",
+    # r9: one Arrow decode/fingerprint pass + banded-Hamming join;
+    # output is one keep/drop row per document, so rows must read
+    # exactly 16.0x. (The rotation is NOT image-disjoint — dHash is
+    # robust to uniform byte shifts, so cross-replica DECISIONS can
+    # differ from x1's — but the row count is fixed per doc and the
+    # pair join stays bucket-fenced; time is the scale signal.)
+    "q_image_dedup": "dHash fingerprints + banded-Hamming keep/drop",
+    # r9: (source, term) tier + heavy-hitter finalize — the text twin
+    # of q_heavy_hitters; rotation changes terms but not counts per
+    # source, output fixed at HH_M rows (rows column reads 1.0x)
+    "q_trending_terms": "trending-terms tier + HH summarization",
 }
 # embeddings-axis probes: the single-probe ANN scorers (top-k output
 # is k rows regardless of corpus size — cost is the scan+score, which
