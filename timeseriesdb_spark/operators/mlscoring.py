@@ -83,16 +83,23 @@ def _sample_features(spark: SparkSession, sf_dir: str) -> np.ndarray:
         ev.filter(F.col("user_id") < SAMPLE_SIGNALS)
         .select("user_id", "ts", "event_id", "value")
         .toPandas()
-        .sort_values(["user_id", "ts", "event_id"])
     )
+    X = _sample_features_from_pdf(pdf)
+    _SAMPLE_CACHE[sf_dir] = X
+    return X
+
+
+def _sample_features_from_pdf(pdf: "pd.DataFrame") -> np.ndarray:
+    """The numpy feature-extraction body, factored so the Spark path
+    and the lazy-oracle generator (which reads the same rows via
+    DuckDB) derive BYTE-IDENTICAL training samples."""
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
     feats = []
     for _, g in pdf.groupby("user_id", sort=True):
         v = g["value"].to_numpy(dtype=np.float64)
         for s in range(0, len(v) - SEG_ROWS + 1, SEG_ROWS):
             feats.append(_features(v[s : s + SEG_ROWS]))
-    X = np.array(feats)
-    _SAMPLE_CACHE[sf_dir] = X
-    return X
+    return np.array(feats)
 
 
 def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -102,7 +109,12 @@ def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
     the training sample is immutable input."""
     if sf_dir in _CENTERS_CACHE:
         return _CENTERS_CACHE[sf_dir]
-    X = _sample_features(spark, sf_dir)
+    centers = _kmeans_centers_np(_sample_features(spark, sf_dir))
+    _CENTERS_CACHE[sf_dir] = centers
+    return centers
+
+
+def _kmeans_centers_np(X: np.ndarray) -> np.ndarray:
     order = np.argsort(X[:, 0], kind="stable")
     centers = X[order[np.linspace(0, len(X) - 1, N_CLUSTERS).astype(int)]]
     for _ in range(KMEANS_ITERS):
@@ -111,7 +123,6 @@ def _train_kmeans(spark: SparkSession, sf_dir: str) -> np.ndarray:
         for k in range(N_CLUSTERS):
             if (lab == k).any():
                 centers[k] = X[lab == k].mean(axis=0)
-    _CENTERS_CACHE[sf_dir] = centers
     return centers
 
 
@@ -133,8 +144,12 @@ def _train_tree(spark: SparkSession, sf_dir: str) -> tuple:
     centers."""
     if sf_dir in _TREE_CACHE:
         return _TREE_CACHE[sf_dir]
-    X = _sample_features(spark, sf_dir)
+    tree = _tree_np(_sample_features(spark, sf_dir))
+    _TREE_CACHE[sf_dir] = tree
+    return tree
 
+
+def _tree_np(X: np.ndarray) -> tuple:
     def split(rows: np.ndarray) -> tuple[int, float]:
         j = int(rows.var(axis=0).argmax())
         return j, float(np.median(rows[:, j]))
@@ -143,9 +158,7 @@ def _train_tree(spark: SparkSession, sf_dir: str) -> tuple:
     left, right = X[X[:, j0] <= t0], X[X[:, j0] > t0]
     jl, tl = split(left) if len(left) else (j0, t0)
     jr, tr = split(right) if len(right) else (j0, t0)
-    tree = ((j0, t0), (jl, tl), (jr, tr))
-    _TREE_CACHE[sf_dir] = tree
-    return tree
+    return ((j0, t0), (jl, tl), (jr, tr))
 
 
 def _train_forest(spark: SparkSession, sf_dir: str) -> list:
@@ -156,7 +169,10 @@ def _train_forest(spark: SparkSession, sf_dir: str) -> list:
     smallest label), so all trees vote in one shared label space.
     Returns [((j0,t0),(jL,tL),(jR,tr), leaf_labels[4]), ...]."""
     X_all = _sample_features(spark, sf_dir)
-    y_all = _kmeans_labels(X_all, _train_kmeans(spark, sf_dir))
+    return _forest_np(X_all, _kmeans_labels(X_all, _train_kmeans(spark, sf_dir)))
+
+
+def _forest_np(X_all: np.ndarray, y_all: np.ndarray) -> list:
     forest = []
     for i in range(FOREST_TREES):
         X, y = X_all[i::FOREST_TREES], y_all[i::FOREST_TREES]
@@ -193,9 +209,19 @@ def _segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, then aggregated twice: value→chunk (sum, sum², min, max) and
     chunk→segment, with the degraded features derived from the chunk
     means inside the same segment-level pass. std uses the one-pass
-    E[x²]−E[x]² identity (clamped at 0) — exact on the decimal grid.
-    Only complete segments (SEG_ROWS values) are scored, like the
-    reference's fixed-size segment buffer."""
+    E[x²]−E[x]² identity (clamped at 0). Only complete segments
+    (SEG_ROWS values) are scored, like the reference's fixed-size
+    segment buffer.
+
+    ENGINE-EXACT as of r9 (what made the drift family oracle-checkable
+    — the old form divided DECIMALs, whose result scale/rounding is
+    engine-specific): every sum becomes an exact integer in 10⁻⁶
+    units, the chunk mean is the half-up integer division
+    (2|s|+n) div 2n, and the only float ops left are double divisions
+    / subtractions / sqrt of those exact integers — a fixed IEEE
+    sequence DuckDB replays verbatim. Squares round to the same 6dp
+    decimal grid in BOTH the raw (v²) and degraded (cm²) paths, which
+    is also what keeps PAA_CHUNK=1 identity ⇒ bit-equal features."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     rn = F.row_number().over(w) - 1
@@ -206,34 +232,39 @@ def _segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(rn / SEG_ROWS).alias("seg"),
         F.floor(rn / PAA_CHUNK).alias("chunk"),
     )
+    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
     chunks = base.groupBy("user_id", "seg", "chunk").agg(
-        F.sum(F.col("v").cast(DEC)).alias("s"),
-        F.sum((F.col("v") * F.col("v")).cast(DEC)).alias("ss"),
+        units(F.sum(F.col("v").cast(DEC))).alias("s_u"),
+        units(F.sum((F.col("v") * F.col("v")).cast(DEC))).alias("ss_u"),
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
         F.count("*").alias("n"),
     )
-    cm = (F.col("s") / F.col("n")).cast(DEC)  # chunk mean, decimal-exact
+    # chunk mean in exact 1e-6 units: half-up integer division
+    q = F.expr("(2 * abs(s_u) + n) div (2 * n)")
+    cm_u = F.when(F.col("s_u") < 0, -q).otherwise(q)
+    cm = cm_u.cast("double") / F.lit(1_000_000.0)
     segs = (
         chunks.groupBy("user_id", "seg")
         .agg(
-            F.sum("s").alias("S"),
-            F.sum("ss").alias("SS"),
+            F.sum("s_u").alias("su"),
+            F.sum("ss_u").alias("ssu"),
             F.min("mn").alias("f_min"),
             F.max("mx").alias("f_max"),
-            F.sum("n").alias("N"),
-            F.sum(cm).alias("CS"),
-            F.sum((cm * cm).cast(DEC)).alias("CSS"),
-            F.min(cm.cast("double")).alias("d_min"),
-            F.max(cm.cast("double")).alias("d_max"),
+            F.sum("n").alias("nn"),
+            F.sum(cm_u).alias("cs_u"),
+            units(F.sum((cm * cm).cast(DEC))).alias("css_u"),
+            F.min(cm).alias("d_min"),
+            F.max(cm).alias("d_max"),
             F.count("*").alias("n_chunks"),
         )
-        .where(F.col("N") == SEG_ROWS)
+        .where(F.col("nn") == SEG_ROWS)
     )
-    mean = (F.col("S") / F.col("N")).cast("double")
-    m2 = (F.col("SS") / F.col("N")).cast("double")
-    dmean = (F.col("CS") / F.col("n_chunks")).cast("double")
-    dm2 = (F.col("CSS") / F.col("n_chunks")).cast("double")
+    mega = F.lit(1_000_000.0)
+    mean = F.col("su").cast("double") / F.col("nn") / mega
+    m2 = F.col("ssu").cast("double") / F.col("nn") / mega
+    dmean = F.col("cs_u").cast("double") / F.col("n_chunks") / mega
+    dm2 = F.col("css_u").cast("double") / F.col("n_chunks") / mega
     std = F.sqrt(F.greatest(m2 - mean * mean, F.lit(0.0)))
     dstd = F.sqrt(F.greatest(dm2 - dmean * dmean, F.lit(0.0)))
     return segs.select(
@@ -351,7 +382,12 @@ def q_knn_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not len(feats):
             return pd.Series([], dtype="int32")
-        d2 = ((feats[:, None, :] - Xt[None, :, :]) ** 2).sum(axis=2)
+        # explicit LEFT-ASSOCIATIVE term order (((t0+t1)+t2)+t3) — the
+        # same fixed IEEE sequence the kmeans Column chain and the
+        # DuckDB oracle use, so argmin ties cannot flip cross-engine
+        # (np.sum's pairwise order would differ in the last ulp)
+        sq = (feats[:, None, :] - Xt[None, :, :]) ** 2
+        d2 = ((sq[:, :, 0] + sq[:, :, 1]) + sq[:, :, 2]) + sq[:, :, 3]
         return pd.Series(yt[d2.argmin(axis=1)]).astype("int32")
 
     return _drift_result(spark, sf_dir, lambda f: knn_label(*f))
@@ -401,4 +437,284 @@ QUERIES = {
     "q_knn_drift": q_knn_drift,
     "q_forest_drift": q_forest_drift,
 }
-ORACLES: dict[str, str] = {}  # iterative/model training → rows-only checks
+ORACLES: dict[str, str] = {}
+
+# ---- lazy DuckDB oracles (r9) ---------------------------------------
+# The drift family became oracle-checkable once _segment_features moved
+# to integer-unit arithmetic: the oracle replays the feature math as
+# the identical IEEE sequence, retrains the models with the identical
+# numpy kernels on the identical sample rows (read via DuckDB), and
+# spells each label function as the same literal CASE/LEAST chains the
+# Spark plan compiles to.
+
+_FEATS_SQL = f"""
+        rnn AS (
+            SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS v,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS rn
+            FROM events
+        ),
+        chunks AS (
+            SELECT user_id, rn // {SEG_ROWS} AS seg,
+                   rn // {PAA_CHUNK} AS chunk,
+                   CAST(sum(CAST(v AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS s_u,
+                   CAST(sum(CAST(v * v AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS ss_u,
+                   min(v) AS mn, max(v) AS mx, count(*) AS n
+            FROM rnn GROUP BY 1, 2, 3
+        ),
+        cmd AS (
+            SELECT *, CAST(cm_u AS DOUBLE) / 1000000.0 AS cm FROM (
+                SELECT *, CASE WHEN s_u < 0
+                               THEN -((2 * abs(s_u) + n) // (2 * n))
+                               ELSE (2 * abs(s_u) + n) // (2 * n)
+                          END AS cm_u
+                FROM chunks
+            )
+        ),
+        segs AS (
+            SELECT user_id, seg,
+                   CAST(sum(s_u) AS BIGINT) AS su,
+                   CAST(sum(ss_u) AS BIGINT) AS ssu,
+                   min(mn) AS f_min, max(mx) AS f_max,
+                   CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(cm_u) AS BIGINT) AS cs_u,
+                   CAST(sum(CAST(cm * cm AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS css_u,
+                   min(cm) AS d_min, max(cm) AS d_max,
+                   count(*) AS n_chunks
+            FROM cmd GROUP BY 1, 2
+            HAVING CAST(sum(n) AS BIGINT) = {SEG_ROWS}
+        ),
+        feats AS (
+            SELECT user_id, seg,
+                   CAST(su AS DOUBLE) / nn / 1000000.0 AS f_mean,
+                   sqrt(greatest(CAST(ssu AS DOUBLE) / nn / 1000000.0
+                        - (CAST(su AS DOUBLE) / nn / 1000000.0)
+                        * (CAST(su AS DOUBLE) / nn / 1000000.0), 0.0))
+                       AS f_std,
+                   f_min, f_max,
+                   CAST(cs_u AS DOUBLE) / n_chunks / 1000000.0 AS d_mean,
+                   sqrt(greatest(CAST(css_u AS DOUBLE) / n_chunks
+                            / 1000000.0
+                        - (CAST(cs_u AS DOUBLE) / n_chunks / 1000000.0)
+                        * (CAST(cs_u AS DOUBLE) / n_chunks / 1000000.0),
+                        0.0)) AS d_std,
+                   d_min, d_max
+            FROM segs
+        )
+"""
+
+_RAW_COLS = ("f_mean", "f_std", "f_min", "f_max")
+_DEG_COLS = ("d_mean", "d_std", "d_min", "d_max")
+
+
+def _dk(x) -> str:
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _drift_tail_sql(labeled_sql: str) -> str:
+    """Shared finalize: labeled (user_id, lr, ld) → the _drift_result
+    rollup, every-signal rows included."""
+    return f"""
+        WITH {_FEATS_SQL},
+        {labeled_sql},
+        per_user AS (
+            SELECT user_id, count(*) AS n_segments,
+                   CAST(sum(CASE WHEN lr = ld THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM labeled GROUP BY user_id
+        ),
+        users AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(p.n_agree, 0) AS BIGINT) AS n_agree,
+               CASE WHEN coalesce(p.n_segments, 0) > 0
+                    THEN round(p.n_agree / p.n_segments, 6)
+               END AS agree_rate
+        FROM users u LEFT JOIN per_user p USING (user_id)
+    """
+
+
+def _oracle_sample(sf_dir: str | None) -> np.ndarray:
+    """The training sample via DuckDB — byte-identical to
+    _sample_features (same rows, same sort, same numpy body)."""
+    import os
+
+    import duckdb
+
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+        )
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT user_id, ts, event_id, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id < {SAMPLE_SIGNALS}"
+    ).fetch_df()
+    return sf_dir, _sample_features_from_pdf(pdf)
+
+
+def _kmeans_dists_sql(C: np.ndarray, cols) -> list[str]:
+    return [
+        " + ".join(
+            f"({cols[j]} - {_dk(C[k, j])}) * ({cols[j]} - {_dk(C[k, j])})"
+            for j in range(4)
+        )
+        for k in range(N_CLUSTERS)
+    ]
+
+
+def _argmin_case_sql(names: list[str]) -> str:
+    m = f"least({', '.join(names)})"
+    whens = " ".join(
+        f"WHEN {names[k]} = {m} THEN {k}"
+        for k in range(len(names) - 1)
+    )
+    return f"CASE {whens} ELSE {len(names) - 1} END"
+
+
+_KM_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _kmeans_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir, X = _oracle_sample(sf_dir)
+    if sf_dir not in _KM_ORACLE_CACHE:
+        C = _kmeans_centers_np(X)
+        labeled = f"""dists AS (
+            SELECT user_id, seg,
+                   {", ".join(f"{d} AS dr{k}" for k, d in
+                              enumerate(_kmeans_dists_sql(C, _RAW_COLS)))},
+                   {", ".join(f"{d} AS dd{k}" for k, d in
+                              enumerate(_kmeans_dists_sql(C, _DEG_COLS)))}
+            FROM feats
+        ),
+        labeled AS (
+            SELECT user_id,
+                   {_argmin_case_sql([f"dr{k}" for k in range(N_CLUSTERS)])}
+                       AS lr,
+                   {_argmin_case_sql([f"dd{k}" for k in range(N_CLUSTERS)])}
+                       AS ld
+            FROM dists
+        )"""
+        _KM_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+    return _KM_ORACLE_CACHE[sf_dir]
+
+
+def _tree_case_sql(tree, cols) -> str:
+    (j0, t0), (jl, tl), (jr, tr) = tree
+    return (
+        f"CASE WHEN {cols[j0]} <= {_dk(t0)} THEN "
+        f"(CASE WHEN {cols[jl]} <= {_dk(tl)} THEN 0 ELSE 1 END) "
+        f"ELSE (CASE WHEN {cols[jr]} <= {_dk(tr)} THEN 2 ELSE 3 END) END"
+    )
+
+
+_TREE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _tree_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir, X = _oracle_sample(sf_dir)
+    if sf_dir not in _TREE_ORACLE_CACHE:
+        tree = _tree_np(X)
+        labeled = f"""labeled AS (
+            SELECT user_id,
+                   {_tree_case_sql(tree, _RAW_COLS)} AS lr,
+                   {_tree_case_sql(tree, _DEG_COLS)} AS ld
+            FROM feats
+        )"""
+        _TREE_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+    return _TREE_ORACLE_CACHE[sf_dir]
+
+
+def _forest_label_sql(forest, cols) -> str:
+    votes = []
+    for k in range(N_CLUSTERS):
+        terms = []
+        for (j0, t0), (jl, tl), (jr, tr), leaves in forest:
+            leaf = (
+                f"CASE WHEN {cols[j0]} <= {_dk(t0)} THEN "
+                f"(CASE WHEN {cols[jl]} <= {_dk(tl)} THEN {leaves[0]}"
+                f" ELSE {leaves[1]} END) "
+                f"ELSE (CASE WHEN {cols[jr]} <= {_dk(tr)} THEN {leaves[2]}"
+                f" ELSE {leaves[3]} END) END"
+            )
+            terms.append(f"(CASE WHEN ({leaf}) = {k} THEN 1 ELSE 0 END)")
+        votes.append(" + ".join(terms))
+    names = [f"({v})" for v in votes]
+    m = f"greatest({', '.join(names)})"
+    whens = " ".join(
+        f"WHEN {names[k]} = {m} THEN {k}" for k in range(N_CLUSTERS - 1)
+    )
+    return f"CASE {whens} ELSE {N_CLUSTERS - 1} END"
+
+
+_FOREST_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _forest_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir, X = _oracle_sample(sf_dir)
+    if sf_dir not in _FOREST_ORACLE_CACHE:
+        forest = _forest_np(X, _kmeans_labels(X, _kmeans_centers_np(X)))
+        labeled = f"""labeled AS (
+            SELECT user_id,
+                   {_forest_label_sql(forest, _RAW_COLS)} AS lr,
+                   {_forest_label_sql(forest, _DEG_COLS)} AS ld
+            FROM feats
+        )"""
+        _FOREST_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+    return _FOREST_ORACLE_CACHE[sf_dir]
+
+
+_KNN_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _knn_drift_oracle(sf_dir: str | None = None) -> str:
+    """1-NN labels as a rank over the literal sample table: d² spelled
+    in the SAME left-associative term order the pandas UDF computes,
+    first-occurrence argmin as (d², sample idx) row_number."""
+    sf_dir, X = _oracle_sample(sf_dir)
+    if sf_dir not in _KNN_ORACLE_CACHE:
+        y = _kmeans_labels(X, _kmeans_centers_np(X))
+        rows = ", ".join(
+            f"({i}, {_dk(X[i, 0])}, {_dk(X[i, 1])}, {_dk(X[i, 2])},"
+            f" {_dk(X[i, 3])}, {int(y[i])})"
+            for i in range(len(X))
+        )
+
+        def rank(cols) -> str:
+            d2 = (
+                f"({cols[0]} - s.m0) * ({cols[0]} - s.m0)"
+                f" + ({cols[1]} - s.s0) * ({cols[1]} - s.s0)"
+                f" + ({cols[2]} - s.n0) * ({cols[2]} - s.n0)"
+                f" + ({cols[3]} - s.x0) * ({cols[3]} - s.x0)"
+            )
+            return (
+                f"SELECT user_id, seg, y, row_number() OVER ("
+                f"PARTITION BY user_id, seg ORDER BY {d2}, s.idx) AS rk"
+                f" FROM feats CROSS JOIN sample s"
+            )
+
+        labeled = f"""sample(idx, m0, s0, n0, x0, y) AS (VALUES {rows}),
+        lr AS (SELECT user_id, seg, y AS lr FROM ({rank(_RAW_COLS)})
+               WHERE rk = 1),
+        ld AS (SELECT user_id, seg, y AS ld FROM ({rank(_DEG_COLS)})
+               WHERE rk = 1),
+        labeled AS (
+            SELECT l.user_id, l.lr, d.ld
+            FROM lr l JOIN ld d USING (user_id, seg)
+        )"""
+        _KNN_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+    return _KNN_ORACLE_CACHE[sf_dir]
+
+
+LAZY_ORACLES = {
+    "q_kmeans_drift": _kmeans_drift_oracle,
+    "q_tree_drift": _tree_drift_oracle,
+    "q_knn_drift": _knn_drift_oracle,
+    "q_forest_drift": _forest_drift_oracle,
+}
