@@ -43,3 +43,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_lazy_oracle_failure_falls_back_to_rows_only(monkeypatch):
+    """A lazy factory that raises must OMIT its entry (the driver then
+    records the weaker rows-only check) — never error the whole
+    oracle_sql() surface."""
+    from timeseriesdb_spark import registry
+
+    name = sorted(LAZY_ORACLES)[0]
+
+    def boom() -> str:
+        raise RuntimeError("testdata unavailable")
+
+    monkeypatch.setitem(registry.LAZY_ORACLES, name, boom)
+    resolved = registry.resolve_oracles()
+    assert name not in resolved
+    # static oracles unaffected
+    assert set(ORACLES) <= set(resolved)
