@@ -75,6 +75,61 @@ def test_dedup_decision_consistent_with_pairs(spark):
         assert r.keep == (0 if r.doc_id in dropped else 1)
 
 
+def test_incremental_stored_probe_parity(spark, tmp_path):
+    """Probing the persisted band_key-bucketed dHash store must give
+    the IDENTICAL keep/drop frame as the inline corpus derivation —
+    the store is a cache, never a semantics change. Also pins the
+    keep-first rule: an injected exact copy of a corpus image is
+    dup_of_corpus, a batch-internal copy pair flags only its LARGER
+    doc_id."""
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+    from timeseriesdb_spark.operators.multimodal import (
+        incremental_image_neardup,
+        incremental_image_neardup_stored,
+        write_dhash_store,
+    )
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    corpus = doc.where(F.col("source") == CORPUS_SOURCE)
+    # batch = the other sources PLUS an exact copy of one corpus doc
+    # and a batch-internal duplicate pair (ids far above the corpus)
+    c0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+    b0 = (
+        doc.where(F.col("source") != CORPUS_SOURCE)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, c0.text, "srcX"),   # dup of corpus
+            (9_000_002, b0.text, "srcX"),   # dup of earlier batch doc
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = doc.where(F.col("source") != CORPUS_SOURCE).unionByName(extra)
+
+    inline = {
+        r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
+        for r in incremental_image_neardup(batch, corpus).collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS dhash_probe_test")
+    write_dhash_store(corpus, "dhash_probe_test")
+    stored = {
+        r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
+        for r in incremental_image_neardup_stored(
+            spark, batch, "dhash_probe_test"
+        ).collect()
+    }
+    assert inline == stored
+    assert inline[9_000_001][0] == 1 and inline[9_000_001][2] == 0
+    assert inline[9_000_002][1] == 1 and inline[9_000_002][2] == 0
+    # the ORIGINAL batch doc keeps (keep-first: only the later copy drops)
+    assert inline[b0.doc_id][1] == 0
+
+
 _AB = "abcdefghijklmnopqrstuvwxyz"
 _REP_STRIDE = 1_000_000
 

@@ -333,45 +333,64 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(fp)
 
 
-def image_neardup_pairs(fp: DataFrame) -> DataFrame:
-    """Banded-Hamming candidate join + exact hamming filter over a
-    fingerprint frame (doc_id, dhash) — see q_image_neardup."""
+def image_bands(fp: DataFrame, cap: bool = True) -> DataFrame:
+    """Explode a fingerprint frame into (doc_id, dhash, band_key) rows
+    — the frame a production pipeline PERSISTS (write_dhash_store,
+    bucketed by band_key) so later image batches probe it without
+    re-decoding the corpus. band_key = '<band>:<14 bits>' (one string
+    column so the store can bucket on it). With cap=True, buckets past
+    DHASH_BAND_DF_CAP are dropped (the image-space stop-shingle
+    fence); probes leave their small batch side uncapped."""
     bands = fp.select(
         "doc_id",
         "dhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
+                    F.concat(
+                        F.lit(f"{b}:"),
                         F.substring(
                             "dhash", b * DHASH_BAND_W + 1, DHASH_BAND_W
-                        ).alias("bkey"),
+                        ),
                     )
                     for b in range(DHASH_BANDS)
                 ]
             )
-        ).alias("bk"),
-    ).select(
-        "doc_id",
-        "dhash",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bkey").alias("bkey"),
+        ).alias("band_key"),
     )
+    if not cap:
+        return bands
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "bkey")
-    bands = (
+    w = Window.partitionBy("band_key")
+    return (
         bands.withColumn("_df", F.count("*").over(w))
         .where(F.col("_df") <= DHASH_BAND_DF_CAP)
         .drop("_df")
     )
+
+
+def _dhash_hamming(ca: str, cb: str) -> "F.Column":
+    """Exact hamming distance between two '01' fingerprint columns:
+    per-band binary→long conversion, XOR, popcount — all JVM."""
+    band_int = lambda c, i: F.conv(  # noqa: E731
+        F.substring(c, i * DHASH_BAND_W + 1, DHASH_BAND_W), 2, 10
+    ).cast("long")
+    return sum(
+        F.bit_count(band_int(ca, i).bitwiseXOR(band_int(cb, i)))
+        for i in range(DHASH_BANDS)
+    ).cast("bigint")
+
+
+def image_neardup_pairs(fp: DataFrame) -> DataFrame:
+    """Banded-Hamming candidate join + exact hamming filter over a
+    fingerprint frame (doc_id, dhash) — see q_image_neardup."""
+    bands = image_bands(fp, cap=True)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -382,16 +401,9 @@ def image_neardup_pairs(fp: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    band_int = lambda c, i: F.conv(  # noqa: E731
-        F.substring(c, i * DHASH_BAND_W + 1, DHASH_BAND_W), 2, 10
-    ).cast("long")
-    hamming = sum(
-        F.bit_count(band_int("da", i).bitwiseXOR(band_int("db", i)))
-        for i in range(DHASH_BANDS)
-    )
     return (
         pairs.select(
-            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+            "doc_a", "doc_b", _dhash_hamming("da", "db").alias("hamming")
         )
         .where(F.col("hamming") <= DHASH_T)
     )
@@ -428,6 +440,115 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_dhash_store(corpus: DataFrame, table: str) -> None:
+    """Persist the corpus dHash band index as a band_key-bucketed
+    catalog table (the image twin of dedup.write_band_store):
+    fingerprints are computed ONCE at index build — every later image
+    batch probes the store with no corpus re-decode, and the probe
+    join co-locates on band_key with no exchange on the corpus side.
+    Stored CAPPED (DHASH_BAND_DF_CAP): hot buckets are blank/template
+    images, dropped at write so no probe ever fans out on them."""
+    from timeseriesdb_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        image_bands(image_dhash_fingerprints(corpus), cap=True),
+        table,
+        key="band_key",
+        sort_by=None,
+    )
+
+
+def incremental_image_neardup(
+    batch: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Incremental IMAGE dedup: for each batch document, is its image
+    within hamming DHASH_T of (a) any corpus image — dup_of_corpus —
+    or (b) any EARLIER batch image (smaller doc_id, keep-first) —
+    dup_of_batch. keep = 1 iff neither. The multimodal twin of
+    dedup.incremental_neardup: the corpus never re-decodes at probe
+    time when the band frame comes from write_dhash_store
+    (incremental_image_neardup_stored)."""
+    return _image_incremental_from_bands(
+        batch, image_bands(image_dhash_fingerprints(corpus), cap=True)
+    )
+
+
+def incremental_image_neardup_stored(
+    spark: SparkSession, batch: DataFrame, band_table: str
+) -> DataFrame:
+    """:func:`incremental_image_neardup` against a persisted dHash
+    band index."""
+    return _image_incremental_from_bands(batch, spark.table(band_table))
+
+
+def _image_incremental_from_bands(
+    batch: DataFrame, bands_c: DataFrame
+) -> DataFrame:
+    # one decode of the batch feeds both probe joins (the
+    # _incremental_from_bands checkpoint discipline: the batch is the
+    # small side by construction; eager so the single materialization
+    # is shared across the plan's branches)
+    fp_b = image_dhash_fingerprints(
+        batch.select("doc_id", "text")
+    ).localCheckpoint()
+    bands_b = image_bands(fp_b, cap=False)
+    a = bands_b.alias("a")
+    ham = _dhash_hamming("a.dhash", "b.dhash")
+    corpus_hits = (
+        a.join(bands_c.alias("b"), F.col("a.band_key") == F.col("b.band_key"))
+        .where(ham <= DHASH_T)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    batch_hits = (
+        a.join(
+            bands_b.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .where(ham <= DHASH_T)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    c_flag = corpus_hits.withColumn("dup_of_corpus", F.lit(1))
+    b_flag = batch_hits.withColumn("dup_of_batch", F.lit(1))
+    return (
+        fp_b.select("doc_id")
+        .join(c_flag, "doc_id", "left")
+        .join(b_flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_corpus", F.lit(0)).alias("dup_of_corpus"),
+            F.coalesce("dup_of_batch", F.lit(0)).alias("dup_of_batch"),
+            F.when(
+                F.col("dup_of_corpus").isNull()
+                & F.col("dup_of_batch").isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+def q_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup with documents split by source: `src0`
+    plays the already-indexed corpus, every other source the incoming
+    batch (the q_incremental_neardup convention)."""
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        ),
+        spark,
+    )
+    return incremental_image_neardup(
+        doc.where(F.col("source") != CORPUS_SOURCE),
+        doc.where(F.col("source") == CORPUS_SOURCE),
+    )
+
+
 QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_meta": q_multimodal_meta,
@@ -436,6 +557,7 @@ QUERIES = {
     "q_image_dhash": q_image_dhash,
     "q_image_neardup": q_image_neardup,
     "q_image_dedup": q_image_dedup,
+    "q_image_incremental": q_image_incremental,
 }
 
 
@@ -569,6 +691,59 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, CAST(hamming(da, db) AS BIGINT) AS hamming
         FROM pairs WHERE hamming(da, db) <= {DHASH_T}
+    """,
+    "q_image_incremental": f"""
+        WITH {_DHASH_FP_SQL},
+        fps AS (
+            SELECT f.doc_id, f.dhash, d.source
+            FROM fp f JOIN documents d USING (doc_id)
+        ),
+        cb AS (
+            SELECT doc_id, dhash, band_key FROM (
+                SELECT *, count(*) OVER (PARTITION BY band_key) AS df
+                FROM (
+                    SELECT doc_id, dhash,
+                           CAST(band AS VARCHAR) || ':' ||
+                           substr(dhash,
+                                  CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                                  {DHASH_BAND_W}) AS band_key
+                    FROM fps CROSS JOIN
+                         (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+                    WHERE source = 'src0'
+                )
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        bb AS (
+            SELECT doc_id, dhash,
+                   CAST(band AS VARCHAR) || ':' ||
+                   substr(dhash, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS band_key
+            FROM fps CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+            WHERE source != 'src0'
+        ),
+        c_hits AS (
+            SELECT DISTINCT a.doc_id
+            FROM bb a JOIN cb b USING (band_key)
+            WHERE hamming(a.dhash, b.dhash) <= {DHASH_T}
+        ),
+        b_hits AS (
+            SELECT DISTINCT a.doc_id
+            FROM bb a JOIN bb b
+              ON a.band_key = b.band_key AND a.doc_id > b.doc_id
+            WHERE hamming(a.dhash, b.dhash) <= {DHASH_T}
+        )
+        SELECT f.doc_id,
+               CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS dup_of_corpus,
+               CAST(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS dup_of_batch,
+               CAST(CASE WHEN c.doc_id IS NULL AND b.doc_id IS NULL
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM fps f
+        LEFT JOIN c_hits c USING (doc_id)
+        LEFT JOIN b_hits b USING (doc_id)
+        WHERE f.source != 'src0'
     """,
     "q_image_dedup": f"""
         WITH {_DHASH_FP_SQL},
