@@ -115,14 +115,22 @@ def test_incremental_stored_probe_parity(spark, tmp_path):
         r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
         for r in incremental_image_neardup(batch, corpus).collect()
     }
+    # a previous session may have left the managed-table LOCATION
+    # behind without its catalog entry (DROP alone won't clear it)
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS dhash_probe_test")
-    write_dhash_store(corpus, "dhash_probe_test")
-    stored = {
-        r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
-        for r in incremental_image_neardup_stored(
-            spark, batch, "dhash_probe_test"
-        ).collect()
-    }
+    shutil.rmtree("spark-warehouse/dhash_probe_test", ignore_errors=True)
+    try:
+        write_dhash_store(corpus, "dhash_probe_test")
+        stored = {
+            r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
+            for r in incremental_image_neardup_stored(
+                spark, batch, "dhash_probe_test"
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dhash_probe_test")
     assert inline == stored
     assert inline[9_000_001][0] == 1 and inline[9_000_001][2] == 0
     assert inline[9_000_002][1] == 1 and inline[9_000_002][2] == 0
