@@ -224,3 +224,60 @@ def test_replicated_probe_pairs_linear(spark, replicated_corpus):
     # k² envelope (each rotation contributes its own ~x1-sized set)
     assert counts[4] >= 4 * 10
     assert counts[4] <= 4 * counts[1] + 4 * 10
+
+
+def test_image_probe_stream_matches_batch(spark, tmp_path):
+    """Streamed image probe drops exactly the batch
+    incremental_image_neardup dup_of_corpus set, statelessly, with
+    original columns surviving. The sf corpus has no true image
+    near-dups across the source split, so a corpus-image copy is
+    injected into the batch to make the drop set non-empty."""
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+    from timeseriesdb_spark.operators.multimodal import (
+        image_bands,
+        image_dhash_fingerprints,
+        image_probe_stream,
+        incremental_image_neardup,
+    )
+
+    src = str(tmp_path / "isrc")
+    out = str(tmp_path / "iout")
+    ckpt = str(tmp_path / "ickpt")
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    corpus = doc.where(F.col("source") == CORPUS_SOURCE)
+    c0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [(9_000_001, c0.text, "srcX")],
+        "doc_id long, text string, source string",
+    )
+    batch = doc.where(F.col("source") != CORPUS_SOURCE).unionByName(extra)
+    batch.coalesce(3).write.mode("overwrite").parquet(src)
+
+    bands = image_bands(image_dhash_fingerprints(corpus), cap=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        image_probe_stream(stream, bands)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    flags = incremental_image_neardup(batch, corpus).collect()
+    expect = {r.doc_id for r in flags if r.dup_of_corpus == 0}
+    dropped = {r.doc_id for r in flags if r.dup_of_corpus == 1}
+    assert 9_000_001 in dropped
+    assert kept == expect
+    assert {"doc_id", "text", "source", "dhash"} <= set(
+        spark.read.parquet(out).columns
+    )

@@ -531,6 +531,70 @@ def _image_incremental_from_bands(
     )
 
 
+def dhash_with_carry(doc: DataFrame) -> DataFrame:
+    """image_dhash_fingerprints with ALL input columns passed through
+    — the streaming-friendly form (one stateless Arrow pass appending
+    a dhash column; no aggregation state, so it runs unchanged on a
+    readStream frame)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(doc.schema.fields) + [StructField("dhash", StringType())]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g = DHASH_GRID
+        for pdf in batches:
+            fps = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = imaging.synth_image(
+                    text.encode("utf-8"), int(doc_id)
+                )
+                _, pix = imaging.decode_image(payload)
+                n, _ = imaging.bilinear_gray_exact(pix, g, g)
+                bits = (n[:, 1:] > n[:, :-1]).ravel()
+                fps.append("".join("1" if b else "0" for b in bits))
+            out = pdf.copy()
+            out["dhash"] = fps
+            yield out
+
+    return doc.mapInPandas(extract, out_schema)
+
+
+def image_probe_stream(
+    stream: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Drop streamed documents whose IMAGE is within hamming DHASH_T
+    of the existing corpus — incremental_image_neardup's corpus check
+    on the ingest path, stateless (the multimodal twin of
+    streaming/curation.neardup_probe_stream): one Arrow fingerprint
+    pass (no aggregation state), then one LEFT ANTI stream-static
+    join per band against the persisted dHash index
+    (write_dhash_store), each an equi-join on band_key with the exact
+    hamming refinement as a residual predicate. State store: none — a
+    replayed micro-batch re-probes to the same answer. Within-stream
+    image dups stay the periodic batch pass (q_image_dedup), the same
+    lambda split as text."""
+    cur = dhash_with_carry(stream)
+    for b in range(DHASH_BANDS):
+        key = F.concat(
+            F.lit(f"{b}:"),
+            F.substring(
+                F.col("a.dhash"), b * DHASH_BAND_W + 1, DHASH_BAND_W
+            ),
+        )
+        cond = (key == F.col("c.band_key")) & (
+            _dhash_hamming("a.dhash", "c.dhash") <= DHASH_T
+        )
+        cur = (
+            cur.alias("a")
+            .join(corpus_bands.alias("c"), cond, "left_anti")
+        )
+    return cur
+
+
 def q_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental image dedup with documents split by source: `src0`
     plays the already-indexed corpus, every other source the incoming
