@@ -103,6 +103,10 @@ EMB_PROBES = {
     "q_ann_quantized": "fixed-point integer-dot top-k",
     "q_ann_ivf": "IVF cell-pruned top-k",
     "q_ann_pq": "PQ ADC top-k",
+    # r9: the recall grader — stratified distributive top-K whose
+    # exchanges carry candidate arrays, never corpus-sized rows;
+    # output fixed at 3·PROBES rows, so time is the signal
+    "q_ann_recall": "LSH/IVF/PQ recall grading (stratified top-K)",
 }
 USER_STRIDE = 1_000_000  # >> max user_id, keeps replicas disjoint
 EVENT_STRIDE = 1_000_000_000
