@@ -1076,6 +1076,17 @@ class CorpusEngine:
 
         write_band_store(self.docs(), table)
 
+    def build_image_index(self, table: str) -> None:
+        """Persist the corpus dHash band index (the image twin of
+        build_band_index, multimodal.write_dhash_store) — later image
+        batches dedup against the store without re-decoding the
+        corpus (incremental_image_neardup_stored / image_probe_stream)."""
+        from timeseriesdb_spark.operators.multimodal import (
+            write_dhash_store,
+        )
+
+        write_dhash_store(self.docs(), table)
+
     def chunks(self) -> DataFrame:
         """Sliding-window chunks of the corpus (embedding front door)."""
         from timeseriesdb_spark.operators.chunking import chunk_documents
