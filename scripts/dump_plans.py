@@ -50,6 +50,7 @@ HEADLINERS = [
     "q_quantile_rollup",  # r9: (signal, day, bucket) tier + rank finalize
     "q_image_neardup",   # r9: Arrow decode pass + banded-Hamming join
     "q_trending_terms",  # r9: (source, term) tier + HH summarization
+    "q_image_incremental",  # r9: checkpointed batch decode, band probes
 ]
 
 SF = "/root/testdata/sf0.01"
