@@ -32,14 +32,15 @@ from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timeseriesdb_spark.functions import imaging
+from timeseriesdb_spark.functions import audio, imaging
 from timeseriesdb_spark.operators.common import parallelize_small_scan
 from timeseriesdb_spark.tables import load_table
 
-# Ship the imaging module BY VALUE inside every serialized closure:
-# executors don't need timeseriesdb_spark on their PYTHONPATH (the
-# same reason the streaming kernels inline their helpers).
+# Ship the imaging/audio modules BY VALUE inside every serialized
+# closure: executors don't need timeseriesdb_spark on their PYTHONPATH
+# (the same reason the streaming kernels inline their helpers).
 _cloudpickle.register_pickle_by_value(imaging)
+_cloudpickle.register_pickle_by_value(audio)
 
 REAL_DECODE = True  # round 5: pure-numpy BMP/PPM decode, no stub left
 
@@ -613,6 +614,101 @@ def q_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUD_FRAME = 64  # samples per analysis frame (complete frames only)
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payload → typed metadata (n_bytes, sample_rate,
+    n_samples, duration_ms), with everything READ BACK from a real
+    RIFF/PCM16 decode (functions/audio.py): per signal the event
+    values synthesize into an actual WAV file whose header the kernel
+    re-parses. Oracle-checked: DuckDB derives the same numbers closed
+    form from the synthesis contract (n_bytes = 44 + 2n for the
+    canonical single fmt/data layout; duration_ms = n·1000 // rate)."""
+    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def meta(g: pd.DataFrame) -> pd.DataFrame:
+        payload = audio.synth_audio(g["value"].to_numpy())
+        rate, samples = audio.decode_wav(payload)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_bytes": [len(payload)],
+                "sample_rate": [rate],
+                "n_samples": [len(samples)],
+                "duration_ms": [len(samples) * 1000 // rate],
+            }
+        )
+
+    return packed_grouped_map(
+        ev,
+        meta,
+        "user_id bigint, n_bytes bigint, sample_rate bigint, "
+        "n_samples bigint, duration_ms bigint",
+    )
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio feature extraction over DECODED samples —
+    the feature-extract / frame-sample stage of an audio pipeline
+    (what an audio model's frontend computes before embedding): per
+    complete AUD_FRAME-sample frame, the exact integer energy Σs²,
+    peak |s|, and the zero-crossing count (sign products < 0 between
+    adjacent samples within the frame). ALL INTEGER over int16
+    samples (energy ≤ 64·32768² ≈ 6.9e10, safely int64), so the
+    whole feature table hash-checks cross-engine: the oracle
+    recomputes the samples closed-form from the synthesis contract
+    (round + clamp) and replays the frame math with lag/sum — while
+    the Spark side reads them off a genuinely decoded WAV."""
+    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    fr = AUD_FRAME
+
+    def frames(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        payload = audio.synth_audio(g["value"].to_numpy())
+        _, s = audio.decode_wav(payload)
+        k = len(s) // fr
+        if not k:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "frame": pd.Series(dtype="int64"),
+                    "energy": pd.Series(dtype="int64"),
+                    "peak": pd.Series(dtype="int64"),
+                    "n_zc": pd.Series(dtype="int64"),
+                }
+            )
+        m = s[: k * fr].astype(np.int64).reshape(k, fr)
+        energy = (m * m).sum(axis=1)
+        peak = np.abs(m).max(axis=1)
+        zc = ((m[:, 1:] * m[:, :-1]) < 0).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(k, int(g["user_id"].iloc[0]), dtype=np.int64),
+                "frame": np.arange(k, dtype=np.int64),
+                "energy": energy,
+                "peak": peak,
+                "n_zc": zc.astype(np.int64),
+            }
+        )
+
+    return packed_grouped_map(
+        ev,
+        frames,
+        "user_id bigint, frame bigint, energy bigint, peak bigint, "
+        "n_zc bigint",
+    )
+
+
 QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_meta": q_multimodal_meta,
@@ -622,6 +718,8 @@ QUERIES = {
     "q_image_neardup": q_image_neardup,
     "q_image_dedup": q_image_dedup,
     "q_image_incremental": q_image_incremental,
+    "q_audio_meta": q_audio_meta,
+    "q_audio_frames": q_audio_frames,
 }
 
 
@@ -755,6 +853,42 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, CAST(hamming(da, db) AS BIGINT) AS hamming
         FROM pairs WHERE hamming(da, db) <= {DHASH_T}
+    """,
+    "q_audio_meta": f"""
+        SELECT user_id,
+               CAST(44 + 2 * count(*) AS BIGINT) AS n_bytes,
+               CAST({audio.AUD_RATE} AS BIGINT) AS sample_rate,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(count(*) * 1000 // {audio.AUD_RATE} AS BIGINT)
+                   AS duration_ms
+        FROM events GROUP BY user_id
+    """,
+    # samples recomputed WITHOUT decoding from the synthesis contract
+    # (round half-away + int16 clamp), frame math replayed with
+    # integer lag/sum — the Spark side reads a genuinely decoded WAV
+    "q_audio_frames": f"""
+        WITH s AS (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS i,
+                   LEAST(GREATEST(CAST(round(value * {audio.AUD_SCALE})
+                                       AS BIGINT), -32768), 32767) AS smp
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, i // {AUD_FRAME} AS frame, smp,
+                   lag(smp) OVER (PARTITION BY user_id, i // {AUD_FRAME}
+                                  ORDER BY i) AS prev
+            FROM s
+        )
+        SELECT user_id, CAST(frame AS BIGINT) AS frame,
+               CAST(sum(smp * smp) AS BIGINT) AS energy,
+               CAST(max(abs(smp)) AS BIGINT) AS peak,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+        FROM f GROUP BY user_id, frame
+        HAVING count(*) = {AUD_FRAME}
     """,
     "q_image_incremental": f"""
         WITH {_DHASH_FP_SQL},
