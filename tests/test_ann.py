@@ -34,9 +34,9 @@ def test_ivf_partial_probe_recall(spark):
 
 def test_ivf_results_are_real_neighbors(spark):
     rows = QUERIES["q_ann_ivf"](spark, SF_DIR).collect()
-    sims = [r.cos_sim for r in rows]
+    sims = [r.cos_t for r in rows]  # integer ten-thousandths
     assert sims == sorted(sims, reverse=True)
-    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(-10_000 <= s <= 10_000 for s in sims)
 
 
 def test_neardup_block_count_scales_with_corpus():
@@ -135,9 +135,9 @@ def test_ivf_stored_cells_partition_prune(spark, tmp_path):
     part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "cell" in part_line and ("IN" in part_line or "in(" in part_line.lower())
 
-    got = [(r.vec_id, r.cos_sim) for r in probed.collect()]
+    got = [(r.vec_id, r.cos_t) for r in probed.collect()]
     exp = [
-        (r.vec_id, r.cos_sim)
+        (r.vec_id, r.cos_t)
         for r in similarity.q_ann_ivf(spark, SF_DIR).collect()
     ]
     assert got == exp
@@ -169,7 +169,7 @@ def test_pq_adc_equals_reconstructed_distance(spark):
         ]
         assert codes == np_codes, (r.vec_id, codes, np_codes)
         recon = np.concatenate([CB[m, codes[m]] for m in range(similarity.PQ_M)])
-        assert abs(r.adc_dist - ((qv - recon) ** 2).sum()) < 1e-4
+        assert abs(r.adc_t / 1e6 - ((qv - recon) ** 2).sum()) < 1e-4
 
 
 def test_pq_partial_recall_and_determinism(spark):

@@ -45,19 +45,42 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-def test_lazy_oracle_failure_falls_back_to_rows_only(monkeypatch):
-    """A lazy factory that raises must OMIT its entry (the driver then
-    records the weaker rows-only check) — never error the whole
+def test_lazy_oracle_io_failure_falls_back_to_rows_only(monkeypatch):
+    """A lazy factory that fails with an IO-class error (testdata
+    missing/unreadable) must OMIT its entry with a warning (the driver
+    then records the weaker rows-only check) — never error the whole
     oracle_sql() surface."""
+    import warnings
+
     from timeseriesdb_spark import registry
 
     name = sorted(LAZY_ORACLES)[0]
 
     def boom() -> str:
-        raise RuntimeError("testdata unavailable")
+        raise FileNotFoundError("testdata unavailable")
 
     monkeypatch.setitem(registry.LAZY_ORACLES, name, boom)
-    resolved = registry.resolve_oracles()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        resolved = registry.resolve_oracles()
     assert name not in resolved
+    # the omission is named loudly, not swallowed (ADVICE r9)
+    assert any(name in str(w.message) for w in caught)
     # static oracles unaffected
     assert set(ORACLES) <= set(resolved)
+
+
+def test_lazy_oracle_programming_error_propagates(monkeypatch):
+    """A coding bug in a factory (anything but an IO-class error) must
+    PROPAGATE — a silent rows-only downgrade would mask real
+    regressions in the correctness gate (ADVICE r9)."""
+    from timeseriesdb_spark import registry
+
+    name = sorted(LAZY_ORACLES)[0]
+
+    def boom() -> str:
+        raise TypeError("bug in the generator")
+
+    monkeypatch.setitem(registry.LAZY_ORACLES, name, boom)
+    with pytest.raises(TypeError):
+        registry.resolve_oracles()

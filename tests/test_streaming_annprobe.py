@@ -45,8 +45,8 @@ def test_batch_topk_matches_ivf_probe_stored(spark, tmp_path):
         ).collect()
         mine = by_query[qrow.vec_id]
         assert [m.rank for m in mine] == list(range(1, len(want) + 1))
-        assert [(m.vec_id, m.label, m.cos_sim) for m in mine] == [
-            (w.vec_id, w.label, w.cos_sim) for w in want
+        assert [(m.vec_id, m.label, m.cos_t) for m in mine] == [
+            (w.vec_id, w.label, w.cos_t) for w in want
         ]
 
 

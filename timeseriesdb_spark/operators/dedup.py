@@ -480,7 +480,13 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
         .localCheckpoint()
     )
-    merged = truth.join(F.broadcast(cand), ["doc_a", "doc_b"], "left")
+    # No explicit broadcast hint: candidate pairs grow ~linearly with
+    # the corpus (measured EXACTLY 16.0× at ×16, SCALING.md), so a
+    # forced F.broadcast would eventually hit the 8 GB broadcast wall.
+    # The frame is localCheckpoint()ed, so AQE sees its TRUE size and
+    # picks broadcast while it's small, shuffle once it isn't
+    # (ADVICE r9).
+    merged = truth.join(cand, ["doc_a", "doc_b"], "left")
     scored = merged.select(
         F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
         "n_inter",

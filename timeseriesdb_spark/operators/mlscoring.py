@@ -539,24 +539,34 @@ def _drift_tail_sql(labeled_sql: str) -> str:
     """
 
 
-def _oracle_sample(sf_dir: str | None) -> np.ndarray:
-    """The training sample via DuckDB — byte-identical to
-    _sample_features (same rows, same sort, same numpy body)."""
+def _resolve_sf_dir(sf_dir: str | None) -> str:
     import os
 
+    return sf_dir or os.environ.get(
+        "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+    )
+
+
+_ORACLE_SAMPLE_CACHE: dict[str, np.ndarray] = {}
+
+
+def _oracle_sample(sf_dir: str) -> np.ndarray:
+    """The training sample via DuckDB — byte-identical to
+    _sample_features (same rows, same sort, same numpy body). Cached
+    per sf_dir and shared by the four drift-oracle factories, and the
+    factories only call it on an SQL-cache MISS, so a fully-cached
+    resolve_oracles() re-reads no parquet (ADVICE r9)."""
     import duckdb
 
-    if sf_dir is None:
-        sf_dir = os.environ.get(
-            "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
-        )
-    con = duckdb.connect()
-    pdf = con.execute(
-        f"SELECT user_id, ts, event_id, value "
-        f"FROM '{sf_dir}/events.parquet' "
-        f"WHERE user_id < {SAMPLE_SIGNALS}"
-    ).fetch_df()
-    return sf_dir, _sample_features_from_pdf(pdf)
+    if sf_dir not in _ORACLE_SAMPLE_CACHE:
+        con = duckdb.connect()
+        pdf = con.execute(
+            f"SELECT user_id, ts, event_id, value "
+            f"FROM '{sf_dir}/events.parquet' "
+            f"WHERE user_id < {SAMPLE_SIGNALS}"
+        ).fetch_df()
+        _ORACLE_SAMPLE_CACHE[sf_dir] = _sample_features_from_pdf(pdf)
+    return _ORACLE_SAMPLE_CACHE[sf_dir]
 
 
 def _kmeans_dists_sql(C: np.ndarray, cols) -> list[str]:
@@ -582,9 +592,9 @@ _KM_ORACLE_CACHE: dict[str, str] = {}
 
 
 def _kmeans_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir, X = _oracle_sample(sf_dir)
+    sf_dir = _resolve_sf_dir(sf_dir)
     if sf_dir not in _KM_ORACLE_CACHE:
-        C = _kmeans_centers_np(X)
+        C = _kmeans_centers_np(_oracle_sample(sf_dir))
         labeled = f"""dists AS (
             SELECT user_id, seg,
                    {", ".join(f"{d} AS dr{k}" for k, d in
@@ -618,9 +628,9 @@ _TREE_ORACLE_CACHE: dict[str, str] = {}
 
 
 def _tree_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir, X = _oracle_sample(sf_dir)
+    sf_dir = _resolve_sf_dir(sf_dir)
     if sf_dir not in _TREE_ORACLE_CACHE:
-        tree = _tree_np(X)
+        tree = _tree_np(_oracle_sample(sf_dir))
         labeled = f"""labeled AS (
             SELECT user_id,
                    {_tree_case_sql(tree, _RAW_COLS)} AS lr,
@@ -657,8 +667,9 @@ _FOREST_ORACLE_CACHE: dict[str, str] = {}
 
 
 def _forest_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir, X = _oracle_sample(sf_dir)
+    sf_dir = _resolve_sf_dir(sf_dir)
     if sf_dir not in _FOREST_ORACLE_CACHE:
+        X = _oracle_sample(sf_dir)
         forest = _forest_np(X, _kmeans_labels(X, _kmeans_centers_np(X)))
         labeled = f"""labeled AS (
             SELECT user_id,
@@ -677,8 +688,9 @@ def _knn_drift_oracle(sf_dir: str | None = None) -> str:
     """1-NN labels as a rank over the literal sample table: d² spelled
     in the SAME left-associative term order the pandas UDF computes,
     first-occurrence argmin as (d², sample idx) row_number."""
-    sf_dir, X = _oracle_sample(sf_dir)
+    sf_dir = _resolve_sf_dir(sf_dir)
     if sf_dir not in _KNN_ORACLE_CACHE:
+        X = _oracle_sample(sf_dir)
         y = _kmeans_labels(X, _kmeans_centers_np(X))
         rows = ", ".join(
             f"({i}, {_dk(X[i, 0])}, {_dk(X[i, 1])}, {_dk(X[i, 2])},"

@@ -83,12 +83,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
+            # Integer rank key (cosine in half-up ten-thousandths):
+            # two-arg round(x, 4) has engine-specific semantics (Spark
+            # HALF_UP on shortest-decimal BigDecimal, DuckDB scaled-
+            # float) — round(x·10⁴) to scale 0 rounds half-away in
+            # both engines on the same double (ADVICE r9).
             F.round(
-                _dot(F.col("e"), F.col("qe")) / (F.col("norm") * F.col("qnorm")), 4
-            ).alias("cos_sim"),
+                _dot(F.col("e"), F.col("qe"))
+                / (F.col("norm") * F.col("qnorm"))
+                * F.lit(10_000.0)
+            )
+            .cast("long")
+            .alias("cos_t"),
         )
     )
-    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K)
+    return sims.orderBy(F.col("cos_t").desc(), F.col("vec_id")).limit(TOP_K)
 
 
 QUANT_SCALE = 1000  # fixed-point quantization step (≈ int16 range for unit vecs)
@@ -376,10 +385,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(_dot(F.col("e"), _lit_vec(qv)) / (F.col("norm") * F.lit(qnorm)), 4)
-            .alias("cos_sim"),
+            # Integer rank key — see q_ann_topk (ADVICE r9: two-arg
+            # round() is engine-specific at rank boundaries).
+            F.round(
+                _dot(F.col("e"), _lit_vec(qv))
+                / (F.col("norm") * F.lit(qnorm))
+                * F.lit(10_000.0)
+            )
+            .cast("long")
+            .alias("cos_t"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .orderBy(F.col("cos_t").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
 
@@ -438,10 +454,14 @@ def ivf_probe_stored(
             "vec_id",
             "label",
             F.round(
-                _dot(F.col("e"), _lit_vec(qv)) / (F.col("norm") * F.lit(qnorm)), 4
-            ).alias("cos_sim"),
+                _dot(F.col("e"), _lit_vec(qv))
+                / (F.col("norm") * F.lit(qnorm))
+                * F.lit(10_000.0)
+            )
+            .cast("long")
+            .alias("cos_t"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .orderBy(F.col("cos_t").desc(), F.col("vec_id"))
         .limit(k)
     )
 
@@ -565,10 +585,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         coded.select(
-            "vec_id", "label", F.round(adc, 6).alias("adc_dist"),
+            "vec_id", "label",
+            # ADC in half-up integer millionths — same treatment as
+            # q_ann_recall's adc_t (ADVICE r9: two-arg round() flake).
+            F.round(adc * F.lit(1_000_000.0)).cast("long").alias("adc_t"),
             *[F.col(f"code_{m}") for m in range(PQ_M)],
         )
-        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .orderBy(F.col("adc_t"), F.col("vec_id"))
         .limit(TOP_K)
     )
 
@@ -1367,14 +1390,15 @@ def _ann_ivf_oracle(sf_dir: str | None = None) -> str:
         ),
         ann AS (
             SELECT vec_id, label,
-                   round(dot / (norm * {_dk(qnorm)}), 4) AS cos_sim,
+                   CAST(round(dot / (norm * {_dk(qnorm)}) * 10000.0)
+                        AS BIGINT) AS cos_t,
                    list_position(dl, list_aggregate(dl, 'max')) - 1
                        AS cell
             FROM raw
         )
-        SELECT vec_id, label, cos_sim FROM ann
+        SELECT vec_id, label, cos_t FROM ann
         WHERE cell IN ({cells_csv})
-        ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+        ORDER BY cos_t DESC, vec_id LIMIT {TOP_K}
     """
     _IVF_ORACLE_CACHE[sf_dir] = sql
     return sql
@@ -1442,10 +1466,11 @@ def _ann_pq_oracle(sf_dir: str | None = None) -> str:
                    )}
             FROM raw
         )
-        SELECT vec_id, label, round({adc}, 6) AS adc_dist,
+        SELECT vec_id, label,
+               CAST(round(({adc}) * 1000000.0) AS BIGINT) AS adc_t,
                {", ".join(f"code_{m}" for m in range(PQ_M))}
         FROM coded
-        ORDER BY adc_dist, vec_id LIMIT {TOP_K}
+        ORDER BY adc_t, vec_id LIMIT {TOP_K}
     """
     _PQ_ORACLE_CACHE[sf_dir] = sql
     return sql
@@ -1561,11 +1586,12 @@ ORACLES = {
             GROUP BY e.vec_id, e.label
         )
         SELECT d.vec_id, d.label,
-               round(d.dot / (n.norm * qn.norm), 4) AS cos_sim
+               CAST(round(d.dot / (n.norm * qn.norm) * 10000.0) AS BIGINT)
+                   AS cos_t
         FROM dots d
         JOIN norms n ON n.vec_id = d.vec_id
         JOIN norms qn ON qn.vec_id = {QUERY_VEC_ID}
-        ORDER BY cos_sim DESC, d.vec_id
+        ORDER BY cos_t DESC, d.vec_id
         LIMIT {TOP_K}
     """,
     "q_embedding_neardup": f"""

@@ -97,14 +97,30 @@ if _dupes:
 
 def resolve_oracles() -> dict[str, str]:
     """Static oracles plus lazily-generated ones. A lazy factory that
-    fails (testdata missing, unreadable parquet) silently omits its
-    entry — the driver then records the rows-only check for that
-    query instead of erroring the whole verify pass."""
+    fails with an expected IO-class error (testdata missing,
+    unreadable parquet) omits its entry WITH a warning — the driver
+    then records the rows-only check for that query instead of
+    erroring the whole verify pass. Programming errors PROPAGATE: a
+    bug in a generator must fail the verify pass loudly, not silently
+    and permanently downgrade that query's verification from
+    hash-check to rows-only (ADVICE r9)."""
+    import warnings
+
+    try:
+        import duckdb
+        _io_errors: tuple[type, ...] = (OSError, duckdb.Error)
+    except ImportError:  # pragma: no cover - duckdb is baked in
+        _io_errors = (OSError,)
     out = dict(ORACLES)
     for _name, _factory in LAZY_ORACLES.items():
         try:
             out[_name] = _factory()
-        except Exception:
+        except _io_errors as exc:
+            warnings.warn(
+                f"lazy oracle {_name} omitted (rows-only fallback): "
+                f"{type(exc).__name__}: {exc}",
+                stacklevel=2,
+            )
             continue
     return out
 

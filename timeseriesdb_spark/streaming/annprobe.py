@@ -88,7 +88,7 @@ def ann_candidates(
     """Scored ANN candidates for every query row — stateless, so it
     runs unchanged on a stream (stream-static join) or a batch frame.
     ``queries``: (vec_id, embedding); ``store``: prepared_store().
-    Emits (query_id, vec_id, label, cos_sim) — every candidate in the
+    Emits (query_id, vec_id, label, cos_t) — every candidate in the
     query's probed cells, unranked (ranking is an aggregation and
     belongs to the caller's batch context — see topk_per_query)."""
     q = (
@@ -98,7 +98,7 @@ def ann_candidates(
         )
         .withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
         # Degenerate queries fail LOUDLY: a zero-norm vector would make
-        # cos_sim NULL and the query silently return garbage/no rows
+        # cos_t NULL and the query silently return garbage/no rows
         # (ADVICE r7). raise_error aborts the job with the query id.
         .withColumn(
             "qnorm",
@@ -118,15 +118,20 @@ def ann_candidates(
         "query_id",
         "vec_id",
         "label",
+        # Integer rank key in half-up ten-thousandths, matching
+        # similarity.ivf_probe_stored (ADVICE r9: two-arg round()).
         F.round(
-            _dot(F.col("e"), F.col("qe")) / (F.col("norm") * F.col("qnorm")),
-            4,
-        ).alias("cos_sim"),
+            _dot(F.col("e"), F.col("qe"))
+            / (F.col("norm") * F.col("qnorm"))
+            * F.lit(10_000.0)
+        )
+        .cast("long")
+        .alias("cos_t"),
     )
 
 
 def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Rank candidates to (query_id, rank, vec_id, label, cos_sim) —
+    """Rank candidates to (query_id, rank, vec_id, label, cos_t) —
     top-k by cosine desc with vec_id tie-break, the exact ordering of
     similarity.ivf_probe_stored. Associative (array-sort over
     collect_list partials), so per-(query) state is bounded by its
@@ -136,7 +141,7 @@ def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        (-F.col("cos_sim")).alias("ns"),
+                        (-F.col("cos_t")).alias("ns"),
                         F.col("vec_id").alias("vec_id"),
                         F.col("label").alias("label"),
                     )
@@ -153,7 +158,7 @@ def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
         (F.col("pos") + 1).alias("rank"),
         F.col("t.vec_id").alias("vec_id"),
         F.col("t.label").alias("label"),
-        (-F.col("t.ns")).alias("cos_sim"),
+        (-F.col("t.ns")).alias("cos_t"),
     )
 
 
