@@ -78,3 +78,33 @@ def synth_samples(values: np.ndarray) -> np.ndarray:
 def synth_audio(values: np.ndarray, rate: int = AUD_RATE) -> bytes:
     """Signal values → real encoded WAV payload."""
     return encode_wav(synth_samples(values), rate)
+
+
+AFP_CHUNKS = 57  # energy chunks per clip → AFP_CHUNKS-1 = 56 sign bits
+                 # (same width as the image dHash, so the two
+                 # fingerprint families share the banded-Hamming LSH
+                 # machinery: 4 bands × 14 bits, pigeonhole-complete
+                 # at hamming ≤ 3)
+
+
+def fingerprint_bits(samples: "np.ndarray") -> str:
+    """Audio fingerprint over DECODED int16 samples: the clip is cut
+    into AFP_CHUNKS equal-ish chunks with EXACT integer boundaries
+    (sample i of n → chunk i·C // n), per-chunk energy Σs² is exact
+    int64, and bit c = 1 iff E[c+1] > E[c] (strict; ties → 0) — a
+    chromaprint-style energy-delta-sign hash, the time-axis twin of
+    the image dHash's gradient-sign bits. Every comparison is
+    int64-vs-int64, so the fingerprint is deterministic down to the
+    bit in ANY engine (the property that lets the audio-dedup family
+    hash-check cross-engine). Length-invariant: the chunk grid
+    resamples the clip, so appending a short tail moves only the
+    boundary samples and flips few bits — near-dup robustness. A
+    chunk with no samples (n < AFP_CHUNKS) has energy 0."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    e = np.zeros(AFP_CHUNKS, dtype=np.int64)
+    if n:
+        idx = (np.arange(n, dtype=np.int64) * AFP_CHUNKS) // n
+        np.add.at(e, idx, s * s)
+    bits = e[1:] > e[:-1]
+    return "".join("1" if b else "0" for b in bits)

@@ -334,24 +334,27 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(fp)
 
 
-def image_bands(fp: DataFrame, cap: bool = True) -> DataFrame:
-    """Explode a fingerprint frame into (doc_id, dhash, band_key) rows
-    — the frame a production pipeline PERSISTS (write_dhash_store,
-    bucketed by band_key) so later image batches probe it without
-    re-decoding the corpus. band_key = '<band>:<14 bits>' (one string
-    column so the store can bucket on it). With cap=True, buckets past
-    DHASH_BAND_DF_CAP are dropped (the image-space stop-shingle
-    fence); probes leave their small batch side uncapped."""
+def fp_bands(
+    fp: DataFrame, id_col: str, fp_col: str, cap: bool = True
+) -> DataFrame:
+    """Explode a 56-bit fingerprint frame into (id, fp, band_key) rows
+    — the generic banded-Hamming LSH split shared by the image dHash
+    and audio energy-delta fingerprint families (both emit
+    DHASH_BITS-wide '01' strings by construction). band_key =
+    '<band>:<14 bits>' (one string column so a store can bucket on
+    it). With cap=True, buckets past DHASH_BAND_DF_CAP are dropped
+    (the stop-shingle fence: blank/template images, silent clips);
+    probes leave their small batch side uncapped."""
     bands = fp.select(
-        "doc_id",
-        "dhash",
+        id_col,
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.concat(
                         F.lit(f"{b}:"),
                         F.substring(
-                            "dhash", b * DHASH_BAND_W + 1, DHASH_BAND_W
+                            fp_col, b * DHASH_BAND_W + 1, DHASH_BAND_W
                         ),
                     )
                     for b in range(DHASH_BANDS)
@@ -371,6 +374,11 @@ def image_bands(fp: DataFrame, cap: bool = True) -> DataFrame:
     )
 
 
+def image_bands(fp: DataFrame, cap: bool = True) -> DataFrame:
+    """fp_bands over an image dHash frame (doc_id, dhash)."""
+    return fp_bands(fp, "doc_id", "dhash", cap=cap)
+
+
 def _dhash_hamming(ca: str, cb: str) -> "F.Column":
     """Exact hamming distance between two '01' fingerprint columns:
     per-band binary→long conversion, XOR, popcount — all JVM."""
@@ -383,31 +391,43 @@ def _dhash_hamming(ca: str, cb: str) -> "F.Column":
     ).cast("bigint")
 
 
-def image_neardup_pairs(fp: DataFrame) -> DataFrame:
+def fp_neardup_pairs(
+    fp: DataFrame, id_col: str, fp_col: str,
+    out_a: str, out_b: str,
+) -> DataFrame:
     """Banded-Hamming candidate join + exact hamming filter over a
-    fingerprint frame (doc_id, dhash) — see q_image_neardup."""
-    bands = image_bands(fp, cap=True)
+    generic 56-bit fingerprint frame — candidates only form inside a
+    (band, band_key) bucket (an equi-join, never all-pairs), the
+    exact hamming refinement keeps true near-dups. Shared by the
+    image and audio near-dup families."""
+    bands = fp_bands(fp, id_col, fp_col, cap=True)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dhash").alias("da"),
-            F.col("b.dhash").alias("db"),
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            F.col(f"a.{fp_col}").alias("fa"),
+            F.col(f"b.{fp_col}").alias("fb"),
         )
         .distinct()
     )
     return (
         pairs.select(
-            "doc_a", "doc_b", _dhash_hamming("da", "db").alias("hamming")
+            out_a, out_b, _dhash_hamming("fa", "fb").alias("hamming")
         )
         .where(F.col("hamming") <= DHASH_T)
     )
+
+
+def image_neardup_pairs(fp: DataFrame) -> DataFrame:
+    """Banded-Hamming candidate join + exact hamming filter over a
+    fingerprint frame (doc_id, dhash) — see q_image_neardup."""
+    return fp_neardup_pairs(fp, "doc_id", "dhash", "doc_a", "doc_b")
 
 
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,33 +512,43 @@ def _image_incremental_from_bands(
     fp_b = image_dhash_fingerprints(
         batch.select("doc_id", "text")
     ).localCheckpoint()
-    bands_b = image_bands(fp_b, cap=False)
+    return _fp_incremental_from_bands(fp_b, bands_c, "doc_id", "dhash")
+
+
+def _fp_incremental_from_bands(
+    fp_b: DataFrame, bands_c: DataFrame, id_col: str, fp_col: str
+) -> DataFrame:
+    """Generic incremental near-dup decision from a (checkpointed)
+    batch fingerprint frame and a corpus band frame: dup_of_corpus /
+    dup_of_batch / keep per batch id — shared by the image and audio
+    incremental families."""
+    bands_b = fp_bands(fp_b, id_col, fp_col, cap=False)
     a = bands_b.alias("a")
-    ham = _dhash_hamming("a.dhash", "b.dhash")
+    ham = _dhash_hamming(f"a.{fp_col}", f"b.{fp_col}")
     corpus_hits = (
         a.join(bands_c.alias("b"), F.col("a.band_key") == F.col("b.band_key"))
         .where(ham <= DHASH_T)
-        .select(F.col("a.doc_id").alias("doc_id"))
+        .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
     batch_hits = (
         a.join(
             bands_b.alias("b"),
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
         )
         .where(ham <= DHASH_T)
-        .select(F.col("a.doc_id").alias("doc_id"))
+        .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
     c_flag = corpus_hits.withColumn("dup_of_corpus", F.lit(1))
     b_flag = batch_hits.withColumn("dup_of_batch", F.lit(1))
     return (
-        fp_b.select("doc_id")
-        .join(c_flag, "doc_id", "left")
-        .join(b_flag, "doc_id", "left")
+        fp_b.select(id_col)
+        .join(c_flag, id_col, "left")
+        .join(b_flag, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             F.coalesce("dup_of_corpus", F.lit(0)).alias("dup_of_corpus"),
             F.coalesce("dup_of_batch", F.lit(0)).alias("dup_of_batch"),
             F.when(
@@ -709,6 +739,213 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_CORPUS_MOD = 2  # incremental split: even user_id = indexed
+                      # corpus, odd = incoming batch (events carry no
+                      # `source` column; parity is the deterministic
+                      # stand-in for the documents convention)
+
+
+def audio_fingerprints(ev: DataFrame) -> DataFrame:
+    """Per-clip audio fingerprint (user_id, afp): each signal's events
+    synthesize into a REAL RIFF/PCM16 WAV, the kernel genuinely
+    decodes it back (functions/audio.py — a header or byte-order bug
+    breaks the oracle hash), and the decoded samples hash to the
+    56-bit energy-delta-sign fingerprint (audio.fingerprint_bits).
+    Same width as the image dHash by construction, so the two
+    families share the banded-Hamming LSH machinery (fp_bands /
+    fp_neardup_pairs / _fp_incremental_from_bands).
+
+    Scale: one shuffle on user_id (packed_grouped_map), then the
+    fingerprint is 56 chars per clip — the corpus of payloads never
+    moves again; pair formation downstream is bucketed."""
+    from timeseriesdb_spark.operators.transforms import packed_grouped_map
+
+    def fp(g: pd.DataFrame) -> pd.DataFrame:
+        payload = audio.synth_audio(g["value"].to_numpy())
+        _, samples = audio.decode_wav(payload)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "afp": [audio.fingerprint_bits(samples)],
+            }
+        )
+
+    return packed_grouped_map(ev, fp, "user_id bigint, afp string")
+
+
+def _audio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+
+def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio fingerprint tier itself (user_id, afp) — what a
+    production pipeline PERSISTS (write_afp_store, banded) so later
+    audio batches dedup against the store without re-decoding the
+    clip corpus. The audio twin of q_image_dhash."""
+    return audio_fingerprints(_audio_events(spark, sf_dir))
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: banded-Hamming LSH over the
+    energy-delta fingerprints — the audio twin of q_image_neardup.
+    Candidates only form inside a (band, band_key) bucket (equi-join,
+    never all-pairs); the exact hamming filter keeps true near-dups;
+    buckets past DHASH_BAND_DF_CAP are dropped (silent/flat clips are
+    the audio stop-shingles). Like the image family at sf0.01, a
+    0-row result on a corpus with no clip pair within hamming DHASH_T
+    is the true answer — q_audio_dedup covers the same machinery with
+    corpus-sized output at every SF, and the banded==brute property
+    is pinned on crafted length-shifted replica clips."""
+    return fp_neardup_pairs(
+        audio_fingerprints(_audio_events(spark, sf_dir)),
+        "user_id", "afp", "user_a", "user_b",
+    )
+
+
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total audio keep/drop decision — every clip gets a row
+    (user_id, afp, keep), keep = 0 iff a smaller-id clip is within
+    hamming DHASH_T (via the banded pairs). The audio twin of
+    q_image_dedup; corpus-sized at every SF. The fingerprint frame is
+    checkpointed so the decode pass runs once, not once per plan
+    branch."""
+    fp = audio_fingerprints(_audio_events(spark, sf_dir)).localCheckpoint()
+    dropped = (
+        fp_neardup_pairs(fp, "user_id", "afp", "user_a", "user_b")
+        .select(F.col("user_b").alias("user_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return fp.join(dropped, "user_id", "left").select(
+        "user_id",
+        "afp",
+        F.when(F.col("dropped").isNotNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def write_afp_store(ev: DataFrame, table: str) -> None:
+    """Persist the clip corpus' fingerprint band index as a
+    band_key-bucketed catalog table (the audio twin of
+    write_dhash_store): fingerprints are computed ONCE at index build
+    — every later clip batch probes the store with no corpus
+    re-decode, and the probe join co-locates on band_key with no
+    exchange on the corpus side. Stored CAPPED (DHASH_BAND_DF_CAP):
+    hot buckets are silent/flat clips, dropped at write so no probe
+    ever fans out on them."""
+    from timeseriesdb_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        fp_bands(audio_fingerprints(ev), "user_id", "afp", cap=True),
+        table,
+        key="band_key",
+        sort_by=None,
+    )
+
+
+def incremental_audio_neardup(
+    batch: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Incremental AUDIO dedup: for each batch clip, is its
+    fingerprint within hamming DHASH_T of (a) any corpus clip —
+    dup_of_corpus — or (b) any EARLIER batch clip (smaller user_id,
+    keep-first) — dup_of_batch. keep = 1 iff neither. The audio twin
+    of incremental_image_neardup; the corpus never re-decodes at
+    probe time when the band frame comes from write_afp_store
+    (incremental_audio_neardup_stored)."""
+    return _fp_incremental_from_bands(
+        audio_fingerprints(batch).localCheckpoint(),
+        fp_bands(audio_fingerprints(corpus), "user_id", "afp", cap=True),
+        "user_id", "afp",
+    )
+
+
+def incremental_audio_neardup_stored(
+    spark: SparkSession, batch: DataFrame, band_table: str
+) -> DataFrame:
+    """:func:`incremental_audio_neardup` against a persisted
+    fingerprint band index."""
+    return _fp_incremental_from_bands(
+        audio_fingerprints(batch).localCheckpoint(),
+        spark.table(band_table),
+        "user_id", "afp",
+    )
+
+
+def q_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio dedup with clips split by user_id parity:
+    even user_ids play the already-indexed corpus, odd the incoming
+    batch (events carry no `source`; the q_image_incremental
+    convention adapted)."""
+    ev = _audio_events(spark, sf_dir)
+    return incremental_audio_neardup(
+        ev.where(F.col("user_id") % AUDIO_CORPUS_MOD != 0),
+        ev.where(F.col("user_id") % AUDIO_CORPUS_MOD == 0),
+    )
+
+
+def afp_with_carry(clips: DataFrame) -> DataFrame:
+    """Fingerprint a frame of ALREADY-ENCODED clips (…, payload
+    binary) — decodes the real WAV bytes (no synthesis: this is the
+    path stored/streamed payloads take) and appends an afp column.
+    Stateless one-pass Arrow kernel with all input columns carried
+    through, so it runs unchanged on a readStream frame (the audio
+    twin of dhash_with_carry)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(clips.schema.fields) + [StructField("afp", StringType())]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for payload in pdf["payload"]:
+                _, samples = audio.decode_wav(bytes(payload))
+                fps.append(audio.fingerprint_bits(samples))
+            out = pdf.copy()
+            out["afp"] = fps
+            yield out
+
+    return clips.mapInPandas(extract, out_schema)
+
+
+def audio_probe_stream(
+    stream: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Drop streamed clips whose AUDIO is within hamming DHASH_T of
+    the existing corpus — incremental_audio_neardup's corpus check on
+    the ingest path, stateless (the audio twin of image_probe_stream):
+    one Arrow fingerprint pass over the clip payloads (no aggregation
+    state), then one LEFT ANTI stream-static join per band against
+    the persisted fingerprint index (write_afp_store), each an
+    equi-join on band_key with the exact hamming refinement as a
+    residual predicate. State store: none — a replayed micro-batch
+    re-probes to the same answer. Within-stream clip dups stay the
+    periodic batch pass (q_audio_dedup), the same lambda split as
+    text and images."""
+    cur = afp_with_carry(stream)
+    for b in range(DHASH_BANDS):
+        key = F.concat(
+            F.lit(f"{b}:"),
+            F.substring(
+                F.col("a.afp"), b * DHASH_BAND_W + 1, DHASH_BAND_W
+            ),
+        )
+        cond = (key == F.col("c.band_key")) & (
+            _dhash_hamming("a.afp", "c.afp") <= DHASH_T
+        )
+        cur = (
+            cur.alias("a")
+            .join(corpus_bands.alias("c"), cond, "left_anti")
+        )
+    return cur
+
+
 QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_meta": q_multimodal_meta,
@@ -720,6 +957,10 @@ QUERIES = {
     "q_image_incremental": q_image_incremental,
     "q_audio_meta": q_audio_meta,
     "q_audio_frames": q_audio_frames,
+    "q_audio_fp": q_audio_fp,
+    "q_audio_neardup": q_audio_neardup,
+    "q_audio_dedup": q_audio_dedup,
+    "q_audio_incremental": q_audio_incremental,
 }
 
 
@@ -1145,3 +1386,162 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id, nn
     """,
 }
+
+
+# The audio fingerprint recomputed WITHOUT decoding: samples from the
+# synthesis contract (round half-away + int16 clamp — the same `s`
+# CTE as the q_audio_frames oracle), exact integer chunk boundaries
+# (i·C // n), int64 chunk energies with empty chunks zero-filled from
+# a range() grid, then bit = lead(E) > E and an ordered string_agg.
+# Shared WITH-chain for all four audio-dedup oracles; `s` is
+# MATERIALIZED because two consumers reference it.
+_AFP_SQL = f"""
+        s AS MATERIALIZED (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS i,
+                   LEAST(GREATEST(CAST(round(value * {audio.AUD_SCALE})
+                                       AS BIGINT), -32768), 32767) AS smp
+            FROM events
+        ),
+        nn AS (SELECT user_id, count(*) AS n FROM s GROUP BY user_id),
+        ch AS (
+            SELECT s.user_id, (s.i * {audio.AFP_CHUNKS}) // nn.n AS chunk,
+                   s.smp
+            FROM s JOIN nn USING (user_id)
+        ),
+        esum AS (
+            SELECT user_id, chunk, sum(smp * smp) AS e
+            FROM ch GROUP BY user_id, chunk
+        ),
+        egrid AS (
+            SELECT nn.user_id, t.chunk, COALESCE(esum.e, 0) AS e
+            FROM nn CROSS JOIN
+                 (SELECT unnest(range(0, {audio.AFP_CHUNKS})) AS chunk) t
+            LEFT JOIN esum ON esum.user_id = nn.user_id
+                          AND esum.chunk = t.chunk
+        ),
+        abits AS (
+            SELECT user_id, chunk,
+                   CASE WHEN lead(e) OVER (
+                            PARTITION BY user_id ORDER BY chunk) > e
+                        THEN '1' ELSE '0' END AS b
+            FROM egrid
+        ),
+        afp AS (
+            SELECT user_id, string_agg(b, '' ORDER BY chunk) AS afp
+            FROM abits WHERE chunk < {audio.AFP_CHUNKS - 1}
+            GROUP BY user_id
+        )
+"""
+
+ORACLES.update(
+    {
+        "q_audio_fp": f"""
+            WITH {_AFP_SQL}
+            SELECT user_id, afp FROM afp
+        """,
+        "q_audio_neardup": f"""
+            WITH {_AFP_SQL},
+            bands AS (
+                SELECT user_id, afp, band,
+                       substr(afp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                              {DHASH_BAND_W}) AS bkey
+                FROM afp CROSS JOIN
+                     (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+            ),
+            capped AS (
+                SELECT user_id, afp, band, bkey FROM (
+                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                    FROM bands
+                ) WHERE df <= {DHASH_BAND_DF_CAP}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
+                       a.afp AS fa, b.afp AS fb
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.user_id < b.user_id
+            )
+            SELECT user_a, user_b, CAST(hamming(fa, fb) AS BIGINT) AS hamming
+            FROM pairs WHERE hamming(fa, fb) <= {DHASH_T}
+        """,
+        "q_audio_dedup": f"""
+            WITH {_AFP_SQL},
+            bands AS (
+                SELECT user_id, afp, band,
+                       substr(afp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                              {DHASH_BAND_W}) AS bkey
+                FROM afp CROSS JOIN
+                     (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+            ),
+            capped AS (
+                SELECT user_id, afp, band, bkey FROM (
+                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                    FROM bands
+                ) WHERE df <= {DHASH_BAND_DF_CAP}
+            ),
+            dropped AS (
+                SELECT DISTINCT b.user_id
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.user_id < b.user_id
+                WHERE hamming(a.afp, b.afp) <= {DHASH_T}
+            )
+            SELECT f.user_id, f.afp,
+                   CAST(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END AS INT)
+                       AS keep
+            FROM afp f LEFT JOIN dropped d USING (user_id)
+        """,
+        "q_audio_incremental": f"""
+            WITH {_AFP_SQL},
+            cb AS (
+                SELECT user_id, afp, band_key FROM (
+                    SELECT *, count(*) OVER (PARTITION BY band_key) AS df
+                    FROM (
+                        SELECT user_id, afp,
+                               CAST(band AS VARCHAR) || ':' ||
+                               substr(afp,
+                                      CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                                      {DHASH_BAND_W}) AS band_key
+                        FROM afp CROSS JOIN
+                             (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+                        WHERE user_id % {AUDIO_CORPUS_MOD} = 0
+                    )
+                ) WHERE df <= {DHASH_BAND_DF_CAP}
+            ),
+            bb AS (
+                SELECT user_id, afp,
+                       CAST(band AS VARCHAR) || ':' ||
+                       substr(afp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                              {DHASH_BAND_W}) AS band_key
+                FROM afp CROSS JOIN
+                     (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+                WHERE user_id % {AUDIO_CORPUS_MOD} != 0
+            ),
+            c_hits AS (
+                SELECT DISTINCT a.user_id
+                FROM bb a JOIN cb b USING (band_key)
+                WHERE hamming(a.afp, b.afp) <= {DHASH_T}
+            ),
+            b_hits AS (
+                SELECT DISTINCT a.user_id
+                FROM bb a JOIN bb b
+                  ON a.band_key = b.band_key AND a.user_id > b.user_id
+                WHERE hamming(a.afp, b.afp) <= {DHASH_T}
+            )
+            SELECT f.user_id,
+                   CAST(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+                       AS dup_of_corpus,
+                   CAST(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+                       AS dup_of_batch,
+                   CAST(CASE WHEN c.user_id IS NULL AND b.user_id IS NULL
+                             THEN 1 ELSE 0 END AS INT) AS keep
+            FROM afp f
+            LEFT JOIN c_hits c USING (user_id)
+            LEFT JOIN b_hits b USING (user_id)
+            WHERE f.user_id % {AUDIO_CORPUS_MOD} != 0
+        """,
+    }
+)
