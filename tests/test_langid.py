@@ -1,0 +1,97 @@
+"""Trained char-trigram language ID (operators/langid.py). Pins:
+(a) trainer parity — the Spark md5-window sample and the DuckDB
+oracle-factory sample train byte-identical profiles, (b) the scorer is
+REAL — on a crafted corpus with genuinely language-distinct trigram
+distributions agreement is 100%, (c) tie-break totality — a text too
+short for any trigram scores 0 everywhere and predicts the
+lexicographically first language in both engines, (d) the scoring pass
+is shuffle-free (one scan, whole-stage codegen; training is a separate
+bounded job)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from timeseriesdb_spark.operators import langid
+
+
+def test_trainer_parity_spark_vs_duck(spark):
+    p_spark = langid._train_profiles_spark(spark, SF_DIR)
+    p_duck = langid._train_profiles_duck(SF_DIR)
+    assert p_spark == p_duck
+    assert set(p_spark) == {"de", "en", "es", "fr", "zh"}
+    for prof in p_spark.values():
+        assert len(prof) == langid.LANG_PROFILE_K
+        assert all(
+            1 <= w <= langid.LANG_PROFILE_K for w in prof.values()
+        )
+
+
+def _crafted_docs(spark):
+    """Three 'languages' with disjoint vocabularies — trigram profiles
+    genuinely separate them, unlike the sf corpus's shared-vocabulary
+    lang column."""
+    vocab = {
+        "aa": "zork blip quux flerm grobble",
+        "bb": "mimsy borogove rath outgrabe tove",
+        "cc": "wabe gyre gimble slithy brillig",
+    }
+    rows = []
+    did = 0
+    for lang, words in vocab.items():
+        ws = words.split()
+        for i in range(40):
+            text = " ".join(ws[(i + j) % len(ws)] for j in range(12))
+            rows.append((did, lang, text))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    return spark.createDataFrame(pdf, "doc_id long, lang string, text string")
+
+
+def test_scorer_separates_distinct_vocabularies(spark):
+    doc = _crafted_docs(spark)
+    sample = [(r.lang, r.text) for r in doc.orderBy("doc_id").collect()]
+    profiles = langid._profiles_from_rows(sample)
+    out = langid.lang_scores(doc, profiles).collect()
+    assert len(out) == 120
+    assert all(r.agree == 1 for r in out)
+    assert all(r.score > 0 for r in out)
+
+
+def test_short_text_ties_break_to_first_lang(spark):
+    doc = spark.createDataFrame(
+        [(1, "xx", "ab"), (2, "aa", "")],
+        "doc_id long, lang string, text string",
+    )
+    profiles = {"aa": {"zzz": 5}, "bb": {"yyy": 5}, "cc": {"xxx": 5}}
+    out = {r.doc_id: r for r in langid.lang_scores(doc, profiles).collect()}
+    assert out[1].pred_lang == "aa" and out[1].score == 0
+    assert out[2].pred_lang == "aa" and out[2].score == 0
+    assert out[2].agree == 1  # declared aa, tie-broken to aa
+
+
+def test_scoring_pass_is_shuffle_free(spark):
+    from timeseriesdb_spark.plans.checks import formatted_plan
+
+    profiles = langid._train_profiles_spark(spark, SF_DIR)
+    from timeseriesdb_spark.tables import load_table
+
+    scored = langid.lang_scores(
+        load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        profiles,
+    )
+    assert "Exchange" not in formatted_plan(scored)
+
+
+def test_confusion_shares_sum_to_million(spark):
+    rows = langid.q_lang_confusion(spark, SF_DIR).collect()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.share_ppm
+    # half-up ppm shares per declared lang sum to 1e6 ± |cells| halves
+    for lang, s in by_lang.items():
+        assert abs(s - 1_000_000) <= 5, (lang, s)

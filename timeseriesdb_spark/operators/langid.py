@@ -1,0 +1,329 @@
+"""Language identification over the documents table — the filter a
+real curation pipeline runs before quality scoring (reference analogue:
+none; this is a training-data-pipeline operator, the q_gopher_quality
+family's sibling; text.q_lang_id is the untrained marker-stopword
+heuristic — this module is the TRAINED char-n-gram scorer the r9
+verdict asked for, plus the agreement stats).
+
+The testdata's `lang` column is DECLARED, not derivable from the text
+(every language draws from the same synthetic vocabulary), so the
+operator is built and graded honestly: a char-trigram profile scorer is
+trained on a bounded md5-ordered LABELED sample (declared lang as the
+training label), every document is scored against all profiles, and
+`q_lang_confusion` reports the true agreement matrix vs the declared
+column — on real corpora the same machinery yields real language ID;
+here it documents its own (near-chance) agreement instead of
+pretending.
+
+Scale/engine design:
+- training is IVF-discipline (similarity._train_sample_spark): per
+  language a row_number-over-md5 window keeps LANG_TRAIN_CAP docs, so
+  at most |langs|·CAP rows ever reach the driver regardless of corpus
+  size, drawn deterministically so the DuckDB oracle factory retrains
+  the IDENTICAL profiles from the same parquet (LAZY_ORACLES recipe).
+- scoring is pure JVM: trigram extraction via transform(sequence),
+  profiles as literal maps, per-language scores as exact integer
+  F.aggregate sums, argmax by first-max over the language-sorted score
+  array (a total order both engines share — ties break to the
+  lexicographically smallest language). Zero Python in the hot path;
+  one corpus scan, no shuffle for q_lang_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.tables import load_table
+
+LANG_TRAIN_CAP = 32   # labeled training docs per language
+LANG_PROFILE_K = 64   # trigrams per language profile
+
+
+def _profiles_from_rows(
+    rows: list[tuple[str, str]],
+) -> dict[str, dict[str, int]]:
+    """Shared trainer body (Spark path and oracle factory run this on
+    the identical sample): per language, count char trigrams over the
+    sample texts, keep the LANG_PROFILE_K most frequent with the
+    total-order tie-break (count DESC, trigram ASC), weight the
+    rank-r trigram LANG_PROFILE_K − r. All integer."""
+    from collections import Counter
+
+    texts_by_lang: dict[str, list[str]] = {}
+    for lang, text in rows:
+        texts_by_lang.setdefault(lang, []).append(text)
+    profiles: dict[str, dict[str, int]] = {}
+    for lang, texts in texts_by_lang.items():
+        c: Counter = Counter()
+        for t in texts:
+            c.update(t[i : i + 3] for i in range(len(t) - 2))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        profiles[lang] = {
+            t: LANG_PROFILE_K - i
+            for i, (t, _n) in enumerate(top[:LANG_PROFILE_K])
+        }
+    return profiles
+
+
+_PROFILE_CACHE: dict[str, dict[str, dict[str, int]]] = {}
+
+
+def _train_profiles_spark(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, dict[str, int]]:
+    """Bounded deterministic training sample via Spark: per lang the
+    first LANG_TRAIN_CAP docs in (md5(doc_id), doc_id) order — a
+    per-language uniform pseudo-random sample that never materializes
+    the corpus (window + filter on a 3-column projection)."""
+    if sf_dir in _PROFILE_CACHE:
+        return _PROFILE_CACHE[sf_dir]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    pdf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LANG_TRAIN_CAP)
+        .select("lang", "doc_id", "text")
+        .toPandas()
+        .sort_values(["lang", "doc_id"])
+    )
+    _PROFILE_CACHE[sf_dir] = _profiles_from_rows(
+        list(zip(pdf["lang"], pdf["text"]))
+    )
+    return _PROFILE_CACHE[sf_dir]
+
+
+def _train_profiles_duck(sf_dir: str) -> dict[str, dict[str, int]]:
+    """The IDENTICAL sample drawn via DuckDB SQL (md5 hex matches
+    Spark's), for the oracle factory."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT lang, text FROM (
+            SELECT lang, doc_id, text,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM '{sf_dir}/documents.parquet'
+        ) WHERE rn <= {LANG_TRAIN_CAP}
+        ORDER BY lang, doc_id
+        """
+    ).fetchall()
+    return _profiles_from_rows([(r[0], r[1]) for r in rows])
+
+
+def _trigrams_col() -> "F.Column":
+    """Char trigrams of `text` as a JVM array (empty when len < 3 —
+    sequence(1, len−2) would otherwise step backwards)."""
+    return F.when(
+        F.length("text") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_scores(
+    doc: DataFrame, profiles: dict[str, dict[str, int]]
+) -> DataFrame:
+    """Append pred_lang / score / agree to a (doc_id, lang, text)
+    frame: per-language integer profile sums over the trigram array
+    (literal-map lookups inside F.aggregate — whole-stage codegen,
+    no UDF), argmax by first-max over the language-sorted array."""
+    langs = sorted(profiles)
+    maps = {
+        lang: F.create_map(
+            *[
+                F.lit(x)
+                for t, wt in sorted(profiles[lang].items())
+                for x in (t, wt)
+            ]
+        )
+        for lang in langs
+    }
+    def _merge(m: "F.Column"):
+        # closure factory, NOT a default arg: pyspark counts the
+        # lambda's parameters to shape the higher-order function
+        return lambda acc, t: acc + F.coalesce(
+            F.element_at(m, t), F.lit(0)
+        ).cast("long")
+
+    scored = doc.withColumn("_tri", _trigrams_col()).withColumn(
+        "_scores",
+        F.array(
+            *[
+                F.aggregate(
+                    F.col("_tri"),
+                    F.lit(0).cast("long"),
+                    _merge(maps[lang]),
+                )
+                for lang in langs
+            ]
+        ),
+    )
+    pred_idx = F.array_position(
+        F.col("_scores"), F.array_max(F.col("_scores"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(lang) for lang in langs]), pred_idx.cast("int")
+        ).alias("pred_lang"),
+        F.element_at(F.col("_scores"), pred_idx.cast("int")).alias("score"),
+    ).withColumn(
+        "agree",
+        (F.col("pred_lang") == F.col("lang")).cast("int"),
+    )
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language ID: (doc_id, lang, pred_lang, score,
+    agree) — declared label kept alongside the prediction so the
+    agreement is auditable row by row."""
+    return lang_scores(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        _train_profiles_spark(spark, sf_dir),
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The agreement stats vs the declared lang column: confusion
+    matrix (lang, pred_lang, n_docs) plus each cell's share of its
+    declared language in half-up integer millionths (the engine-exact
+    ratio discipline — never round(double, 6))."""
+    per = q_lang_id_ngram(spark, sf_dir).groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    share = F.expr(
+        "(2 * n_docs * 1000000 + lang_total) div (2 * lang_total)"
+    )
+    return (
+        per.withColumn("lang_total", tot)
+        .withColumn("share_ppm", share)
+        .select("lang", "pred_lang", "n_docs", "share_ppm")
+    )
+
+
+QUERIES = {
+    "q_lang_id_ngram": q_lang_id_ngram,
+    "q_lang_confusion": q_lang_confusion,
+}
+
+
+def _weights_values_sql(profiles: dict[str, dict[str, int]]) -> str:
+    rows = []
+    for lang in sorted(profiles):
+        for t, wt in sorted(profiles[lang].items()):
+            esc = t.replace("'", "''")
+            rows.append(f"('{lang}', '{esc}', {wt})")
+    return ", ".join(rows)
+
+
+def _lang_id_core_sql(profiles: dict[str, dict[str, int]]) -> str:
+    """Shared WITH-chain replaying the scorer: trigram unnest, literal
+    weights join, zero-filled (doc × lang) grid, argmax row_number
+    with the identical (score DESC, lang ASC) total order."""
+    return f"""
+        tg AS MATERIALIZED (
+            SELECT doc_id, substr(text, CAST(i AS INT), 3) AS t
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, GREATEST(length(text) - 1, 1))) AS i
+                FROM documents
+            )
+        ),
+        w(lang_w, t, wt) AS (VALUES {_weights_values_sql(profiles)}),
+        sc AS (
+            SELECT tg.doc_id, w.lang_w, sum(w.wt) AS s
+            FROM tg JOIN w ON tg.t = w.t
+            GROUP BY tg.doc_id, w.lang_w
+        ),
+        grid AS (
+            SELECT d.doc_id, d.lang, l.lang_w,
+                   COALESCE(sc.s, 0) AS s
+            FROM documents d
+            CROSS JOIN (SELECT DISTINCT lang_w FROM w) l
+            LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang_w = l.lang_w
+        ),
+        pick AS (
+            SELECT doc_id, lang, lang_w AS pred_lang, s,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, lang_w
+                   ) AS rn
+            FROM grid
+        ),
+        lid AS (
+            SELECT doc_id, lang, pred_lang,
+                   CAST(s AS BIGINT) AS score,
+                   CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END
+                        AS INT) AS agree
+            FROM pick WHERE rn = 1
+        )
+    """
+
+
+def _resolve_sf_dir(sf_dir: str | None) -> str:
+    import os
+
+    return sf_dir or os.environ.get(
+        "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+    )
+
+
+_LID_ORACLE_CACHE: dict[str, str] = {}
+_CONF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _lang_id_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _LID_ORACLE_CACHE:
+        core = _lang_id_core_sql(_train_profiles_duck(sf_dir))
+        _LID_ORACLE_CACHE[sf_dir] = f"""
+            WITH {core}
+            SELECT doc_id, lang, pred_lang, score, agree FROM lid
+        """
+    return _LID_ORACLE_CACHE[sf_dir]
+
+
+def _lang_confusion_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _CONF_ORACLE_CACHE:
+        core = _lang_id_core_sql(_train_profiles_duck(sf_dir))
+        _CONF_ORACLE_CACHE[sf_dir] = f"""
+            WITH {core},
+            conf AS (
+                SELECT lang, pred_lang, count(*) AS n_docs
+                FROM lid GROUP BY lang, pred_lang
+            ),
+            tot AS (
+                SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+                FROM conf GROUP BY lang
+            )
+            SELECT c.lang, c.pred_lang,
+                   CAST(c.n_docs AS BIGINT) AS n_docs,
+                   CAST((2 * c.n_docs * 1000000 + t.lang_total)
+                        // (2 * t.lang_total) AS BIGINT) AS share_ppm
+            FROM conf c JOIN tot t USING (lang)
+        """
+    return _CONF_ORACLE_CACHE[sf_dir]
+
+
+LAZY_ORACLES = {
+    "q_lang_id_ngram": _lang_id_oracle,
+    "q_lang_confusion": _lang_confusion_oracle,
+}

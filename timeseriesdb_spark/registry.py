@@ -22,6 +22,7 @@ from timeseriesdb_spark.operators import (
     filters,
     funnels,
     joins,
+    langid,
     mlkernels,
     mlscoring,
     multimodal,
@@ -48,6 +49,7 @@ _MODULES = [
     filters,
     funnels,
     joins,
+    langid,
     mlkernels,
     mlscoring,
     multimodal,
