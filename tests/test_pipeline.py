@@ -133,3 +133,19 @@ def test_run_incremental_invariants(spark):
     assert ids == {r.doc_id for r in flags if r.keep == 1}
     # 3. splits partition the output
     assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_dropped_ids_fast_path_matches_full_decision(spark):
+    """neardup_dropped_ids (the pipeline's anti-join set) must equal
+    the complement of dedup_clusters' survivor set — the fast path
+    skips the singleton/size tail, never changes the decision. Checked
+    on both CC execution paths (driver union-find and distributed
+    min-label via driver_bound=0 ... the distributed loop shares
+    _cluster_labels, pinned in test_dedup_clusters)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    dropped = {
+        r.doc_id for r in dedup.neardup_dropped_ids(docs).collect()
+    }
+    clusters = dedup.dedup_clusters(docs).collect()
+    expect = {r.doc_id for r in clusters if r.doc_id != r.cluster_id}
+    assert dropped == expect

@@ -660,6 +660,22 @@ def dedup_clusters(doc: DataFrame) -> DataFrame:
     return cluster_pairs(docs, pairs)
 
 
+def neardup_dropped_ids(doc: DataFrame) -> DataFrame:
+    """doc_ids that are NOT their near-dup cluster's canonical
+    survivor — the exact set a dedup pipeline DROPS. Same CC fixed
+    point as :func:`dedup_clusters` but skips the full-decision tail
+    (_finish_labels' singleton union, cluster-size aggregate and
+    join): a non-survivor is precisely an edge-touching node whose
+    converged label differs from itself, so the corpus-sized total
+    frame is never built. Singletons (never in `labels`) keep
+    implicitly — anti-join this frame against the corpus."""
+    pairs = lsh_pairs(doc).filter(F.col("est_jaccard") >= CC_MIN_EST)
+    labels = _cluster_labels(doc.sparkSession, pairs)
+    return labels.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+
+
 def cluster_pairs(
     docs: DataFrame, pairs: DataFrame, driver_bound: int = None
 ) -> DataFrame:
@@ -680,6 +696,18 @@ def cluster_pairs(
     tests/test_dedup_clusters.py. Past the bound, the distributed
     min-label-propagation loop below runs unchanged — the 100 TB path
     is not an afterthought, it is the same function."""
+    return _finish_labels(
+        docs, _cluster_labels(docs.sparkSession, pairs, driver_bound)
+    )
+
+
+def _cluster_labels(
+    spark: SparkSession, pairs: DataFrame, driver_bound: int = None
+) -> DataFrame:
+    """The CC fixed-point labels (node, comp) for EDGE-TOUCHING nodes
+    only — the hybrid driver-union-find / distributed-min-label core
+    shared by cluster_pairs (which adds singletons + sizes) and
+    neardup_dropped_ids (which needs only comp != node)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -700,8 +728,8 @@ def cluster_pairs(
         # collect from the MATERIALIZED checkpoint (one direction is
         # enough) — collecting `fwd` would recompute the entire pair
         # pipeline from scratch
-        return _cluster_pairs_driver(
-            docs, edges.where(F.col("src") < F.col("dst"))
+        return _driver_labels(
+            spark, edges.where(F.col("src") < F.col("dst"))
         )
     target = max(1, min(n_parts, n_edges // CC_EDGES_PER_PART + 1))
     if target < n_parts:
@@ -747,7 +775,7 @@ def cluster_pairs(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return _finish_labels(docs, labels)
+    return labels
 
 
 def _finish_labels(docs: DataFrame, labels: DataFrame) -> DataFrame:
@@ -767,12 +795,13 @@ def _finish_labels(docs: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def _cluster_pairs_driver(docs: DataFrame, fwd: DataFrame) -> DataFrame:
-    """Driver union-find over a bounded pair list. Union-by-min keeps
-    the minimum element of every component a root forever (a larger
-    root is always attached under a smaller one), so each node's final
-    root is exactly min(doc_id in component) — the identical fixed
-    point the distributed min-label propagation converges to."""
+def _driver_labels(spark: SparkSession, fwd: DataFrame) -> DataFrame:
+    """Driver union-find over a bounded pair list → (node, comp)
+    labels. Union-by-min keeps the minimum element of every component
+    a root forever (a larger root is always attached under a smaller
+    one), so each node's final root is exactly min(doc_id in
+    component) — the identical fixed point the distributed min-label
+    propagation converges to."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -790,14 +819,11 @@ def _cluster_pairs_driver(docs: DataFrame, fwd: DataFrame) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    spark = docs.sparkSession
     if parent:
-        labels = spark.createDataFrame(
+        return spark.createDataFrame(
             [(int(n), int(find(n))) for n in parent], "node long, comp long"
         )
-    else:
-        labels = spark.createDataFrame([], "node long, comp long")
-    return _finish_labels(docs, labels)
+    return spark.createDataFrame([], "node long, comp long")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

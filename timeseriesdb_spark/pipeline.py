@@ -80,12 +80,15 @@ class CurationPipeline:
     def neardup_dedup(self, docs: DataFrame) -> DataFrame:
         """Drop everything but the canonical survivor (min doc_id ==
         cluster label) of each near-dup cluster — connected components
-        over the MinHash-LSH candidate graph (operators/dedup.py)."""
-        clusters = dedup.dedup_clusters(docs)
-        survivors = clusters.where(
-            F.col("doc_id") == F.col("cluster_id")
-        ).select("doc_id")
-        return docs.join(survivors, "doc_id", "semi")
+        over the MinHash-LSH candidate graph (operators/dedup.py).
+        Uses the dropped-ids fast path (neardup_dropped_ids): the
+        pipeline only needs the drop SET, so the full cluster decision
+        frame (singleton union, cluster-size aggregate + join) is
+        never built — one anti-join against a dup-graph-sized frame
+        instead (r9 q_curation profiling)."""
+        return docs.join(
+            dedup.neardup_dropped_ids(docs), "doc_id", "anti"
+        )
 
     def assign_splits(self, docs: DataFrame) -> DataFrame:
         """Deterministic hash-range train/val/test + token budget
