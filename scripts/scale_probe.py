@@ -90,6 +90,37 @@ DOC_PROBES = {
     # of q_heavy_hitters; rotation changes terms but not counts per
     # source, output fixed at HH_M rows (rows column reads 1.0x)
     "q_trending_terms": "trending-terms tier + HH summarization",
+    # r10: incremental image probe. Replicas RENAME sources, so the
+    # corpus slice (source == src0) stays x1 while the batch grows
+    # ~16x — exactly the production shape (fixed curated corpus,
+    # accumulating crawl batches); rows = one per batch doc. The
+    # rotation is not image-disjoint (see q_image_dedup), so
+    # cross-replica batch pairs may exist; the row count is
+    # structurally batch-linear and the joins stay band-bucketed.
+    "q_image_incremental": "incremental image dedup vs x1 corpus",
+    # r10: trained trigram scorer — per-scale-dir profile training is
+    # a bounded |langs|*CAP driver sample; scoring is a shuffle-free
+    # scan, so time must track the scan and rows read exactly 16x
+    "q_lang_id_ngram": "trained char-trigram language ID scan",
+}
+# audio-axis probes, run on the SAME events replicas. Replicated
+# signals have IDENTICAL value sequences, so every replica clip is an
+# EXACT AUDIO DUPLICATE of its x1 original (fingerprint hamming 0) —
+# unlike the text axis there is no audio-disjoint rotation (the
+# fingerprint is deliberately robust to uniform perturbations, the
+# image lesson squared). The dedup probes therefore double as a
+# 16-way-duplicate STRESS: each band bucket holds the 16-replica
+# group (16 <= DHASH_BAND_DF_CAP, so the fence keeps it), the pair
+# stage does its real k^2-per-group work inside the bucket, and the
+# OUTPUT must stay exactly one row per clip (16x) with each group
+# collapsing to its min-user_id survivor. Time growing with the
+# grouped pair work is expected and bounded by the cap; rows growing
+# past 16x would be the bug.
+AUD_PROBES = {
+    "q_audio_meta": "WAV decode + typed metadata per clip",
+    "q_audio_frames": "frame-level integer features over decoded PCM",
+    "q_audio_dedup": "energy-delta fingerprints + banded keep/drop",
+    "q_audio_incremental": "incremental audio dedup (parity split)",
 }
 # embeddings-axis probes: the single-probe ANN scorers (top-k output
 # is k rows regardless of corpus size — cost is the scan+score, which
@@ -223,6 +254,15 @@ def main() -> None:
         print(name, {k: round(v, 3) for k, v in dresults[name].items()},
               "rows x1/x16:", drows[name])
 
+    aresults: dict[str, dict[int, float]] = {}
+    arows: dict[str, dict[int, int]] = {}
+    for name in AUD_PROBES:
+        fn = QUERIES[name]
+        aresults[name] = {k: time_query(fn, spark, dirs[k]) for k in FACTORS}
+        arows[name] = {k: fn(spark, dirs[k]).count() for k in (1, 16)}
+        print(name, {k: round(v, 3) for k, v in aresults[name].items()},
+              "rows x1/x16:", arows[name])
+
     edirs = {k: build_scaled_emb(spark, k) for k in FACTORS}
     eresults: dict[str, dict[int, float]] = {}
     for name in EMB_PROBES:
@@ -297,6 +337,38 @@ def main() -> None:
         "pair formation — the df² blowup the stop-shingle cap exists to",
         "prevent; time growing faster than rows would mean per-task",
         "state tracking corpus size.",
+        "(q_image_incremental's corpus slice stays ×1 — replicas rename",
+        "sources — so its batch and row count grow ~16.8×, the",
+        "production shape: fixed curated corpus, accumulating crawls.)",
+        "",
+        "## Audio axis: events ×1/×4/×16 (16-way-duplicate stress)",
+        "",
+        "Same events replicas as the signal axis. Replicated signals",
+        "carry IDENTICAL values, so every replica clip is an EXACT",
+        "audio duplicate of its ×1 original — there is no",
+        "audio-disjoint rotation (the fingerprint is robust to uniform",
+        "perturbations by design). The dedup probes therefore double",
+        "as a k-way-duplicate stress: band buckets hold each 16-clip",
+        "replica group (≤ DHASH_BAND_DF_CAP, kept by the fence), the",
+        "pair stage does its real per-group work inside the bucket,",
+        "and output stays EXACTLY one row per clip — the measured",
+        "rows ×16/×1 = 16.0 column. The streamed probes",
+        "(image_probe_stream / audio_probe_stream) are the same",
+        "band-bucketed LEFT ANTI joins on the ingest path, pinned",
+        "stream==batch in tests/test_image_dedup.py and",
+        "tests/test_audio_dedup.py.",
+        "",
+        "| query | family | ×1 s | ×4 s | ×16 s | ×16/×1 | rows ×16/×1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, note in AUD_PROBES.items():
+        r = aresults[name]
+        rw = arows[name]
+        lines.append(
+            f"| {name} | {note} | {r[1]:.3f} | {r[4]:.3f} | {r[16]:.3f} "
+            f"| {r[16] / r[1]:.1f}× | {rw[16] / max(rw[1], 1):.1f}× |"
+        )
+    lines += [
         "",
         "## Vector axis: embeddings ×1/×4/×16",
         "",
