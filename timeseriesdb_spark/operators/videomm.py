@@ -1,0 +1,403 @@
+"""Video multimodal column operators — the third member of the
+image/audio/video triad (multimodal.py holds the image + audio
+families; this module mirrors them for video to keep file sizes
+sane). Payloads are REAL encoded RIFF/VIDF containers
+(functions/video.py) synthesized from documents.text; every kernel
+genuinely parses the bytes back into frame grids inside Arrow-batched
+mapInPandas — decode parallelism == partition count, payloads never
+pass through the driver, constant memory per task.
+
+Queries (all DuckDB hash-checked — the synthesis contract is replayed
+closed-form from hex(encode(text)) while the Spark side must parse
+the container it encoded):
+- q_video_meta: container header read-back (n_bytes, width, height,
+  n_frames, fps, duration_ms).
+- q_video_frames: the frame-SAMPLE stage (every VID_SAMPLE_EVERY-th
+  frame) with exact integer per-frame stats (pix_sum, pix_min,
+  pix_max) — what a video model's frontend computes before embedding.
+- q_video_scene_cuts: adjacent-frame absolute pixel delta Σ|p_t −
+  p_{t−1}| per transition plus the is_cut decision at an integer
+  threshold — shot segmentation, all int64.
+- q_video_fp / q_video_neardup / q_video_dedup: clip fingerprints
+  over the decoded voxel stream (audio.fingerprint_bits — the
+  56-bit energy-delta-sign hash over exact integer chunk energies)
+  feeding the SAME banded-Hamming LSH machinery as images and audio
+  (fp_bands / fp_neardup_pairs), so all three modalities dedup with
+  one shared, bucket-fenced, never-all-pairs core.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import cloudpickle as _cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesdb_spark.functions import audio, video
+from timeseriesdb_spark.operators.common import parallelize_small_scan
+from timeseriesdb_spark.operators.multimodal import (
+    DHASH_T,
+    fp_bands,
+    fp_neardup_pairs,
+)
+from timeseriesdb_spark.tables import load_table
+
+_cloudpickle.register_pickle_by_value(video)
+_cloudpickle.register_pickle_by_value(audio)
+
+VID_SAMPLE_EVERY = 2   # frame-sample stride (keep frames 0, 2, 4, …)
+SCENE_CUT_MIN = 20_000  # Σ|Δpixel| threshold for a cut decision
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video payload → typed metadata, everything READ BACK from a
+    real container parse: the synthesis embeds shape into an actual
+    vhdr chunk and the kernel re-parses it from bytes. Oracle: DuckDB
+    derives the same numbers closed form (n_frames from text length,
+    n_bytes = 36 + n_frames·(8 + H·W), duration_ms =
+    n_frames·1000 // fps)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, ws, hs, nfs, fpss, durs = [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = video.synth_video(text.encode("utf-8"))
+                fps, frames = video.decode_video(payload)
+                nf, h, w = frames.shape
+                ids.append(doc_id)
+                nb.append(len(payload))
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+                fpss.append(fps)
+                durs.append(nf * 1000 // fps)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "n_bytes": nb, "width": ws,
+                    "height": hs, "n_frames": nfs, "fps": fpss,
+                    "duration_ms": durs,
+                }
+            )
+
+    return _docs(spark, sf_dir).mapInPandas(
+        extract,
+        "doc_id bigint, n_bytes bigint, width bigint, height bigint, "
+        "n_frames bigint, fps bigint, duration_ms bigint",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + per-frame integer stats over DECODED frames:
+    keep every VID_SAMPLE_EVERY-th frame, emit exact pix_sum (≤
+    192·255, int64-trivial), pix_min, pix_max. The frame-sample stage
+    every video pipeline runs before feature extraction."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame": [], "pix_sum": [],
+                "pix_min": [], "pix_max": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = video.synth_video(text.encode("utf-8"))
+                _, frames = video.decode_video(payload)
+                for k in range(0, frames.shape[0], VID_SAMPLE_EVERY):
+                    f = frames[k].astype(np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(k)
+                    out["pix_sum"].append(int(f.sum()))
+                    out["pix_min"].append(int(f.min()))
+                    out["pix_max"].append(int(f.max()))
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).mapInPandas(
+        extract,
+        "doc_id bigint, frame bigint, pix_sum bigint, pix_min bigint, "
+        "pix_max bigint",
+    )
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation: per adjacent-frame transition the exact
+    integer delta Σ|p_t − p_{t−1}| over the gray grid and the cut
+    decision at SCENE_CUT_MIN. One row per transition (frame =
+    arrival index t ≥ 1), so output is corpus-linear in total frame
+    count."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame": [], "delta": [], "is_cut": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = video.synth_video(text.encode("utf-8"))
+                _, frames = video.decode_video(payload)
+                f = frames.astype(np.int64)
+                for t in range(1, f.shape[0]):
+                    d = int(np.abs(f[t] - f[t - 1]).sum())
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(t)
+                    out["delta"].append(d)
+                    out["is_cut"].append(1 if d >= SCENE_CUT_MIN else 0)
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).mapInPandas(
+        extract,
+        "doc_id bigint, frame bigint, delta bigint, is_cut int",
+    )
+
+
+def video_fingerprints(doc: DataFrame) -> DataFrame:
+    """Per-clip video fingerprint (doc_id, vfp): decode the container,
+    flatten the (F, H, W) voxel grid in frame-major order, hash the
+    int64 stream with the shared 56-bit energy-delta-sign fingerprint
+    (audio.fingerprint_bits — exact integer chunk boundaries and
+    energies, so the bit pattern is engine-deterministic). A clip with
+    appended/trimmed frames shifts every chunk boundary slightly and
+    flips few bits — the near-dup robustness the banded pairs need."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps_ = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = video.synth_video(text.encode("utf-8"))
+                _, frames = video.decode_video(payload)
+                ids.append(doc_id)
+                fps_.append(
+                    audio.fingerprint_bits(
+                        frames.ravel().astype(np.int64)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "vfp": fps_})
+
+    return doc.mapInPandas(extract, "doc_id bigint, vfp string")
+
+
+def q_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video fingerprint tier (doc_id, vfp) — what a production
+    pipeline PERSISTS, banded, so later clip batches dedup against
+    the store without re-decoding the corpus."""
+    return video_fingerprints(_docs(spark, sf_dir))
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs via the shared banded-Hamming LSH
+    core (fp_neardup_pairs): candidates only inside (band, band_key)
+    buckets, exact hamming refinement, df-capped hot buckets. Like
+    the image/audio twins, a 0-row answer on a corpus with no clip
+    pair within hamming DHASH_T is the true answer; banded==brute is
+    pinned on crafted frame-appended replicas in tests."""
+    return fp_neardup_pairs(
+        video_fingerprints(_docs(spark, sf_dir)),
+        "doc_id", "vfp", "doc_a", "doc_b",
+    )
+
+
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total video keep/drop decision (doc_id, vfp, keep) — keep = 0
+    iff a smaller-id clip is within hamming DHASH_T. Corpus-sized at
+    every SF; the fingerprint frame is checkpointed so the decode
+    pass runs once across the plan's branches."""
+    fp = video_fingerprints(_docs(spark, sf_dir)).localCheckpoint()
+    dropped = (
+        fp_neardup_pairs(fp, "doc_id", "vfp", "doc_a", "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return fp.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        "vfp",
+        F.when(F.col("dropped").isNotNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+QUERIES = {
+    "q_video_meta": q_video_meta,
+    "q_video_frames": q_video_frames,
+    "q_video_scene_cuts": q_video_scene_cuts,
+    "q_video_fp": q_video_fp,
+    "q_video_neardup": q_video_neardup,
+    "q_video_dedup": q_video_dedup,
+}
+
+
+# ---- DuckDB oracles: the synthesis contract replayed closed-form
+# from hex(encode(text)) — voxel j of the flattened (F·H·W) stream is
+# byte[j % n] (empty text → one 0 byte); the Spark side gets the same
+# numbers only by correctly encoding AND re-parsing the container.
+_PPF = video.VID_H * video.VID_W  # pixels per frame
+
+_VOX_SQL = f"""
+        vd AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS rawn,
+                   CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 1
+                        ELSE octet_length(encode(text)) END AS BIGINT) AS n,
+                   octet_length(encode(text)) = 0 AS empty,
+                   CAST({video.VID_MIN_FRAMES}
+                        + octet_length(encode(text))
+                          % {video.VID_FRAMES_MOD} AS BIGINT) AS nf
+            FROM documents
+        ),
+        vox AS MATERIALIZED (
+            SELECT doc_id, n, nf, j,
+                   CASE WHEN empty THEN 0 ELSE
+                     (strpos('0123456789ABCDEF',
+                             substr(hx, CAST(2 * (j % n) + 1 AS INT), 1))
+                      - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2 * (j % n) + 2 AS INT), 1))
+                     - 1
+                   END AS v
+            FROM (
+                SELECT doc_id, hx, n, empty, nf,
+                       unnest(range(0, nf * {_PPF})) AS j
+                FROM vd
+            )
+        )
+"""
+
+_VFP_SQL = f"""
+        {_VOX_SQL},
+        vesum AS (
+            SELECT doc_id, (j * {audio.AFP_CHUNKS}) // (nf * {_PPF}) AS chunk,
+                   sum(v * v) AS e
+            FROM vox GROUP BY doc_id, (j * {audio.AFP_CHUNKS}) // (nf * {_PPF})
+        ),
+        vbits AS (
+            SELECT doc_id, chunk,
+                   CASE WHEN lead(e) OVER (
+                            PARTITION BY doc_id ORDER BY chunk) > e
+                        THEN '1' ELSE '0' END AS b
+            FROM vesum
+        ),
+        vfp AS (
+            SELECT doc_id, string_agg(b, '' ORDER BY chunk) AS vfp
+            FROM vbits WHERE chunk < {audio.AFP_CHUNKS - 1}
+            GROUP BY doc_id
+        )
+"""
+
+from timeseriesdb_spark.operators.multimodal import (  # noqa: E402
+    DHASH_BAND_DF_CAP,
+    DHASH_BAND_W,
+    DHASH_BANDS,
+)
+
+ORACLES: dict[str, str] = {
+    "q_video_meta": f"""
+        WITH vd AS (
+            SELECT doc_id,
+                   CAST({video.VID_MIN_FRAMES}
+                        + octet_length(encode(text))
+                          % {video.VID_FRAMES_MOD} AS BIGINT) AS nf
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(36 + nf * (8 + {_PPF}) AS BIGINT) AS n_bytes,
+               CAST({video.VID_W} AS BIGINT) AS width,
+               CAST({video.VID_H} AS BIGINT) AS height,
+               nf AS n_frames,
+               CAST({video.VID_FPS} AS BIGINT) AS fps,
+               CAST(nf * 1000 // {video.VID_FPS} AS BIGINT) AS duration_ms
+        FROM vd
+    """,
+    "q_video_frames": f"""
+        WITH {_VOX_SQL}
+        SELECT doc_id, j // {_PPF} AS frame,
+               CAST(sum(v) AS BIGINT) AS pix_sum,
+               CAST(min(v) AS BIGINT) AS pix_min,
+               CAST(max(v) AS BIGINT) AS pix_max
+        FROM vox
+        WHERE (j // {_PPF}) % {VID_SAMPLE_EVERY} = 0
+        GROUP BY doc_id, j // {_PPF}
+    """,
+    "q_video_scene_cuts": f"""
+        WITH {_VOX_SQL},
+        lagged AS (
+            SELECT doc_id, j // {_PPF} AS frame,
+                   abs(v - lag(v, {_PPF}) OVER (
+                       PARTITION BY doc_id ORDER BY j)) AS d
+            FROM vox
+        )
+        SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+               CAST(sum(d) AS BIGINT) AS delta,
+               CAST(CASE WHEN sum(d) >= {SCENE_CUT_MIN} THEN 1 ELSE 0 END
+                    AS INT) AS is_cut
+        FROM lagged WHERE frame >= 1
+        GROUP BY doc_id, frame
+    """,
+    "q_video_fp": f"""
+        WITH {_VFP_SQL}
+        SELECT doc_id, vfp FROM vfp
+    """,
+    "q_video_neardup": f"""
+        WITH {_VFP_SQL},
+        bands AS (
+            SELECT doc_id, vfp, band,
+                   substr(vfp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM vfp CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        capped AS (
+            SELECT doc_id, vfp, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM bands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.vfp AS fa, b.vfp AS fb
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming(fa, fb) AS BIGINT) AS hamming
+        FROM pairs WHERE hamming(fa, fb) <= {DHASH_T}
+    """,
+    "q_video_dedup": f"""
+        WITH {_VFP_SQL},
+        bands AS (
+            SELECT doc_id, vfp, band,
+                   substr(vfp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM vfp CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        capped AS (
+            SELECT doc_id, vfp, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM bands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        dropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+            WHERE hamming(a.vfp, b.vfp) <= {DHASH_T}
+        )
+        SELECT f.doc_id, f.vfp,
+               CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM vfp f LEFT JOIN dropped d USING (doc_id)
+    """,
+}

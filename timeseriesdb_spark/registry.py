@@ -36,6 +36,7 @@ from timeseriesdb_spark.operators import (
     transforms,
     tsanalytics,
     ucr,
+    videomm,
     windows,
 )
 from timeseriesdb_spark import pipeline
@@ -63,6 +64,7 @@ _MODULES = [
     transforms,
     tsanalytics,
     ucr,
+    videomm,
     windows,
     pipeline,
 ]
