@@ -200,3 +200,130 @@ def test_dedup_decision_consistent_with_pairs(spark):
     assert len(dec) > 0
     for r in dec:
         assert r.keep == (0 if r.doc_id in dropped else 1)
+
+
+def test_incremental_stored_probe_parity(spark, tmp_path):
+    """Probing the persisted band_key-bucketed vfp store must give the
+    IDENTICAL keep/drop frame as the inline corpus derivation. Also
+    pins keep-first: an injected exact copy of a corpus clip is
+    dup_of_corpus, a batch-internal copy pair flags only its LARGER
+    doc_id."""
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+    from timeseriesdb_spark.operators.videomm import (
+        incremental_video_neardup,
+        incremental_video_neardup_stored,
+        write_vfp_store,
+    )
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    corpus = doc.where(F.col("source") == CORPUS_SOURCE)
+    c0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+    b0 = (
+        doc.where(F.col("source") != CORPUS_SOURCE)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, c0.text, "srcX"),
+            (9_000_002, b0.text, "srcX"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = doc.where(F.col("source") != CORPUS_SOURCE).unionByName(extra)
+
+    inline = {
+        r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
+        for r in incremental_video_neardup(batch, corpus).collect()
+    }
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS vfp_probe_test")
+    shutil.rmtree("spark-warehouse/vfp_probe_test", ignore_errors=True)
+    try:
+        write_vfp_store(corpus, "vfp_probe_test")
+        stored = {
+            r.doc_id: (r.dup_of_corpus, r.dup_of_batch, r.keep)
+            for r in incremental_video_neardup_stored(
+                spark, batch, "vfp_probe_test"
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vfp_probe_test")
+    assert inline == stored
+    assert inline[9_000_001][0] == 1 and inline[9_000_001][2] == 0
+    assert inline[9_000_002][1] == 1 and inline[9_000_002][2] == 0
+    assert inline[b0.doc_id][1] == 0
+
+
+def test_video_probe_stream_matches_batch(spark, tmp_path):
+    """Streamed video probe drops exactly the batch
+    incremental_video_neardup dup_of_corpus set, statelessly, with
+    original columns surviving; a corpus-clip copy is injected so the
+    drop set is non-empty."""
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+    from timeseriesdb_spark.operators.multimodal import fp_bands
+    from timeseriesdb_spark.operators.videomm import (
+        incremental_video_neardup,
+        video_fingerprints,
+        video_probe_stream,
+    )
+
+    src = str(tmp_path / "vsrc")
+    out = str(tmp_path / "vout")
+    ckpt = str(tmp_path / "vckpt")
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    corpus = doc.where(F.col("source") == CORPUS_SOURCE)
+    c0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [(9_000_001, c0.text, "srcX")],
+        "doc_id long, text string, source string",
+    )
+    batch = doc.where(F.col("source") != CORPUS_SOURCE).unionByName(extra)
+    # encode REAL payloads for the streamed frame (the bytes route)
+    bpdf = batch.toPandas()
+    rows = [
+        (int(r.doc_id), bytearray(video.synth_video(r.text.encode("utf-8"))))
+        for r in bpdf.itertuples()
+    ]
+    spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(
+        3
+    ).write.mode("overwrite").parquet(src)
+
+    bands = fp_bands(video_fingerprints(corpus), "doc_id", "vfp", cap=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        video_probe_stream(stream, bands)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+    flags = incremental_video_neardup(batch, corpus).collect()
+    expect = {r.doc_id for r in flags if r.dup_of_corpus == 0}
+    dropped = {r.doc_id for r in flags if r.dup_of_corpus == 1}
+    assert 9_000_001 in dropped
+    assert kept == expect
+    assert {"doc_id", "payload", "vfp"} <= set(
+        spark.read.parquet(out).columns
+    )

@@ -228,6 +228,139 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_vfp_store(corpus: DataFrame, table: str) -> None:
+    """Persist the clip corpus' video-fingerprint band index as a
+    band_key-bucketed catalog table (the video twin of
+    write_dhash_store / write_afp_store): fingerprints are computed
+    ONCE at index build — later clip batches probe with no corpus
+    re-decode, co-located on band_key. Stored CAPPED: hot buckets are
+    static/template clips, dropped at write."""
+    from timeseriesdb_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        fp_bands(video_fingerprints(corpus), "doc_id", "vfp", cap=True),
+        table,
+        key="band_key",
+        sort_by=None,
+    )
+
+
+def incremental_video_neardup(
+    batch: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Incremental VIDEO dedup: dup_of_corpus / dup_of_batch / keep
+    per batch clip, via the shared _fp_incremental_from_bands core —
+    the corpus never re-decodes at probe time when the band frame
+    comes from write_vfp_store (incremental_video_neardup_stored)."""
+    from timeseriesdb_spark.operators.multimodal import (
+        _fp_incremental_from_bands,
+    )
+
+    return _fp_incremental_from_bands(
+        video_fingerprints(batch.select("doc_id", "text")).localCheckpoint(),
+        fp_bands(video_fingerprints(corpus), "doc_id", "vfp", cap=True),
+        "doc_id", "vfp",
+    )
+
+
+def incremental_video_neardup_stored(
+    spark: SparkSession, batch: DataFrame, band_table: str
+) -> DataFrame:
+    """:func:`incremental_video_neardup` against a persisted index."""
+    from timeseriesdb_spark.operators.multimodal import (
+        _fp_incremental_from_bands,
+    )
+
+    return _fp_incremental_from_bands(
+        video_fingerprints(batch.select("doc_id", "text")).localCheckpoint(),
+        spark.table(band_table),
+        "doc_id", "vfp",
+    )
+
+
+def q_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental video dedup with documents split by source —
+    `src0` plays the already-indexed corpus, every other source the
+    incoming batch (the q_image_incremental convention)."""
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+
+    doc = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        ),
+        spark,
+    )
+    return incremental_video_neardup(
+        doc.where(F.col("source") != CORPUS_SOURCE),
+        doc.where(F.col("source") == CORPUS_SOURCE),
+    )
+
+
+def vfp_with_carry(clips: DataFrame) -> DataFrame:
+    """Fingerprint a frame of ALREADY-ENCODED clips (…, payload
+    binary) — decodes real container bytes (the stored/streamed
+    route, no synthesis) and appends a vfp column. Stateless one-pass
+    Arrow kernel with all input columns carried through, so it runs
+    unchanged on a readStream frame (the video twin of
+    dhash_with_carry / afp_with_carry)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(clips.schema.fields) + [StructField("vfp", StringType())]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fps_ = []
+            for payload in pdf["payload"]:
+                _, frames = video.decode_video(bytes(payload))
+                fps_.append(
+                    audio.fingerprint_bits(frames.ravel().astype(np.int64))
+                )
+            out = pdf.copy()
+            out["vfp"] = fps_
+            yield out
+
+    return clips.mapInPandas(extract, out_schema)
+
+
+def video_probe_stream(
+    stream: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Drop streamed clips whose VIDEO is within hamming DHASH_T of
+    the existing corpus — stateless ingest-path dedup (the video twin
+    of image_probe_stream / audio_probe_stream): one Arrow
+    fingerprint pass over the clip payloads, then one LEFT ANTI
+    stream-static join per band against the persisted index
+    (write_vfp_store), each an equi-join on band_key with the exact
+    hamming refinement as a residual predicate. No state store — a
+    replayed micro-batch re-probes to the same answer."""
+    from timeseriesdb_spark.operators.multimodal import (
+        DHASH_BAND_W,
+        DHASH_BANDS,
+        _dhash_hamming,
+    )
+
+    cur = vfp_with_carry(stream)
+    for b in range(DHASH_BANDS):
+        key = F.concat(
+            F.lit(f"{b}:"),
+            F.substring(
+                F.col("a.vfp"), b * DHASH_BAND_W + 1, DHASH_BAND_W
+            ),
+        )
+        cond = (key == F.col("c.band_key")) & (
+            _dhash_hamming("a.vfp", "c.vfp") <= DHASH_T
+        )
+        cur = (
+            cur.alias("a")
+            .join(corpus_bands.alias("c"), cond, "left_anti")
+        )
+    return cur
+
+
 QUERIES = {
     "q_video_meta": q_video_meta,
     "q_video_frames": q_video_frames,
@@ -235,6 +368,7 @@ QUERIES = {
     "q_video_fp": q_video_fp,
     "q_video_neardup": q_video_neardup,
     "q_video_dedup": q_video_dedup,
+    "q_video_incremental": q_video_incremental,
 }
 
 
@@ -372,6 +506,59 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, CAST(hamming(fa, fb) AS BIGINT) AS hamming
         FROM pairs WHERE hamming(fa, fb) <= {DHASH_T}
+    """,
+    "q_video_incremental": f"""
+        WITH {_VFP_SQL},
+        fps AS (
+            SELECT f.doc_id, f.vfp, d.source
+            FROM vfp f JOIN documents d USING (doc_id)
+        ),
+        cb AS (
+            SELECT doc_id, vfp, band_key FROM (
+                SELECT *, count(*) OVER (PARTITION BY band_key) AS df
+                FROM (
+                    SELECT doc_id, vfp,
+                           CAST(band AS VARCHAR) || ':' ||
+                           substr(vfp,
+                                  CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                                  {DHASH_BAND_W}) AS band_key
+                    FROM fps CROSS JOIN
+                         (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+                    WHERE source = 'src0'
+                )
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        bb AS (
+            SELECT doc_id, vfp,
+                   CAST(band AS VARCHAR) || ':' ||
+                   substr(vfp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS band_key
+            FROM fps CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+            WHERE source != 'src0'
+        ),
+        c_hits AS (
+            SELECT DISTINCT a.doc_id
+            FROM bb a JOIN cb b USING (band_key)
+            WHERE hamming(a.vfp, b.vfp) <= {DHASH_T}
+        ),
+        b_hits AS (
+            SELECT DISTINCT a.doc_id
+            FROM bb a JOIN bb b
+              ON a.band_key = b.band_key AND a.doc_id > b.doc_id
+            WHERE hamming(a.vfp, b.vfp) <= {DHASH_T}
+        )
+        SELECT f.doc_id,
+               CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS dup_of_corpus,
+               CAST(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS dup_of_batch,
+               CAST(CASE WHEN c.doc_id IS NULL AND b.doc_id IS NULL
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM fps f
+        LEFT JOIN c_hits c USING (doc_id)
+        LEFT JOIN b_hits b USING (doc_id)
+        WHERE f.source != 'src0'
     """,
     "q_video_dedup": f"""
         WITH {_VFP_SQL},
