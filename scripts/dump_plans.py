@@ -51,6 +51,10 @@ HEADLINERS = [
     "q_image_neardup",   # r9: Arrow decode pass + banded-Hamming join
     "q_trending_terms",  # r9: (source, term) tier + HH summarization
     "q_image_incremental",  # r9: checkpointed batch decode, band probes
+    "q_audio_dedup",     # r10: clip fingerprint pass + banded keep/drop
+    "q_video_dedup",     # r10: container decode + shared banded core
+    "q_lang_id_ngram",   # r10: literal-map trigram scan, shuffle-free
+    "q_curation",        # r10: full pipeline incl. dropped-ids CC tail
 ]
 
 SF = "/root/testdata/sf0.01"
