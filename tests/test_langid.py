@@ -72,8 +72,13 @@ def test_short_text_ties_break_to_first_lang(spark):
     assert out[2].agree == 1  # declared aa, tie-broken to aa
 
 
-def test_scoring_pass_is_shuffle_free(spark):
-    from timeseriesdb_spark.plans.checks import formatted_plan
+def test_scoring_plan_shape(spark):
+    """One corpus scan, the weights side BROADCAST (never a shuffle
+    of the exploded trigram rows onto the 300-row table), and exactly
+    one aggregation exchange carrying |docs|-sized partial sums —
+    the map-side combine is what keeps the exchanged volume
+    independent of text length."""
+    from timeseriesdb_spark.plans import checks
 
     profiles = langid._train_profiles_spark(spark, SF_DIR)
     from timeseriesdb_spark.tables import load_table
@@ -84,7 +89,9 @@ def test_scoring_pass_is_shuffle_free(spark):
         ),
         profiles,
     )
-    assert "Exchange" not in formatted_plan(scored)
+    plan = checks.formatted_plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert checks.exchange_count(scored) <= 1, plan
 
 
 def test_confusion_shares_sum_to_million(spark):

