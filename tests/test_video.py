@@ -327,3 +327,39 @@ def test_video_probe_stream_matches_batch(spark, tmp_path):
     assert {"doc_id", "payload", "vfp"} <= set(
         spark.read.parquet(out).columns
     )
+
+
+def test_multimodal_keep_consistent_with_parts(spark):
+    """q_multimodal_keep's columns must equal the three source
+    verdicts row for row, and keep their conjunction."""
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.operators.multimodal import q_image_dedup
+    from timeseriesdb_spark.operators.videomm import q_multimodal_keep
+
+    got = {
+        r.doc_id: (r.keep_text, r.keep_image, r.keep_video, r.keep)
+        for r in q_multimodal_keep(spark, SF_DIR).collect()
+    }
+    img = {r.doc_id: r.keep for r in q_image_dedup(spark, SF_DIR).collect()}
+    vid = {r.doc_id: r.keep for r in q_video_dedup(spark, SF_DIR).collect()}
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    survivors = {
+        r.doc_id
+        for r in doc.select("doc_id", fp.alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert len(got) == doc.count()
+    for did, (kt, ki, kv, k) in got.items():
+        assert kt == (1 if did in survivors else 0)
+        assert ki == img[did]
+        assert kv == vid[did]
+        assert k == (kt and ki and kv)
+    # the conjunction genuinely bites: some doc is dropped by exactly
+    # one modality (otherwise the composite adds nothing)
+    assert any(k == 0 for (_, _, _, k) in got.values())

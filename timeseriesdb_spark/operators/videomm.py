@@ -361,6 +361,57 @@ def video_probe_stream(
     return cur
 
 
+def q_multimodal_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality curation decision — one row per document with
+    the keep verdict of every doc-keyed modality and the conjunction
+    a multimodal training pipeline actually applies (drop the sample
+    when ANY modality is a duplicate):
+    - keep_text: exact text dedup survivor (min doc_id per
+      whitespace-normalized lowercase md5 — the q_fingerprint form)
+    - keep_image: q_image_dedup's banded-dHash verdict
+    - keep_video: q_video_dedup's banded-fingerprint verdict
+    - keep: all three.
+    Each modality decodes once on its own branch; the fuse is two
+    doc_id equi-joins over corpus-sized but 2-column frames. Audio is
+    signal-keyed (user_id), so it curates on its own axis."""
+    from timeseriesdb_spark.operators.multimodal import q_image_dedup
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    text_survivor = (
+        doc.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("keep_text", F.lit(1))
+    )
+    img = q_image_dedup(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_image")
+    )
+    vid = q_video_dedup(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_video")
+    )
+    return (
+        doc.select("doc_id")
+        .join(text_survivor, "doc_id", "left")
+        .join(img, "doc_id")
+        .join(vid, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("keep_text", F.lit(0)).cast("int").alias("keep_text"),
+            F.col("keep_image").cast("int").alias("keep_image"),
+            F.col("keep_video").cast("int").alias("keep_video"),
+            (
+                (F.coalesce("keep_text", F.lit(0)) == 1)
+                & (F.col("keep_image") == 1)
+                & (F.col("keep_video") == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "q_video_meta": q_video_meta,
     "q_video_frames": q_video_frames,
@@ -369,6 +420,7 @@ QUERIES = {
     "q_video_neardup": q_video_neardup,
     "q_video_dedup": q_video_dedup,
     "q_video_incremental": q_video_incremental,
+    "q_multimodal_keep": q_multimodal_keep,
 }
 
 
@@ -430,12 +482,75 @@ _VFP_SQL = f"""
 """
 
 from timeseriesdb_spark.operators.multimodal import (  # noqa: E402
+    _DHASH_FP_SQL,
     DHASH_BAND_DF_CAP,
     DHASH_BAND_W,
     DHASH_BANDS,
 )
 
 ORACLES: dict[str, str] = {
+    "q_multimodal_keep": f"""
+        WITH {_DHASH_FP_SQL},
+        {_VFP_SQL.lstrip()},
+        ed AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+        ),
+        ibands AS (
+            SELECT doc_id, dhash, band,
+                   substr(dhash, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM fp CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        icapped AS (
+            SELECT doc_id, dhash, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM ibands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        idropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM icapped a JOIN icapped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+            WHERE hamming(a.dhash, b.dhash) <= {DHASH_T}
+        ),
+        vbands AS (
+            SELECT doc_id, vfp AS vf, band,
+                   substr(vfp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM vfp CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        vcapped AS (
+            SELECT doc_id, vf, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM vbands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        vdropped AS (
+            SELECT DISTINCT b.doc_id
+            FROM vcapped a JOIN vcapped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+            WHERE hamming(a.vf, b.vf) <= {DHASH_T}
+        )
+        SELECT dd.doc_id,
+               CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS keep_text,
+               CAST(CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep_image,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep_video,
+               CAST(CASE WHEN e.doc_id IS NOT NULL AND i.doc_id IS NULL
+                          AND v.doc_id IS NULL
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM documents dd
+        LEFT JOIN ed e USING (doc_id)
+        LEFT JOIN idropped i USING (doc_id)
+        LEFT JOIN vdropped v USING (doc_id)
+    """,
     "q_video_meta": f"""
         WITH vd AS (
             SELECT doc_id,
