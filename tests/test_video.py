@@ -363,3 +363,74 @@ def test_multimodal_keep_consistent_with_parts(spark):
     # the conjunction genuinely bites: some doc is dropped by exactly
     # one modality (otherwise the composite adds nothing)
     assert any(k == 0 for (_, _, _, k) in got.values())
+
+
+# ---- hypothesis properties (codec + fingerprint, no Spark) -------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    st.integers(min_value=0, max_value=6).flatmap(
+        lambda nf: st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=video.VID_H * video.VID_W,
+                max_size=video.VID_H * video.VID_W,
+            ),
+            min_size=nf,
+            max_size=nf,
+        )
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_container_roundtrip_any_frames(flat_frames):
+    frames = np.array(flat_frames, dtype=np.uint8).reshape(
+        len(flat_frames), video.VID_H, video.VID_W
+    )
+    fps, got = video.decode_video(video.encode_video(frames))
+    assert fps == video.VID_FPS
+    assert got.shape == frames.shape
+    assert (got == frames).all()
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_synthesis_contract_any_bytes(tb):
+    """Frame count + voxel tiling hold for arbitrary byte strings
+    (multi-byte UTF-8 included — the contract is on BYTES)."""
+    p = video.synth_video(tb)
+    _, fr = video.decode_video(p)
+    nf = video.VID_MIN_FRAMES + len(tb) % video.VID_FRAMES_MOD
+    assert fr.shape == (nf, video.VID_H, video.VID_W)
+    b = np.frombuffer(tb if tb else b"\x00", dtype=np.uint8)
+    flat = fr.ravel()
+    for j in (0, len(flat) // 2, len(flat) - 1):
+        assert flat[j] == b[j % len(b)]
+    assert len(p) == 36 + nf * (8 + video.VID_H * video.VID_W)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=250,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_fingerprint_total_and_deterministic(samples):
+    """fingerprint_bits is total (any length incl. empty), fixed
+    width, and scale-sign structure: an all-equal-magnitude signal has
+    equal chunk energies wherever chunks are equally filled, and a
+    VALUE-scaled signal keeps the exact same bits when energies stay
+    within int64 (energy scales by a constant factor; strict > is
+    scale-invariant)."""
+    s = np.array(samples, dtype=np.int64)
+    fp1 = audio.fingerprint_bits(s)
+    assert len(fp1) == audio.AFP_CHUNKS - 1
+    assert set(fp1) <= {"0", "1"}
+    assert audio.fingerprint_bits(s) == fp1  # deterministic
+    # scale invariance (2x fits: |s| <= 32768 -> s^2 <= 2^31; chunk
+    # sums of <=250 terms stay far under int64 even at 4x energy)
+    assert audio.fingerprint_bits(2 * s) == fp1
