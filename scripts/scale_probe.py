@@ -99,9 +99,19 @@ DOC_PROBES = {
     # structurally batch-linear and the joins stay band-bucketed.
     "q_image_incremental": "incremental image dedup vs x1 corpus",
     # r10: trained trigram scorer — per-scale-dir profile training is
-    # a bounded |langs|*CAP driver sample; scoring is a shuffle-free
-    # scan, so time must track the scan and rows read exactly 16x
-    "q_lang_id_ngram": "trained char-trigram language ID scan",
+    # a bounded |langs|*CAP driver sample; scoring is one broadcast
+    # join + a |docs|-sized partial agg, so time must track the scan
+    # and rows read exactly 16x
+    "q_lang_id_ngram": "trained char-trigram language ID scoring",
+    # r10: video fingerprint + banded keep/drop. Like q_image_dedup
+    # the rotation is NOT modality-disjoint (voxels are text bytes;
+    # a rotation shifts them, changing chunk energies but possibly
+    # leaving some cross-replica pairs within hamming 3) — rows are
+    # structurally one per doc (16x), the pair join stays bucketed.
+    "q_video_dedup": "video fingerprints + banded-Hamming keep/drop",
+    # r10: the cross-modality conjunction — three per-modality
+    # branches fused by doc_id joins; rows exactly one per doc
+    "q_multimodal_keep": "text+image+video keep conjunction",
 }
 # audio-axis probes, run on the SAME events replicas. Replicated
 # signals have IDENTICAL value sequences, so every replica clip is an
