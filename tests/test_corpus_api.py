@@ -158,3 +158,63 @@ def test_trim_duplicates_fixpoint_idempotent(spark, tmp_path):
     t2 = {r.doc_id: (r.text, r.n_tokens, r.split)
           for r in spark.read.parquet(out2).collect()}
     assert t1 == t2
+
+
+def test_multimodal_index_facades_match_direct_stores(spark, tmp_path):
+    """engine.build_image_index / build_video_index /
+    SignalEngine.build_audio_index persist EXACTLY the band frames the
+    direct store writers produce (the facade is a delegate, never a
+    semantics change)."""
+    import shutil
+
+    from timeseriesdb_spark.api import SignalEngine
+    from timeseriesdb_spark.operators.multimodal import (
+        audio_fingerprints,
+        fp_bands,
+        image_bands,
+        image_dhash_fingerprints,
+    )
+    from timeseriesdb_spark.operators.videomm import video_fingerprints
+
+    doc = load_table(spark, SF_DIR, "documents")
+    corpus_raw = doc.where(F.col("source") == dedup.CORPUS_SOURCE)
+    eng = CorpusEngine(spark, str(tmp_path / "mcorp"))
+    eng.bootstrap(corpus_raw)
+    curated = eng.docs()
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    seng = SignalEngine(spark, str(tmp_path / "sigs"))
+    seng.ingest(load_table(spark, SF_DIR, "events"))
+
+    cases = [
+        (
+            "facade_img_idx",
+            lambda t: eng.build_image_index(t),
+            image_bands(image_dhash_fingerprints(curated), cap=True),
+            ("doc_id", "dhash", "band_key"),
+        ),
+        (
+            "facade_vid_idx",
+            lambda t: eng.build_video_index(t),
+            fp_bands(video_fingerprints(curated), "doc_id", "vfp", cap=True),
+            ("doc_id", "vfp", "band_key"),
+        ),
+        (
+            "facade_aud_idx",
+            lambda t: seng.build_audio_index(t),
+            fp_bands(audio_fingerprints(ev), "user_id", "afp", cap=True),
+            ("user_id", "afp", "band_key"),
+        ),
+    ]
+    for table, build, direct, cols in cases:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(f"spark-warehouse/{table}", ignore_errors=True)
+        try:
+            build(table)
+            got = {tuple(r) for r in spark.table(table).select(*cols).collect()}
+            want = {tuple(r) for r in direct.select(*cols).collect()}
+            assert got == want and len(got) > 0, table
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -242,6 +242,21 @@ class SignalEngine:
             )
         )
 
+    def build_audio_index(self, table: str) -> None:
+        """Persist the signal corpus' AUDIO fingerprint band index
+        (multimodal.write_afp_store — clips are signal-keyed, so the
+        audio index lives on the signal engine): later clip batches
+        dedup against the store without re-decoding the corpus
+        (incremental_audio_neardup_stored / audio_probe_stream)."""
+        from timeseriesdb_spark.operators.multimodal import (
+            write_afp_store,
+        )
+
+        write_afp_store(
+            self.events().select("user_id", "ts", "event_id", "value"),
+            table,
+        )
+
     def build_rollup(self, rollup_path: str, bucket: str = "1 hour") -> None:
         """Materialize the AggStats summary table (per signal × time
         bucket min/max/sum/count) — the recoding/compaction daemon's
@@ -1086,6 +1101,16 @@ class CorpusEngine:
         )
 
         write_dhash_store(self.docs(), table)
+
+    def build_video_index(self, table: str) -> None:
+        """Persist the corpus VIDEO fingerprint band index (the video
+        twin of build_image_index, videomm.write_vfp_store) — later
+        clip batches dedup against the store without re-decoding the
+        corpus (incremental_video_neardup_stored /
+        video_probe_stream)."""
+        from timeseriesdb_spark.operators.videomm import write_vfp_store
+
+        write_vfp_store(self.docs(), table)
 
     def chunks(self) -> DataFrame:
         """Sliding-window chunks of the corpus (embedding front door)."""
