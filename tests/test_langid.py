@@ -102,3 +102,38 @@ def test_confusion_shares_sum_to_million(spark):
     # half-up ppm shares per declared lang sum to 1e6 ± |cells| halves
     for lang, s in by_lang.items():
         assert abs(s - 1_000_000) <= 5, (lang, s)
+
+
+def test_clear_trained_caches_covers_all_modules(spark):
+    """similarity.clear_trained_caches must invalidate EVERY
+    per-sf_dir trained-state cache (r8 advice hook, extended r10) —
+    a new trained cache that forgets to register here would serve
+    stale state after an in-place rewrite."""
+    from timeseriesdb_spark.operators import mlscoring, similarity
+
+    # populate a representative cache in each module
+    langid._train_profiles_spark(spark, SF_DIR)
+    langid._lang_id_oracle(SF_DIR)
+    mlscoring._kmeans_drift_oracle(SF_DIR)
+    similarity._ivf_centroids(spark, SF_DIR)
+    assert SF_DIR in langid._PROFILE_CACHE
+    assert SF_DIR in langid._LID_ORACLE_CACHE
+    assert SF_DIR in mlscoring._KM_ORACLE_CACHE
+    assert SF_DIR in mlscoring._ORACLE_SAMPLE_CACHE
+    assert SF_DIR in similarity._IVF_CACHE
+
+    similarity.clear_trained_caches(SF_DIR)
+    for c in (
+        langid._PROFILE_CACHE,
+        langid._LID_ORACLE_CACHE,
+        langid._CONF_ORACLE_CACHE,
+        mlscoring._KM_ORACLE_CACHE,
+        mlscoring._ORACLE_SAMPLE_CACHE,
+        similarity._IVF_CACHE,
+    ):
+        assert SF_DIR not in c
+
+    # sf_dir=None clears everything
+    langid._train_profiles_spark(spark, SF_DIR)
+    similarity.clear_trained_caches()
+    assert not langid._PROFILE_CACHE

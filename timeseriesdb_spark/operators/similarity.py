@@ -276,18 +276,33 @@ _IVF_CACHE: dict[str, "object"] = {}
 
 
 def clear_trained_caches(sf_dir: str | None = None) -> None:
-    """Invalidate the per-sf_dir trained-quantizer caches (IVF
-    centroids + PQ codebooks). The caches assume the embeddings table
-    under a dir is immutable; call this after rewriting a dir in
-    place (long-lived processes, test fixtures) to force a retrain —
-    r8 advice: the staleness caveat needs an actual reset hook.
-    With sf_dir=None, clears everything."""
-    if sf_dir is None:
-        _IVF_CACHE.clear()
-        _PQ_CACHE.clear()
-    else:
-        _IVF_CACHE.pop(sf_dir, None)
-        _PQ_CACHE.pop(sf_dir, None)
+    """Invalidate EVERY per-sf_dir trained-state cache across the
+    package (IVF centroids + PQ codebooks here, the ANN lazy-oracle
+    SQL, the ML-drift sample/model/oracle caches, the lang-id
+    profiles/oracles). The caches assume the tables under a dir are
+    immutable; call this after rewriting a dir in place (long-lived
+    processes, test fixtures) to force a retrain — r8 advice: the
+    staleness caveat needs an actual reset hook; r10: new trained
+    caches (lang-id, drift oracle sample) register here rather than
+    growing parallel half-hooks. With sf_dir=None, clears
+    everything."""
+    from timeseriesdb_spark.operators import langid, mlscoring
+
+    caches = [
+        _IVF_CACHE, _PQ_CACHE,
+        _RECALL_ORACLE_CACHE, _IVF_ORACLE_CACHE, _PQ_ORACLE_CACHE,
+        mlscoring._CENTERS_CACHE, mlscoring._TREE_CACHE,
+        mlscoring._SAMPLE_CACHE, mlscoring._ORACLE_SAMPLE_CACHE,
+        mlscoring._KM_ORACLE_CACHE, mlscoring._TREE_ORACLE_CACHE,
+        mlscoring._FOREST_ORACLE_CACHE, mlscoring._KNN_ORACLE_CACHE,
+        langid._PROFILE_CACHE, langid._LID_ORACLE_CACHE,
+        langid._CONF_ORACLE_CACHE,
+    ]
+    for c in caches:
+        if sf_dir is None:
+            c.clear()
+        else:
+            c.pop(sf_dir, None)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
