@@ -137,3 +137,77 @@ def test_clear_trained_caches_covers_all_modules(spark):
     langid._train_profiles_spark(spark, SF_DIR)
     similarity.clear_trained_caches()
     assert not langid._PROFILE_CACHE
+
+
+def test_pred_expression_matches_batch_scorer(spark):
+    """The stateless streaming expression (lang_pred_col) and the
+    broadcast-join batch scorer (lang_scores) must predict the SAME
+    language for every document — the two forms share the trainer and
+    the first-max tie-break, so any divergence is a bug in one of
+    them."""
+    from timeseriesdb_spark.tables import load_table
+
+    profiles = langid._train_profiles_spark(spark, SF_DIR)
+    doc = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    via_expr = {
+        r.doc_id: r.p
+        for r in doc.select(
+            "doc_id", langid.lang_pred_col(profiles).alias("p")
+        ).collect()
+    }
+    via_batch = {
+        r.doc_id: r.pred_lang
+        for r in langid.lang_scores(doc, profiles).collect()
+    }
+    assert via_expr == via_batch and len(via_expr) > 0
+
+
+def test_lang_filter_stream_matches_batch(spark, tmp_path):
+    """Streamed language gate == batch filter on the same predicate:
+    kept doc_ids and the appended pred_lang column agree exactly."""
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.streaming.curation import lang_filter_stream
+    from timeseriesdb_spark.tables import load_table
+
+    profiles = langid._train_profiles_spark(spark, SF_DIR)
+    doc = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    keep = ["en", "fr"]
+    want = {
+        (r.doc_id, r.pred_lang)
+        for r in doc.withColumn(
+            "pred_lang", langid.lang_pred_col(profiles)
+        )
+        .where(F.col("pred_lang").isin(keep))
+        .collect()
+    }
+    assert 0 < len(want) < doc.count()  # the gate genuinely bites
+
+    src = str(tmp_path / "lsrc")
+    out = str(tmp_path / "lout")
+    doc.coalesce(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        lang_filter_stream(stream, profiles, keep)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.pred_lang)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "pred_lang")
+        .collect()
+    }
+    assert got == want

@@ -189,6 +189,47 @@ def lang_scores(
     )
 
 
+def lang_pred_col(profiles: dict[str, dict[str, int]]) -> "F.Column":
+    """pred_lang as ONE stateless expression over `text` — the
+    streaming-ingest form (no aggregation, no shuffle, no state
+    store, so it runs unchanged inside a micro-batch). The literal
+    trigram → weight-vector map is walked by F.aggregate + zip_with;
+    per-row cost is higher than the broadcast-join batch scorer
+    (GetMapValue on a literal map probes linearly), which is
+    irrelevant at micro-batch sizes — and the PREDICTION is
+    bit-identical to lang_scores (same integer sums, same first-max
+    tie-break), pinned by the cross-form parity test."""
+    langs = sorted(profiles)
+    all_tris = sorted({t for p in profiles.values() for t in p})
+    wmap = F.create_map(
+        *[
+            x
+            for t in all_tris
+            for x in (
+                F.lit(t),
+                F.array(
+                    *[
+                        F.lit(profiles[lang].get(t, 0)).cast("long")
+                        for lang in langs
+                    ]
+                ),
+            )
+        ]
+    )
+    zeros = F.array(*[F.lit(0).cast("long") for _ in langs])
+    scores = F.aggregate(
+        _trigrams_col(),
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.coalesce(F.element_at(wmap, t), zeros),
+            lambda a, b: a + b,
+        ),
+    )
+    idx = F.array_position(scores, F.array_max(scores)).cast("int")
+    return F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
+
+
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document language ID: (doc_id, lang, pred_lang, score,
     agree) — declared label kept alongside the prediction so the

@@ -157,3 +157,25 @@ def benchmark_ngrams(docs: DataFrame) -> DataFrame:
         .select(F.explode(_word_ngrams(DECON_N)).alias("ng"))
         .distinct()
     )
+
+
+def lang_filter_stream(
+    stream: DataFrame,
+    profiles: dict[str, dict[str, int]],
+    keep_langs: list[str],
+) -> DataFrame:
+    """Language gate on the ingest path: score every streamed
+    document against the TRAINED trigram profiles (langid.
+    lang_pred_col — one stateless expression, no aggregation state,
+    no shuffle; a replayed micro-batch re-scores to the same answer)
+    and keep only documents whose predicted language is in
+    `keep_langs`. Profiles are literals baked into the plan — the
+    stream never touches the training data; retrain and restart the
+    query when the profile set changes (evals-change cadence, like
+    decontaminate_stream's benchmark set). Appends a `pred_lang`
+    column so downstream stages can audit the gate."""
+    from timeseriesdb_spark.operators.langid import lang_pred_col
+
+    return stream.withColumn("pred_lang", lang_pred_col(profiles)).where(
+        F.col("pred_lang").isin(list(keep_langs))
+    )
