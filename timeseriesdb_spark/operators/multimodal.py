@@ -594,6 +594,35 @@ def dhash_with_carry(doc: DataFrame) -> DataFrame:
     return doc.mapInPandas(extract, out_schema)
 
 
+def fp_probe_stream(
+    carried: DataFrame, corpus_bands: DataFrame, fp_col: str
+) -> DataFrame:
+    """The generic stateless ingest-path near-dup gate shared by all
+    three fingerprint modalities: given a (possibly streaming) frame
+    already carrying its fingerprint column (dhash_with_carry /
+    afp_with_carry / vfp_with_carry), drop rows within hamming
+    DHASH_T of the persisted corpus band index — one LEFT ANTI
+    stream-static join per band, each an equi-join on band_key with
+    the exact hamming refinement as a residual predicate. No state
+    store: a replayed micro-batch re-probes to the same answer."""
+    cur = carried
+    for b in range(DHASH_BANDS):
+        key = F.concat(
+            F.lit(f"{b}:"),
+            F.substring(
+                F.col(f"a.{fp_col}"), b * DHASH_BAND_W + 1, DHASH_BAND_W
+            ),
+        )
+        cond = (key == F.col("c.band_key")) & (
+            _dhash_hamming(f"a.{fp_col}", f"c.{fp_col}") <= DHASH_T
+        )
+        cur = (
+            cur.alias("a")
+            .join(corpus_bands.alias("c"), cond, "left_anti")
+        )
+    return cur
+
+
 def image_probe_stream(
     stream: DataFrame, corpus_bands: DataFrame
 ) -> DataFrame:
@@ -608,22 +637,7 @@ def image_probe_stream(
     replayed micro-batch re-probes to the same answer. Within-stream
     image dups stay the periodic batch pass (q_image_dedup), the same
     lambda split as text."""
-    cur = dhash_with_carry(stream)
-    for b in range(DHASH_BANDS):
-        key = F.concat(
-            F.lit(f"{b}:"),
-            F.substring(
-                F.col("a.dhash"), b * DHASH_BAND_W + 1, DHASH_BAND_W
-            ),
-        )
-        cond = (key == F.col("c.band_key")) & (
-            _dhash_hamming("a.dhash", "c.dhash") <= DHASH_T
-        )
-        cur = (
-            cur.alias("a")
-            .join(corpus_bands.alias("c"), cond, "left_anti")
-        )
-    return cur
+    return fp_probe_stream(dhash_with_carry(stream), corpus_bands, "dhash")
 
 
 def q_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,22 +942,7 @@ def audio_probe_stream(
     re-probes to the same answer. Within-stream clip dups stay the
     periodic batch pass (q_audio_dedup), the same lambda split as
     text and images."""
-    cur = afp_with_carry(stream)
-    for b in range(DHASH_BANDS):
-        key = F.concat(
-            F.lit(f"{b}:"),
-            F.substring(
-                F.col("a.afp"), b * DHASH_BAND_W + 1, DHASH_BAND_W
-            ),
-        )
-        cond = (key == F.col("c.band_key")) & (
-            _dhash_hamming("a.afp", "c.afp") <= DHASH_T
-        )
-        cur = (
-            cur.alias("a")
-            .join(corpus_bands.alias("c"), cond, "left_anti")
-        )
-    return cur
+    return fp_probe_stream(afp_with_carry(stream), corpus_bands, "afp")
 
 
 QUERIES = {

@@ -337,28 +337,9 @@ def video_probe_stream(
     (write_vfp_store), each an equi-join on band_key with the exact
     hamming refinement as a residual predicate. No state store — a
     replayed micro-batch re-probes to the same answer."""
-    from timeseriesdb_spark.operators.multimodal import (
-        DHASH_BAND_W,
-        DHASH_BANDS,
-        _dhash_hamming,
-    )
+    from timeseriesdb_spark.operators.multimodal import fp_probe_stream
 
-    cur = vfp_with_carry(stream)
-    for b in range(DHASH_BANDS):
-        key = F.concat(
-            F.lit(f"{b}:"),
-            F.substring(
-                F.col("a.vfp"), b * DHASH_BAND_W + 1, DHASH_BAND_W
-            ),
-        )
-        cond = (key == F.col("c.band_key")) & (
-            _dhash_hamming("a.vfp", "c.vfp") <= DHASH_T
-        )
-        cur = (
-            cur.alias("a")
-            .join(corpus_bands.alias("c"), cond, "left_anti")
-        )
-    return cur
+    return fp_probe_stream(vfp_with_carry(stream), corpus_bands, "vfp")
 
 
 def q_multimodal_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
