@@ -1064,36 +1064,82 @@ _DHASH_FP_SQL = f"""
         )
 """
 
-ORACLES: dict[str, str] = {
-    "q_image_dhash": f"""
-        WITH {_DHASH_FP_SQL}
-        SELECT doc_id, dhash FROM fp
-    """,
-    "q_image_neardup": f"""
-        WITH {_DHASH_FP_SQL},
+def _banded_pairs_sql(
+    fp_cte: str, cte: str, id_col: str, fp_col: str,
+    out_a: str, out_b: str,
+) -> str:
+    """DuckDB tail replaying fp_neardup_pairs over a WITH-chain whose
+    final CTE `cte` yields (id_col, fp_col) — shared by the
+    image/audio/video near-dup oracles."""
+    return f"""
+        WITH {fp_cte},
         bands AS (
-            SELECT doc_id, dhash, band,
-                   substr(dhash, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+            SELECT {id_col}, {fp_col}, band,
+                   substr({fp_col}, CAST(band * {DHASH_BAND_W} + 1 AS INT),
                           {DHASH_BAND_W}) AS bkey
-            FROM fp CROSS JOIN
+            FROM {cte} CROSS JOIN
                  (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
         ),
         capped AS (
-            SELECT doc_id, dhash, band, bkey FROM (
+            SELECT {id_col}, {fp_col}, band, bkey FROM (
                 SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
                 FROM bands
             ) WHERE df <= {DHASH_BAND_DF_CAP}
         ),
         pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.dhash AS da, b.dhash AS db
+            SELECT DISTINCT a.{id_col} AS {out_a}, b.{id_col} AS {out_b},
+                   a.{fp_col} AS fa, b.{fp_col} AS fb
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id
+             AND a.{id_col} < b.{id_col}
         )
-        SELECT doc_a, doc_b, CAST(hamming(da, db) AS BIGINT) AS hamming
-        FROM pairs WHERE hamming(da, db) <= {DHASH_T}
+        SELECT {out_a}, {out_b}, CAST(hamming(fa, fb) AS BIGINT) AS hamming
+        FROM pairs WHERE hamming(fa, fb) <= {DHASH_T}
+    """
+
+
+def _banded_dedup_sql(
+    fp_cte: str, cte: str, id_col: str, fp_col: str
+) -> str:
+    """DuckDB tail replaying the total keep/drop decision (q_*_dedup)
+    over the same WITH-chain shape as _banded_pairs_sql."""
+    return f"""
+        WITH {fp_cte},
+        bands AS (
+            SELECT {id_col}, {fp_col}, band,
+                   substr({fp_col}, CAST(band * {DHASH_BAND_W} + 1 AS INT),
+                          {DHASH_BAND_W}) AS bkey
+            FROM {cte} CROSS JOIN
+                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
+        ),
+        capped AS (
+            SELECT {id_col}, {fp_col}, band, bkey FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
+                FROM bands
+            ) WHERE df <= {DHASH_BAND_DF_CAP}
+        ),
+        dropped AS (
+            SELECT DISTINCT b.{id_col}
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.{id_col} < b.{id_col}
+            WHERE hamming(a.{fp_col}, b.{fp_col}) <= {DHASH_T}
+        )
+        SELECT f.{id_col}, f.{fp_col},
+               CAST(CASE WHEN d.{id_col} IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM {cte} f LEFT JOIN dropped d USING ({id_col})
+    """
+
+
+ORACLES: dict[str, str] = {
+    "q_image_dhash": f"""
+        WITH {_DHASH_FP_SQL}
+        SELECT doc_id, dhash FROM fp
     """,
+    "q_image_neardup": _banded_pairs_sql(
+        _DHASH_FP_SQL, "fp", "doc_id", "dhash", "doc_a", "doc_b"
+    ),
     "q_audio_meta": f"""
         SELECT user_id,
                CAST(44 + 2 * count(*) AS BIGINT) AS n_bytes,
@@ -1183,33 +1229,9 @@ ORACLES: dict[str, str] = {
         LEFT JOIN b_hits b USING (doc_id)
         WHERE f.source != 'src0'
     """,
-    "q_image_dedup": f"""
-        WITH {_DHASH_FP_SQL},
-        bands AS (
-            SELECT doc_id, dhash, band,
-                   substr(dhash, CAST(band * {DHASH_BAND_W} + 1 AS INT),
-                          {DHASH_BAND_W}) AS bkey
-            FROM fp CROSS JOIN
-                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
-        ),
-        capped AS (
-            SELECT doc_id, dhash, band, bkey FROM (
-                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
-                FROM bands
-            ) WHERE df <= {DHASH_BAND_DF_CAP}
-        ),
-        dropped AS (
-            SELECT DISTINCT b.doc_id
-            FROM capped a JOIN capped b
-              ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id
-            WHERE hamming(a.dhash, b.dhash) <= {DHASH_T}
-        )
-        SELECT f.doc_id, f.dhash,
-               CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
-                   AS keep
-        FROM fp f LEFT JOIN dropped d USING (doc_id)
-    """,
+    "q_image_dedup": _banded_dedup_sql(
+        _DHASH_FP_SQL, "fp", "doc_id", "dhash"
+    ),
     # Exact-integer bilinear replayed closed-form: the kernel's
     # rational geometry (x0/wx from ((2p+1)·W − out) over 2·out) and
     # integer tap sum N join four gsum lookups; value = N/D is one
@@ -1441,58 +1463,12 @@ ORACLES.update(
             WITH {_AFP_SQL}
             SELECT user_id, afp FROM afp
         """,
-        "q_audio_neardup": f"""
-            WITH {_AFP_SQL},
-            bands AS (
-                SELECT user_id, afp, band,
-                       substr(afp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
-                              {DHASH_BAND_W}) AS bkey
-                FROM afp CROSS JOIN
-                     (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
-            ),
-            capped AS (
-                SELECT user_id, afp, band, bkey FROM (
-                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
-                    FROM bands
-                ) WHERE df <= {DHASH_BAND_DF_CAP}
-            ),
-            pairs AS (
-                SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
-                       a.afp AS fa, b.afp AS fb
-                FROM capped a JOIN capped b
-                  ON a.band = b.band AND a.bkey = b.bkey
-                 AND a.user_id < b.user_id
-            )
-            SELECT user_a, user_b, CAST(hamming(fa, fb) AS BIGINT) AS hamming
-            FROM pairs WHERE hamming(fa, fb) <= {DHASH_T}
-        """,
-        "q_audio_dedup": f"""
-            WITH {_AFP_SQL},
-            bands AS (
-                SELECT user_id, afp, band,
-                       substr(afp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
-                              {DHASH_BAND_W}) AS bkey
-                FROM afp CROSS JOIN
-                     (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
-            ),
-            capped AS (
-                SELECT user_id, afp, band, bkey FROM (
-                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
-                    FROM bands
-                ) WHERE df <= {DHASH_BAND_DF_CAP}
-            ),
-            dropped AS (
-                SELECT DISTINCT b.user_id
-                FROM capped a JOIN capped b
-                  ON a.band = b.band AND a.bkey = b.bkey
-                 AND a.user_id < b.user_id
-                WHERE hamming(a.afp, b.afp) <= {DHASH_T}
-            )
-            SELECT f.user_id, f.afp,
-                   CAST(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END AS INT)
-                       AS keep
-            FROM afp f LEFT JOIN dropped d USING (user_id)
-        """,
+        "q_audio_neardup": _banded_pairs_sql(
+            _AFP_SQL, "afp", "user_id", "afp", "user_a", "user_b"
+        ),
+        "q_audio_dedup": _banded_dedup_sql(
+            _AFP_SQL, "afp", "user_id", "afp"
+        ),
         "q_audio_incremental": f"""
             WITH {_AFP_SQL},
             cb AS (

@@ -463,6 +463,8 @@ _VFP_SQL = f"""
 """
 
 from timeseriesdb_spark.operators.multimodal import (  # noqa: E402
+    _banded_dedup_sql,
+    _banded_pairs_sql,
     _DHASH_FP_SQL,
     DHASH_BAND_DF_CAP,
     DHASH_BAND_W,
@@ -578,31 +580,9 @@ ORACLES: dict[str, str] = {
         WITH {_VFP_SQL}
         SELECT doc_id, vfp FROM vfp
     """,
-    "q_video_neardup": f"""
-        WITH {_VFP_SQL},
-        bands AS (
-            SELECT doc_id, vfp, band,
-                   substr(vfp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
-                          {DHASH_BAND_W}) AS bkey
-            FROM vfp CROSS JOIN
-                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
-        ),
-        capped AS (
-            SELECT doc_id, vfp, band, bkey FROM (
-                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
-                FROM bands
-            ) WHERE df <= {DHASH_BAND_DF_CAP}
-        ),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.vfp AS fa, b.vfp AS fb
-            FROM capped a JOIN capped b
-              ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b, CAST(hamming(fa, fb) AS BIGINT) AS hamming
-        FROM pairs WHERE hamming(fa, fb) <= {DHASH_T}
-    """,
+    "q_video_neardup": _banded_pairs_sql(
+        _VFP_SQL, "vfp", "doc_id", "vfp", "doc_a", "doc_b"
+    ),
     "q_video_incremental": f"""
         WITH {_VFP_SQL},
         fps AS (
@@ -656,31 +636,7 @@ ORACLES: dict[str, str] = {
         LEFT JOIN b_hits b USING (doc_id)
         WHERE f.source != 'src0'
     """,
-    "q_video_dedup": f"""
-        WITH {_VFP_SQL},
-        bands AS (
-            SELECT doc_id, vfp, band,
-                   substr(vfp, CAST(band * {DHASH_BAND_W} + 1 AS INT),
-                          {DHASH_BAND_W}) AS bkey
-            FROM vfp CROSS JOIN
-                 (SELECT unnest(range(0, {DHASH_BANDS})) AS band) t
-        ),
-        capped AS (
-            SELECT doc_id, vfp, band, bkey FROM (
-                SELECT *, count(*) OVER (PARTITION BY band, bkey) AS df
-                FROM bands
-            ) WHERE df <= {DHASH_BAND_DF_CAP}
-        ),
-        dropped AS (
-            SELECT DISTINCT b.doc_id
-            FROM capped a JOIN capped b
-              ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id
-            WHERE hamming(a.vfp, b.vfp) <= {DHASH_T}
-        )
-        SELECT f.doc_id, f.vfp,
-               CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
-                   AS keep
-        FROM vfp f LEFT JOIN dropped d USING (doc_id)
-    """,
+    "q_video_dedup": _banded_dedup_sql(
+        _VFP_SQL, "vfp", "doc_id", "vfp"
+    ),
 }
