@@ -424,6 +424,30 @@ def fp_neardup_pairs(
     )
 
 
+def fp_dedup_decision(
+    fp: DataFrame, id_col: str, fp_col: str
+) -> DataFrame:
+    """Total keep/drop decision over a CHECKPOINTED fingerprint frame
+    (id, fp, keep) — keep = 0 iff a smaller-id item is within hamming
+    DHASH_T via the banded pairs. The shared tail of
+    q_image_dedup / q_audio_dedup / q_video_dedup; callers checkpoint
+    so the decode pass runs once across the plan's branches."""
+    dropped = (
+        fp_neardup_pairs(fp, id_col, fp_col, "_a", "_b")
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return fp.join(dropped, id_col, "left").select(
+        id_col,
+        fp_col,
+        F.when(F.col("_dropped").isNotNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def image_neardup_pairs(fp: DataFrame) -> DataFrame:
     """Banded-Hamming candidate join + exact hamming filter over a
     fingerprint frame (doc_id, dhash) — see q_image_neardup."""
@@ -445,20 +469,7 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
         )
     ).localCheckpoint()
-    dropped = (
-        image_neardup_pairs(fp)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(1))
-    )
-    return fp.join(dropped, "doc_id", "left").select(
-        "doc_id",
-        "dhash",
-        F.when(F.col("dropped").isNotNull(), 0)
-        .otherwise(1)
-        .cast("int")
-        .alias("keep"),
-    )
+    return fp_dedup_decision(fp, "doc_id", "dhash")
 
 
 def write_dhash_store(corpus: DataFrame, table: str) -> None:
@@ -826,20 +837,7 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed so the decode pass runs once, not once per plan
     branch."""
     fp = audio_fingerprints(_audio_events(spark, sf_dir)).localCheckpoint()
-    dropped = (
-        fp_neardup_pairs(fp, "user_id", "afp", "user_a", "user_b")
-        .select(F.col("user_b").alias("user_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(1))
-    )
-    return fp.join(dropped, "user_id", "left").select(
-        "user_id",
-        "afp",
-        F.when(F.col("dropped").isNotNull(), 0)
-        .otherwise(1)
-        .cast("int")
-        .alias("keep"),
-    )
+    return fp_dedup_decision(fp, "user_id", "afp")
 
 
 def write_afp_store(ev: DataFrame, table: str) -> None:

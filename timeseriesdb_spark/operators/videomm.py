@@ -40,6 +40,7 @@ from timeseriesdb_spark.operators.common import parallelize_small_scan
 from timeseriesdb_spark.operators.multimodal import (
     DHASH_T,
     fp_bands,
+    fp_dedup_decision,
     fp_neardup_pairs,
 )
 from timeseriesdb_spark.tables import load_table
@@ -212,20 +213,7 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF; the fingerprint frame is checkpointed so the decode
     pass runs once across the plan's branches."""
     fp = video_fingerprints(_docs(spark, sf_dir)).localCheckpoint()
-    dropped = (
-        fp_neardup_pairs(fp, "doc_id", "vfp", "doc_a", "doc_b")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(1))
-    )
-    return fp.join(dropped, "doc_id", "left").select(
-        "doc_id",
-        "vfp",
-        F.when(F.col("dropped").isNotNull(), 0)
-        .otherwise(1)
-        .cast("int")
-        .alias("keep"),
-    )
+    return fp_dedup_decision(fp, "doc_id", "vfp")
 
 
 def write_vfp_store(corpus: DataFrame, table: str) -> None:
