@@ -343,3 +343,39 @@ def test_ann_recall_pq_matches_numpy(spark):
         r for r in rows if r.method == "pq" and r.probe_id == probe_id
     )
     assert got.n_hits == expect_hits
+
+
+def test_semantic_decon_matches_numpy_and_is_total(spark):
+    """q_semantic_decon == brute numpy over the full eval set for a
+    candidate sample (max cos_t, smallest-id argmax tie-break,
+    threshold decision), one row per non-eval vector, eval rows
+    excluded."""
+    import numpy as np
+
+    from timeseriesdb_spark.tables import load_table
+
+    rows = QUERIES["q_semantic_decon"](spark, SF_DIR).collect()
+    emb = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    ev = sorted(v for v in emb if v % similarity.SEMDECON_MOD == 0)
+    cands = [v for v in emb if v % similarity.SEMDECON_MOD != 0]
+    assert {r.vec_id for r in rows} == set(cands)
+
+    emat = np.stack([emb[e] for e in ev])
+    enorm = np.sqrt((emat * emat).sum(axis=1))
+    by_id = {r.vec_id: r for r in rows}
+    for vid in sorted(cands)[:50]:
+        x = emb[vid]
+        cos = (emat @ x) / (enorm * np.sqrt(x @ x))
+        v = cos * 10_000.0
+        cos_t = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        best = int(cos_t.max())
+        r = by_id[vid]
+        assert r.cos_t == best
+        assert r.best_eval_id == ev[int((cos_t == best).argmax())]
+        assert r.flagged == (1 if best >= similarity.SEMDECON_COS_T else 0)
+    # the check genuinely fires on this corpus
+    assert any(r.flagged == 1 for r in rows)
+    assert any(r.flagged == 0 for r in rows)

@@ -816,6 +816,78 @@ def q_dtw_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_1nn(spark, sf_dir, DTW_BAND)
 
 
+SEMDECON_MOD = 17        # eval holdout: vec_id % MOD == 0 (~6%)
+SEMDECON_COS_T = 3500    # flag threshold, integer ten-thousandths
+
+
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus vectors whose embedding
+    is too close to any EVAL-set vector — the leakage check that
+    n-gram decontamination (q_decontaminate) misses on paraphrased
+    eval items. Output: one row per non-eval vector (vec_id,
+    best_eval_id, cos_t, flagged) — the max cosine over the eval set
+    in half-up integer ten-thousandths, the argmax eval id (ties →
+    smallest id, a total order both engines share), and the ≥
+    SEMDECON_COS_T decision. The eval set is the vec_id % SEMDECON_MOD
+    holdout (a benchmark registry in production).
+
+    Scale: the eval matrix is bounded BY DESIGN (benchmarks are
+    KB–MB, the decontaminate_stream broadcast argument) — it ships
+    driver-side like the PQ codebooks / IVF training sample, and the
+    corpus makes ONE pass with a BLAS GEMM per Arrow batch:
+    O(|corpus|·|eval|·d) flops, zero shuffles, output corpus-sized.
+    Never a pair join — the asymmetric small-side shape, not the
+    blocked all-pairs q_embedding_neardup."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    ev = (
+        emb.filter(F.col("vec_id") % SEMDECON_MOD == 0)
+        .select("vec_id", "e", "norm")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    eids = ev["vec_id"].to_numpy(dtype=np.int64)
+    emat = np.stack(ev["e"].to_numpy()).astype(np.float64)
+    enorm = ev["norm"].to_numpy(dtype=np.float64)
+    thr = SEMDECON_COS_T
+
+    cand = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
+        "vec_id", "e", "norm"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            cos = (mat @ emat.T) / np.outer(norms, enorm)
+            # half-up integer ten-thousandths (cos ≥ 0 is not
+            # guaranteed: half-AWAY rounding, matching both engines)
+            v = cos * 10_000.0
+            cos_t = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                np.int64
+            )
+            best = cos_t.max(axis=1)
+            # argmax with smallest-eval-id tie-break: first True along
+            # the eval axis (eids sorted ascending)
+            bidx = (cos_t == best[:, None]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "best_eval_id": eids[bidx],
+                    "cos_t": best,
+                    "flagged": (best >= thr).astype(np.int32),
+                }
+            )
+
+    return cand.mapInPandas(
+        gen,
+        "vec_id bigint, best_eval_id bigint, cos_t bigint, flagged int",
+    )
+
+
 SEM_BITS = 4  # sign-bit bucketing width → 2^SEM_BITS semantic cells
 
 
@@ -1111,6 +1183,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
+    "q_semantic_decon": q_semantic_decon,
     "q_knn_1nn": q_knn_1nn,
     "q_dtw_1nn": q_dtw_1nn,
     "q_label_centroids": q_label_centroids,
@@ -1587,6 +1660,38 @@ ORACLES = {
             FROM embeddings, range(1, {DIM + 1}) t(i)
             GROUP BY label, i
         )
+    """,
+    "q_semantic_decon": f"""
+        WITH norms AS ({_NORMS_SQL}),
+        dots AS (
+            SELECT c.vec_id, e.vec_id AS eid,
+                   sum(CAST(c.embedding[i] AS DOUBLE)
+                       * CAST(e.embedding[i] AS DOUBLE)) AS dot
+            FROM embeddings c
+            JOIN embeddings e ON e.vec_id % {SEMDECON_MOD} = 0
+            CROSS JOIN range(1, {DIM + 1}) t(i)
+            WHERE c.vec_id % {SEMDECON_MOD} != 0
+            GROUP BY c.vec_id, e.vec_id
+        ),
+        ct AS (
+            SELECT d.vec_id, d.eid,
+                   CAST(round(d.dot / (nc.norm * ne.norm) * 10000.0)
+                        AS BIGINT) AS cos_t
+            FROM dots d
+            JOIN norms nc ON nc.vec_id = d.vec_id
+            JOIN norms ne ON ne.vec_id = d.eid
+        ),
+        pick AS (
+            SELECT vec_id, eid, cos_t,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cos_t DESC, eid
+                   ) AS rn
+            FROM ct
+        )
+        SELECT vec_id, eid AS best_eval_id, cos_t,
+               CAST(CASE WHEN cos_t >= {SEMDECON_COS_T} THEN 1 ELSE 0 END
+                    AS INT) AS flagged
+        FROM pick WHERE rn = 1
     """,
     "q_ann_topk": f"""
         WITH norms AS ({_NORMS_SQL}),
