@@ -159,3 +159,45 @@ def test_stream_neardup_probe_matches_batch(spark, tmp_path):
     assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(
         spark.read.parquet(out).columns
     )
+
+
+def test_semantic_decon_stream_matches_batch(spark, tmp_path):
+    """Streamed semantic decon == the batch q_semantic_decon rows
+    exactly (same kernel, stateless): run the stream over the same
+    non-eval candidates against the same eval frame."""
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.operators import similarity as sim
+    from timeseriesdb_spark.registry import QUERIES
+    from timeseriesdb_spark.streaming.curation import semantic_decon_stream
+    from timeseriesdb_spark.tables import load_table
+
+    SF = SF_DIR
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    ev = emb.where(F.col("vec_id") % sim.SEMDECON_MOD == 0)
+    cand = emb.where(F.col("vec_id") % sim.SEMDECON_MOD != 0)
+
+    want = {
+        tuple(r)
+        for r in QUERIES["q_semantic_decon"](spark, SF).collect()
+    }
+
+    src = str(tmp_path / "sdsrc")
+    out = str(tmp_path / "sdout")
+    cand.coalesce(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        semantic_decon_stream(stream, ev)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sdckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want and len(got) > 0

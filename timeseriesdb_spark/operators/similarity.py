@@ -856,6 +856,21 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
         "vec_id", "e", "norm"
     )
+    return cand.mapInPandas(
+        semantic_scores_kernel(eids, emat, enorm, thr),
+        "vec_id bigint, best_eval_id bigint, cos_t bigint, flagged int",
+    )
+
+
+def semantic_scores_kernel(eids, emat, enorm, thr: int):
+    """The mapInPandas kernel shared by q_semantic_decon and the
+    streamed gate (streaming/curation.semantic_decon_stream): per
+    Arrow batch of (vec_id, e, norm) rows, one BLAS GEMM against the
+    bounded eval matrix, half-AWAY integer ten-thousandths, max +
+    smallest-eval-id argmax, threshold decision. Stateless — runs
+    unchanged on a readStream frame."""
+    import numpy as np
+    import pandas as pd
 
     def gen(batches):
         for pdf in batches:
@@ -882,10 +897,7 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return cand.mapInPandas(
-        gen,
-        "vec_id bigint, best_eval_id bigint, cos_t bigint, flagged int",
-    )
+    return gen
 
 
 SEM_BITS = 4  # sign-bit bucketing width → 2^SEM_BITS semantic cells

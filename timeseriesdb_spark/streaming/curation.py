@@ -179,3 +179,44 @@ def lang_filter_stream(
     return stream.withColumn("pred_lang", lang_pred_col(profiles)).where(
         F.col("pred_lang").isin(list(keep_langs))
     )
+
+
+def semantic_decon_stream(
+    stream: DataFrame, eval_emb: DataFrame,
+    thr: int | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination on the embedding ingest path: score
+    every streamed vector against the STATIC eval matrix
+    (q_semantic_decon's kernel — one stateless BLAS GEMM per Arrow
+    batch, no aggregation state, replay-safe) and emit the same
+    (vec_id, best_eval_id, cos_t, flagged) rows; the caller filters
+    on `flagged` or keeps the audit columns. `eval_emb` is a BATCH
+    frame of eval vectors (vec_id, embedding) — bounded by design
+    (benchmark registry), collected once at query start exactly like
+    the PQ codebooks; refresh-and-restart when evals change (the
+    decontaminate_stream cadence)."""
+    import numpy as np
+
+    from timeseriesdb_spark.operators.similarity import (
+        SEMDECON_COS_T,
+        _with_norm,
+        semantic_scores_kernel,
+    )
+
+    ev = (
+        _with_norm(eval_emb)
+        .select("vec_id", "e", "norm")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    eids = ev["vec_id"].to_numpy(dtype=np.int64)
+    emat = np.stack(ev["e"].to_numpy()).astype(np.float64)
+    enorm = ev["norm"].to_numpy(dtype=np.float64)
+    cand = _with_norm(stream).select("vec_id", "e", "norm")
+    return cand.mapInPandas(
+        semantic_scores_kernel(
+            eids, emat, enorm,
+            SEMDECON_COS_T if thr is None else thr,
+        ),
+        "vec_id bigint, best_eval_id bigint, cos_t bigint, flagged int",
+    )
