@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from timeseriesdb_spark.operators import similarity
@@ -346,10 +347,13 @@ def test_ann_recall_pq_matches_numpy(spark):
 
 
 def test_semantic_decon_matches_numpy_and_is_total(spark):
-    """q_semantic_decon == brute numpy over the full eval set for a
-    candidate sample (max cos_t, smallest-id argmax tie-break,
+    """q_semantic_decon == brute numpy over the capped eval window for
+    a candidate sample (max cos_t, smallest-id argmax tie-break,
     threshold decision), one row per non-eval vector, eval rows
-    excluded."""
+    excluded. The eval window mirror re-derives the md5-ordered
+    SEMDECON_EVAL_CAP selection in pure Python."""
+    import hashlib
+
     import numpy as np
 
     from timeseriesdb_spark.tables import load_table
@@ -359,8 +363,15 @@ def test_semantic_decon_matches_numpy_and_is_total(spark):
         int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
         for r in load_table(spark, SF_DIR, "embeddings").collect()
     }
-    ev = sorted(v for v in emb if v % similarity.SEMDECON_MOD == 0)
-    cands = [v for v in emb if v % similarity.SEMDECON_MOD != 0]
+    holdout = [v for v in emb if v % similarity.SEMDECON_MOD == 0]
+    ev = sorted(
+        sorted(
+            holdout,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[: similarity.SEMDECON_EVAL_CAP]
+    )
+    assert 0 < len(ev) <= similarity.SEMDECON_EVAL_CAP
+    cands = [v for v in emb if v not in set(ev)]
     assert {r.vec_id for r in rows} == set(cands)
 
     emat = np.stack([emb[e] for e in ev])
@@ -379,3 +390,41 @@ def test_semantic_decon_matches_numpy_and_is_total(spark):
     # the check genuinely fires on this corpus
     assert any(r.flagged == 1 for r in rows)
     assert any(r.flagged == 0 for r in rows)
+
+
+def test_semdecon_eval_window_is_capped(spark, monkeypatch):
+    """The eval registry driver pull is bounded by SEMDECON_EVAL_CAP
+    at ANY corpus size: shrinking the cap shrinks the selection, and
+    the selection is the md5-ordered prefix of the holdout."""
+    from timeseriesdb_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    monkeypatch.setattr(similarity, "SEMDECON_EVAL_CAP", 7)
+    got = [r.vec_id for r in similarity.semdecon_eval_set(emb).collect()]
+    assert len(got) == 7
+
+    import hashlib
+
+    holdout = [
+        r.vec_id
+        for r in emb.where(
+            F.col("vec_id") % similarity.SEMDECON_MOD == 0
+        ).collect()
+    ]
+    want = sorted(
+        holdout, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:7]
+    assert sorted(got) == sorted(want)
+
+
+def test_semdecon_empty_eval_raises(spark):
+    """An empty eval frame fails loudly (ValueError), not with an
+    opaque np.stack error deep in the kernel."""
+    import pytest as _pytest
+
+    from timeseriesdb_spark.tables import load_table
+
+    emb = similarity._with_norm(load_table(spark, SF_DIR, "embeddings"))
+    empty = emb.where(F.lit(False))
+    with _pytest.raises(ValueError, match="empty eval set"):
+        similarity._eval_matrix(empty)

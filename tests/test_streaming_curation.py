@@ -174,8 +174,9 @@ def test_semantic_decon_stream_matches_batch(spark, tmp_path):
 
     SF = SF_DIR
     emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
-    ev = emb.where(F.col("vec_id") % sim.SEMDECON_MOD == 0)
-    cand = emb.where(F.col("vec_id") % sim.SEMDECON_MOD != 0)
+    ev = sim.semdecon_eval_set(emb)
+    eids = [r.vec_id for r in ev.select("vec_id").collect()]
+    cand = emb.where(~F.col("vec_id").isin(eids))
 
     want = {
         tuple(r)

@@ -21,12 +21,14 @@ Scale/engine design:
   at most |langs|·CAP rows ever reach the driver regardless of corpus
   size, drawn deterministically so the DuckDB oracle factory retrains
   the IDENTICAL profiles from the same parquet (LAZY_ORACLES recipe).
-- scoring is pure JVM: trigram extraction via transform(sequence),
-  profiles as literal maps, per-language scores as exact integer
-  F.aggregate sums, argmax by first-max over the language-sorted score
-  array (a total order both engines share — ties break to the
-  lexicographically smallest language). Zero Python in the hot path;
-  one corpus scan, no shuffle for q_lang_id.
+- scoring is pure JVM: trigram extraction via transform(sequence)
+  then explode + a BROADCAST join against the (lang, trigram, weight)
+  profile table + partial aggregation (lang_scores — the r10 rewrite;
+  literal-map element_at is a LINEAR scan per lookup and measured
+  8.3 s → 2.7 s at sf0.1), argmax by first-max over the
+  language-sorted score array (a total order both engines share —
+  ties break to the lexicographically smallest language). Zero Python
+  in the hot path; one exchange of |docs|·(langs+2) integers.
 """
 
 from __future__ import annotations
@@ -281,8 +283,16 @@ def _weights_values_sql(profiles: dict[str, dict[str, int]]) -> str:
 def _lang_id_core_sql(profiles: dict[str, dict[str, int]]) -> str:
     """Shared WITH-chain replaying the scorer: trigram unnest, literal
     weights join, zero-filled (doc × lang) grid, argmax row_number
-    with the identical (score DESC, lang ASC) total order."""
+    with the identical (score DESC, lang ASC) total order.
+
+    The language grid comes from an explicit VALUES list over
+    sorted(profiles) — NOT `SELECT DISTINCT lang_w FROM w` — so a
+    language whose trained profile is empty (every sampled text
+    shorter than 3 chars) still gets its grid column, exactly like
+    the Spark side's `langs = sorted(profiles)`."""
+    langs_values = ", ".join(f"('{lang}')" for lang in sorted(profiles))
     return f"""
+        langs(lang_w) AS (VALUES {langs_values}),
         tg AS MATERIALIZED (
             SELECT doc_id, substr(text, CAST(i AS INT), 3) AS t
             FROM (
@@ -301,7 +311,7 @@ def _lang_id_core_sql(profiles: dict[str, dict[str, int]]) -> str:
             SELECT d.doc_id, d.lang, l.lang_w,
                    COALESCE(sc.s, 0) AS s
             FROM documents d
-            CROSS JOIN (SELECT DISTINCT lang_w FROM w) l
+            CROSS JOIN langs l
             LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang_w = l.lang_w
         ),
         pick AS (

@@ -816,8 +816,44 @@ def q_dtw_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_1nn(spark, sf_dir, DTW_BAND)
 
 
-SEMDECON_MOD = 17        # eval holdout: vec_id % MOD == 0 (~6%)
+SEMDECON_MOD = 17        # eval holdout universe: vec_id % MOD == 0
 SEMDECON_COS_T = 3500    # flag threshold, integer ten-thousandths
+SEMDECON_EVAL_CAP = 64   # driver-side eval registry bound (rows)
+
+
+def semdecon_eval_set(emb: DataFrame) -> DataFrame:
+    """The bounded eval registry: from the vec_id % SEMDECON_MOD
+    holdout universe, the first SEMDECON_EVAL_CAP vectors in
+    (md5(vec_id), vec_id) order — a deterministic pseudo-random
+    window both engines compute identically (the LANG_TRAIN_CAP /
+    IVF_TRAIN_CAP discipline). orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-CAP, driver merges CAP
+    rows per partition), so the driver materializes O(CAP) rows at
+    ANY corpus size — never a corpus-proportional pull."""
+    return (
+        emb.filter(F.col("vec_id") % SEMDECON_MOD == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SEMDECON_EVAL_CAP)
+    )
+
+
+def _eval_matrix(ev_df: DataFrame):
+    """Collect a bounded eval frame (vec_id, e, norm) into the numpy
+    triple the kernel closes over; ascending vec_id (the argmax
+    tie-break order). Raises on an empty eval set instead of letting
+    np.stack fail opaquely downstream."""
+    import numpy as np
+
+    ev = ev_df.select("vec_id", "e", "norm").toPandas().sort_values("vec_id")
+    if len(ev) == 0:
+        raise ValueError(
+            "semantic decontamination: empty eval set — nothing to "
+            "screen against (check the eval registry / holdout filter)"
+        )
+    eids = ev["vec_id"].to_numpy(dtype=np.int64)
+    emat = np.stack(ev["e"].to_numpy()).astype(np.float64)
+    enorm = ev["norm"].to_numpy(dtype=np.float64)
+    return eids, emat, enorm
 
 
 def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,36 +864,27 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_eval_id, cos_t, flagged) — the max cosine over the eval set
     in half-up integer ten-thousandths, the argmax eval id (ties →
     smallest id, a total order both engines share), and the ≥
-    SEMDECON_COS_T decision. The eval set is the vec_id % SEMDECON_MOD
-    holdout (a benchmark registry in production).
+    SEMDECON_COS_T decision. The eval set is a SEMDECON_EVAL_CAP-
+    bounded md5-ordered window over the vec_id % SEMDECON_MOD holdout
+    (a benchmark registry in production — KB–MB by nature; the cap
+    makes the driver pull O(cap) BY CONSTRUCTION, not by assumption).
 
-    Scale: the eval matrix is bounded BY DESIGN (benchmarks are
-    KB–MB, the decontaminate_stream broadcast argument) — it ships
-    driver-side like the PQ codebooks / IVF training sample, and the
-    corpus makes ONE pass with a BLAS GEMM per Arrow batch:
-    O(|corpus|·|eval|·d) flops, zero shuffles, output corpus-sized.
-    Never a pair join — the asymmetric small-side shape, not the
-    blocked all-pairs q_embedding_neardup."""
-    import numpy as np
-    import pandas as pd
-
+    Scale: the eval matrix ships driver-side like the PQ codebooks /
+    IVF training sample (≤ SEMDECON_EVAL_CAP rows at any corpus
+    size), and the corpus makes ONE pass with a vectorized kernel per
+    Arrow batch: O(|corpus|·cap·d) flops, zero shuffles, output
+    corpus-sized. Never a pair join — the asymmetric small-side
+    shape, not the blocked all-pairs q_embedding_neardup."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    ev = (
-        emb.filter(F.col("vec_id") % SEMDECON_MOD == 0)
-        .select("vec_id", "e", "norm")
-        .toPandas()
-        .sort_values("vec_id")
-    )
-    eids = ev["vec_id"].to_numpy(dtype=np.int64)
-    emat = np.stack(ev["e"].to_numpy()).astype(np.float64)
-    enorm = ev["norm"].to_numpy(dtype=np.float64)
-    thr = SEMDECON_COS_T
+    eids, emat, enorm = _eval_matrix(semdecon_eval_set(emb))
 
-    cand = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
+    # candidates = everything outside the SELECTED registry; the id
+    # list is O(cap), a pushable In-filter, not a join
+    cand = emb.filter(~F.col("vec_id").isin([int(e) for e in eids])).select(
         "vec_id", "e", "norm"
     )
     return cand.mapInPandas(
-        semantic_scores_kernel(eids, emat, enorm, thr),
+        semantic_scores_kernel(eids, emat, enorm, SEMDECON_COS_T),
         "vec_id bigint, best_eval_id bigint, cos_t bigint, flagged int",
     )
 
@@ -865,10 +892,18 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_scores_kernel(eids, emat, enorm, thr: int):
     """The mapInPandas kernel shared by q_semantic_decon and the
     streamed gate (streaming/curation.semantic_decon_stream): per
-    Arrow batch of (vec_id, e, norm) rows, one BLAS GEMM against the
-    bounded eval matrix, half-AWAY integer ten-thousandths, max +
+    Arrow batch of (vec_id, e, norm) rows, a vectorized dot against
+    the bounded eval matrix, half-AWAY integer ten-thousandths, max +
     smallest-eval-id argmax, threshold decision. Stateless — runs
-    unchanged on a readStream frame."""
+    unchanged on a readStream frame.
+
+    The dot accumulates per-dimension in ASCENDING index order with a
+    zeros init — bit-identical association to Spark's F.aggregate
+    fold ((0+t1)+t2)+… and to the oracle's unrolled left-assoc `+`
+    chain, so a cosine within an ulp of a .5 ten-thousandths boundary
+    rounds the SAME way in both engines (a blocked BLAS GEMM does
+    not guarantee that). cap·d slice-multiplies per batch — same
+    flops as the GEMM, bounded by SEMDECON_EVAL_CAP."""
     import numpy as np
     import pandas as pd
 
@@ -877,7 +912,10 @@ def semantic_scores_kernel(eids, emat, enorm, thr: int):
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
             norms = pdf["norm"].to_numpy(dtype=np.float64)
-            cos = (mat @ emat.T) / np.outer(norms, enorm)
+            dot = np.zeros((mat.shape[0], emat.shape[0]))
+            for k in range(mat.shape[1]):
+                dot += mat[:, k : k + 1] * emat[None, :, k]
+            cos = dot / np.outer(norms, enorm)
             # half-up integer ten-thousandths (cos ≥ 0 is not
             # guaranteed: half-AWAY rounding, matching both engines)
             v = cos * 10_000.0
@@ -1241,6 +1279,18 @@ def _fold_dot_duck(vec, col: str = "embedding") -> str:
     expr = "CAST(0.0 AS DOUBLE)"
     for i, x in enumerate(vec, start=1):
         expr = f"({expr} + CAST({col}[{i}] AS DOUBLE) * {_dk(x)})"
+    return expr
+
+
+def _fold_dot_cols_duck(a: str, b: str) -> str:
+    """Two-COLUMN variant of _fold_dot_duck: the left-fold dot between
+    two embedding columns as an explicit nested-paren chain, ascending
+    dimension — the association semantic_scores_kernel's per-dim
+    accumulation and Spark's F.aggregate fold both use, so boundary
+    cosines round identically across engines."""
+    expr = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, DIM + 1):
+        expr = f"({expr} + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
     return expr
 
 
@@ -1675,23 +1725,22 @@ ORACLES = {
     """,
     "q_semantic_decon": f"""
         WITH norms AS ({_NORMS_SQL}),
-        dots AS (
-            SELECT c.vec_id, e.vec_id AS eid,
-                   sum(CAST(c.embedding[i] AS DOUBLE)
-                       * CAST(e.embedding[i] AS DOUBLE)) AS dot
-            FROM embeddings c
-            JOIN embeddings e ON e.vec_id % {SEMDECON_MOD} = 0
-            CROSS JOIN range(1, {DIM + 1}) t(i)
-            WHERE c.vec_id % {SEMDECON_MOD} != 0
-            GROUP BY c.vec_id, e.vec_id
+        ev AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {SEMDECON_MOD} = 0
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {SEMDECON_EVAL_CAP}
         ),
         ct AS (
-            SELECT d.vec_id, d.eid,
-                   CAST(round(d.dot / (nc.norm * ne.norm) * 10000.0)
+            SELECT c.vec_id, e.vec_id AS eid,
+                   CAST(round({_fold_dot_cols_duck("c.embedding", "e.embedding")}
+                              / (nc.norm * ne.norm) * 10000.0)
                         AS BIGINT) AS cos_t
-            FROM dots d
-            JOIN norms nc ON nc.vec_id = d.vec_id
-            JOIN norms ne ON ne.vec_id = d.eid
+            FROM embeddings c
+            CROSS JOIN ev e
+            JOIN norms nc ON nc.vec_id = c.vec_id
+            JOIN norms ne ON ne.vec_id = e.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM ev)
         ),
         pick AS (
             SELECT vec_id, eid, cos_t,

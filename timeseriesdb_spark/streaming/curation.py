@@ -187,31 +187,24 @@ def semantic_decon_stream(
 ) -> DataFrame:
     """SEMANTIC decontamination on the embedding ingest path: score
     every streamed vector against the STATIC eval matrix
-    (q_semantic_decon's kernel — one stateless BLAS GEMM per Arrow
-    batch, no aggregation state, replay-safe) and emit the same
-    (vec_id, best_eval_id, cos_t, flagged) rows; the caller filters
-    on `flagged` or keeps the audit columns. `eval_emb` is a BATCH
-    frame of eval vectors (vec_id, embedding) — bounded by design
-    (benchmark registry), collected once at query start exactly like
-    the PQ codebooks; refresh-and-restart when evals change (the
-    decontaminate_stream cadence)."""
-    import numpy as np
-
+    (q_semantic_decon's kernel — one stateless vectorized dot pass
+    per Arrow batch, no aggregation state, replay-safe) and emit the
+    same (vec_id, best_eval_id, cos_t, flagged) rows; the caller
+    filters on `flagged` or keeps the audit columns. `eval_emb` is a
+    BATCH frame of eval vectors (vec_id, embedding) — bounded by
+    design (benchmark registry; cap it with semdecon_eval_set for a
+    hard O(SEMDECON_EVAL_CAP) driver bound), collected once at query
+    start exactly like the PQ codebooks; refresh-and-restart when
+    evals change (the decontaminate_stream cadence). Raises
+    ValueError on an empty eval frame."""
     from timeseriesdb_spark.operators.similarity import (
         SEMDECON_COS_T,
+        _eval_matrix,
         _with_norm,
         semantic_scores_kernel,
     )
 
-    ev = (
-        _with_norm(eval_emb)
-        .select("vec_id", "e", "norm")
-        .toPandas()
-        .sort_values("vec_id")
-    )
-    eids = ev["vec_id"].to_numpy(dtype=np.int64)
-    emat = np.stack(ev["e"].to_numpy()).astype(np.float64)
-    enorm = ev["norm"].to_numpy(dtype=np.float64)
+    eids, emat, enorm = _eval_matrix(_with_norm(eval_emb))
     cand = _with_norm(stream).select("vec_id", "e", "norm")
     return cand.mapInPandas(
         semantic_scores_kernel(
