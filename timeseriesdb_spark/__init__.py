@@ -21,17 +21,36 @@ for 100 TB scale (no driver-side collection; broadcast-only dimension
 joins; per-partition work via Arrow-batched pandas UDFs).
 """
 
-from timeseriesdb_spark.api import SignalEngine
-from timeseriesdb_spark.registry import ORACLES, QUERIES
-from timeseriesdb_spark.session import get_spark
-from timeseriesdb_spark.tables import TABLES, load_table, register_views
+# Lazy public API (PEP 562). Every Spark Python worker that unpickles
+# a kernel closure imports the defining module, which first runs THIS
+# package __init__ — an eager registry import here pulls every operator
+# module (~0.7 s measured, growing with the repo) into every fresh
+# worker on every executor. Deferring keeps worker import cost at the
+# kernel module + its direct deps; driver-side users see the same API.
+_EXPORTS = {
+    "SignalEngine": ("timeseriesdb_spark.api", "SignalEngine"),
+    "get_spark": ("timeseriesdb_spark.session", "get_spark"),
+    "TABLES": ("timeseriesdb_spark.tables", "TABLES"),
+    "load_table": ("timeseriesdb_spark.tables", "load_table"),
+    "register_views": ("timeseriesdb_spark.tables", "register_views"),
+    "QUERIES": ("timeseriesdb_spark.registry", "QUERIES"),
+    "ORACLES": ("timeseriesdb_spark.registry", "ORACLES"),
+}
 
-__all__ = [
-    "SignalEngine",
-    "get_spark",
-    "TABLES",
-    "load_table",
-    "register_views",
-    "QUERIES",
-    "ORACLES",
-]
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
