@@ -247,29 +247,36 @@ def test_dtw_band0_equals_l2_knn(spark):
         .sort_values("test_id")
         .reset_index(drop=True)
     )
+    import numpy as np
+
     assert len(l2) == len(d0) > 0
     assert (l2["pred_label"] == d0["pred_label"]).all()
-    assert (l2["dist2"] == d0["dtw2"]).all()
+    # knn emits round(d²,4) doubles; dtw emits the half-away integer
+    # ten-thousandths lattice — reconstruct the integer from the
+    # rounded double (exact: the product is within 1e-12 of the int)
+    l2_t = np.floor(l2["dist2"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    assert (l2_t == d0["dtw2_t"].to_numpy()).all()
 
 
 def test_dtw_banded_never_exceeds_l2(spark):
     """Widening the band can only relax the alignment: banded DTW
-    distance ≤ L2 distance per test row."""
-    from timeseriesdb_spark.operators.similarity import q_dtw_1nn, q_knn_1nn
+    distance ≤ L2 distance per test row (q_dtw_1nn covers the bounded
+    md5-window probe subset of q_knn_1nn's test split)."""
+    from timeseriesdb_spark.operators.similarity import (
+        DTW_PROBE_CAP,
+        q_dtw_1nn,
+        q_knn_1nn,
+    )
 
-    l2 = (
-        q_knn_1nn(spark, SF_DIR)
-        .toPandas()
-        .sort_values("test_id")
-        .reset_index(drop=True)
-    )
-    dt = (
-        q_dtw_1nn(spark, SF_DIR)
-        .toPandas()
-        .sort_values("test_id")
-        .reset_index(drop=True)
-    )
-    assert (dt["dtw2"] <= l2["dist2"] + 1e-3).all()
+    l2 = q_knn_1nn(spark, SF_DIR).toPandas().set_index("test_id")
+    dt = q_dtw_1nn(spark, SF_DIR).toPandas().set_index("test_id")
+    assert 0 < len(dt) <= DTW_PROBE_CAP
+    assert set(dt.index) <= set(l2.index)
+    l2m = l2.loc[dt.index]
+    assert (
+        dt["dtw2_t"].to_numpy() / 10000.0
+        <= l2m["dist2"].to_numpy() + 1e-3
+    ).all()
 
 
 def test_ann_recall_shape_and_bounds(spark):

@@ -102,6 +102,99 @@ def test_hll_rollup_merge_equals_direct(spark):
     assert off.count() == 0
 
 
+def test_hll_register_table_properties(spark):
+    """The seeded-md5 register tier (r11): rho in [1, 61], register
+    indices are 2 lowercase hex chars, per-(signal, day) register count
+    bounded by m, and a python mirror of the rho derivation agrees on
+    a sample (the hex-string leading-zero arithmetic is right)."""
+    import hashlib
+
+    rows = chunking.q_hll_register_table(spark, SF_DIR).collect()
+    assert rows
+    assert all(1 <= r.rho <= 4 * chunking.HLL_TAIL_CHARS + 1 for r in rows)
+    assert all(
+        len(r.register_idx) == chunking.HLL_IDX_CHARS
+        and set(r.register_idx) <= set("0123456789abcdef")
+        for r in rows
+    )
+    from collections import Counter
+
+    per_day = Counter((r.user_id, r.event_date) for r in rows)
+    assert max(per_day.values()) <= chunking.HLL_M
+
+    # python mirror on one signal-day: recompute registers from raw
+    ev = load_table(spark, SF_DIR, "events")
+    uid, day = rows[0].user_id, rows[0].event_date
+    raw = (
+        ev.where(F.col("user_id") == uid)
+        .where(F.date_trunc("day", F.col("ts")) == day)
+        .select(scaled_int(F.col("value")).alias("k"))
+        .collect()
+    )
+    regs: dict[str, int] = {}
+    for r in raw:
+        h = hashlib.md5(str(r.k).encode()).hexdigest()
+        idx, tail = h[:2], h[2:17]
+        stripped = tail.lstrip("0")
+        zh = len(tail) - len(stripped)
+        if zh == chunking.HLL_TAIL_CHARS:
+            rho = 4 * chunking.HLL_TAIL_CHARS + 1
+        else:
+            c = stripped[0]
+            nib = 0 if c >= "8" else 1 if c >= "4" else 2 if c >= "2" else 3
+            rho = 4 * zh + nib + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    got = {
+        (r.register_idx, r.rho)
+        for r in rows
+        if r.user_id == uid and r.event_date == day
+    }
+    assert got == set(regs.items())
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """q_hll_estimate: the day-rollup merge equals the direct
+    distinct-value sketch (max over days == max over union — the
+    mergeability the tier exists for), and the CORRECTED estimate
+    (linear counting below the standard 2.5·m threshold, raw harmonic
+    above — applied here in the test, not in the emitted column, since
+    ln() is libm-specific) lands within 3·RSE of the exact count."""
+    import math
+
+    rows = chunking.q_hll_estimate(spark, SF_DIR).collect()
+    assert rows
+    m = chunking.HLL_M
+    rse = 1.04 / math.sqrt(m)
+    for r in rows:
+        raw = r.approx_distinct
+        zeros = m - r.n_regs
+        if raw <= 2.5 * m and zeros > 0:
+            corrected = m * math.log(m / zeros)
+        else:
+            corrected = raw
+        assert abs(corrected - r.exact_distinct) <= max(
+            3 * rse * r.exact_distinct, 3
+        ), (r.user_id, corrected, r.exact_distinct)
+
+    # merge property: registers merged across days == registers over
+    # the un-split corpus
+    ev = load_table(spark, SF_DIR, "events")
+    merged = {
+        (r.user_id, r.register_idx): r.rho
+        for r in chunking._hll_registers(ev)
+        .groupBy("user_id", "register_idx")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    direct = {
+        (r.user_id, r.register_idx): r.rho
+        for r in chunking._hll_registers(
+            ev.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        ).collect()
+    }
+    assert merged == direct
+
+
 def test_chunking_is_stream_legal(spark, tmp_path):
     """chunk_documents is a pure stateless projection+generator, so it
     runs unchanged on a stream and lands the batch result exactly."""

@@ -161,6 +161,126 @@ def test_stream_neardup_probe_matches_batch(spark, tmp_path):
     )
 
 
+def test_multimodal_keep_stream_matches_batch(spark, tmp_path):
+    """Streamed fused multimodal gate keeps exactly the batch
+    composition's keep set: text fp NOT in corpus AND image
+    dup_of_corpus == 0 AND video dup_of_corpus == 0. Probes injected
+    per modality: an exact corpus-text copy (all three gates fire)
+    and a same-length single-char edit (the video near-dup recipe —
+    voxel tiling preserved, hamming 0-1)."""
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+    from timeseriesdb_spark.operators.multimodal import (
+        image_bands,
+        image_dhash_fingerprints,
+        incremental_image_neardup,
+    )
+    from timeseriesdb_spark.operators.videomm import (
+        incremental_video_neardup,
+        video_fingerprints,
+    )
+    from timeseriesdb_spark.operators.multimodal import fp_bands
+    from timeseriesdb_spark.streaming.curation import multimodal_keep_stream
+    from timeseriesdb_spark.tables import load_table
+
+    from timeseriesdb_spark.operators.multimodal import DHASH_BANDS
+
+    doc = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = doc.where(F.col("source") == CORPUS_SOURCE)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    text_fps = corpus.select(F.md5(norm).alias("fp"))
+    ibands = image_bands(image_dhash_fingerprints(corpus), cap=True)
+    vbands = fp_bands(video_fingerprints(corpus), "doc_id", "vfp", cap=True)
+
+    # probe target: a corpus doc whose video bands ALL survive the
+    # df-cap (a hot/template clip's buckets are dropped at index
+    # build, so an edit of one legitimately slips the corpus gate)
+    # AND whose single-char edit lands within the hamming threshold
+    # (short texts concentrate the edit into few voxels per chunk and
+    # can exceed it — search instead of assuming)
+    import numpy as np
+
+    from timeseriesdb_spark.functions import audio, video
+    from timeseriesdb_spark.operators.multimodal import DHASH_T
+
+    uncapped = {
+        r.doc_id
+        for r in vbands.groupBy("doc_id")
+        .count()
+        .where(F.col("count") == DHASH_BANDS)
+        .collect()
+    }
+    assert uncapped, "no corpus clip with all bands indexed"
+
+    def _vfp(s: str) -> str:
+        _, fr = video.decode_video(video.synth_video(s.encode()))
+        return audio.fingerprint_bits(fr.ravel().astype(np.int64))
+
+    c0 = edited = None
+    for row in corpus.orderBy("doc_id").collect():
+        if row.doc_id not in uncapped:
+            continue
+        cand = "X" + row.text[1:]
+        if sum(x != y for x, y in zip(_vfp(row.text), _vfp(cand))) <= DHASH_T:
+            c0, edited = row, cand
+            break
+    assert c0 is not None, "no corpus clip with an in-threshold edit"
+    extra = spark.createDataFrame(
+        [(9_000_001, c0.text, "srcX"), (9_000_002, edited, "srcX")],
+        "doc_id long, text string, source string",
+    )
+    batch = doc.where(F.col("source") != CORPUS_SOURCE).unionByName(extra)
+
+    src = str(tmp_path / "mmsrc")
+    out = str(tmp_path / "mmout")
+    batch.coalesce(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        multimodal_keep_stream(stream, text_fps, ibands, vbands)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "mmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+    # batch composition of the three corpus gates
+    corpus_fps = {r.fp for r in text_fps.collect()}
+    text_keep = {
+        r.doc_id
+        for r in batch.select("doc_id", F.md5(norm).alias("fp")).collect()
+        if r.fp not in corpus_fps
+    }
+    img_keep = {
+        r.doc_id
+        for r in incremental_image_neardup(batch, corpus).collect()
+        if r.dup_of_corpus == 0
+    }
+    vid_keep = {
+        r.doc_id
+        for r in incremental_video_neardup(batch, corpus).collect()
+        if r.dup_of_corpus == 0
+    }
+    expect = text_keep & img_keep & vid_keep
+    assert 9_000_001 not in expect  # exact copy: every gate fires
+    assert 9_000_002 not in vid_keep  # same-length edit: video near-dup
+    assert kept == expect and len(kept) > 0
+    # audit columns survive the fused gate
+    assert {"doc_id", "text", "source", "fp", "dhash", "vfp"} <= set(
+        spark.read.parquet(out).columns
+    )
+
+
 def test_semantic_decon_stream_matches_batch(spark, tmp_path):
     """Streamed semantic decon == the batch q_semantic_decon rows
     exactly (same kernel, stateless): run the stream over the same

@@ -724,17 +724,34 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DTW_BAND = 8  # Sakoe-Chiba band radius for q_dtw_1nn
+DTW_BAND = 8       # Sakoe-Chiba band radius for q_dtw_1nn
+DTW_PROBE_CAP = 25  # bounded test-probe window for the registered query
 
 
-def dtw_1nn(spark: SparkSession, sf_dir: str, band: int) -> DataFrame:
+def dtw_1nn(
+    spark: SparkSession, sf_dir: str, band: int,
+    probe_cap: int | None = None,
+) -> DataFrame:
     """1-NN under banded Dynamic Time Warping — the UCR-classifier
     upgrade of q_knn_1nn (the reference's L2 classify,
     knn/mod.rs:303-316; DTW-1NN is the standard stronger baseline on
     the same UCRArchive its scripts sweep). Treats each embedding as
     a length-DIM series; distance is squared DTW within a Sakoe-Chiba
     band of radius `band` (band=0 degenerates EXACTLY to squared L2 —
-    pinned against q_knn_1nn by pytest).
+    pinned against q_knn_1nn by pytest). Output distance `dtw2_t` is
+    half-away integer ten-thousandths (floor(d·10⁴ + 0.5) — d ≥ 0),
+    the r10 ANN integer-rank-key discipline: argmin on the integer
+    lattice is a total order both engines replay exactly, which is
+    what lets the registered q_dtw_1nn carry a full DuckDB oracle
+    (a recursive CTE stepping the identical IEEE DP — see
+    _dtw_oracle_sql; the DP is a fixed expression tree per cell, no
+    reduction reassociation anywhere, so doubles are bit-identical).
+
+    `probe_cap`: None scores the whole vec_id % TEST_MOD test split
+    (the full-scale form); an int bounds the test side to the first
+    `probe_cap` rows in (md5(vec_id), vec_id) order — the
+    SEMDECON_EVAL_CAP md5-window discipline, which is what makes the
+    oracle's O(|test|·|train|·DIM·band) DP replay tractable.
 
     Execution: same broadcast-train shape as q_knn_1nn, but the DP
     recurrence vectorizes over the TRAIN axis — each of the
@@ -770,7 +787,7 @@ def dtw_1nn(spark: SparkSession, sf_dir: str, band: int) -> DataFrame:
             if not len(batch):
                 continue
             A = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            out_d = np.empty(len(A))
+            out_d = np.empty(len(A), dtype=np.int64)
             out_i = np.empty(len(A), dtype=np.int64)
             for row, a in enumerate(A):
                 prev = np.full((L + 1, nt), np.inf)
@@ -784,36 +801,42 @@ def dtw_1nn(spark: SparkSession, sf_dir: str, band: int) -> DataFrame:
                             np.minimum(prev[j], prev[j - 1]), cur[j - 1]
                         )
                     prev = cur
-                d2 = np.round(prev[L], 4)
-                best = int(d2.argmin())
-                out_d[row], out_i[row] = d2[best], best
+                # half-away integer ten-thousandths (d ≥ 0); argmin on
+                # the int lattice = the cross-engine total order
+                d2t = np.floor(prev[L] * 10000.0 + 0.5).astype(np.int64)
+                best = int(d2t.argmin())
+                out_d[row], out_i[row] = d2t[best], best
             yield pd.DataFrame(
                 {
                     "test_id": batch["vec_id"].to_numpy(dtype=np.int64),
                     "true_label": batch["label"].to_numpy(dtype=np.int64),
                     "pred_label": labels[out_i],
-                    "dtw2": out_d,
+                    "dtw2_t": out_d,
                 }
             )
 
+    test = emb.filter(F.col("vec_id") % TEST_MOD == 0)
+    if probe_cap is not None:
+        test = test.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        ).limit(probe_cap)
     # The DP cost lives on the TEST side (train is broadcast), so
     # spread test rows across all cores — without this the handful of
     # scan partitions serializes the kernel (measured 9.9 s → 0.9 s
     # at sf0.1 on local[32])
     n_slices = spark.sparkContext.defaultParallelism
-    return (
-        emb.filter(F.col("vec_id") % TEST_MOD == 0)
-        .repartition(n_slices)
-        .mapInPandas(
-            gen,
-            schema="test_id bigint, true_label bigint, pred_label bigint, dtw2 double",
-        )
+    return test.repartition(n_slices).mapInPandas(
+        gen,
+        schema="test_id bigint, true_label bigint, pred_label bigint, dtw2_t bigint",
     )
 
 
 def q_dtw_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-DTW 1-NN at the default band radius (see dtw_1nn)."""
-    return dtw_1nn(spark, sf_dir, DTW_BAND)
+    """Banded-DTW 1-NN at the default band radius over the bounded
+    md5-window probe set (DTW_PROBE_CAP rows — the capped form is
+    what the recursive-CTE oracle replays; call dtw_1nn(...,
+    probe_cap=None) for the full test split on the same kernel)."""
+    return dtw_1nn(spark, sf_dir, DTW_BAND, probe_cap=DTW_PROBE_CAP)
 
 
 SEMDECON_MOD = 17        # eval holdout universe: vec_id % MOD == 0
@@ -1828,3 +1851,111 @@ ORACLES = {
         ) WHERE rn = 1
     """,
 }
+
+
+def _dtw_oracle_sql() -> str:
+    """Replay q_dtw_1nn's banded-DTW DP as a DuckDB recursive CTE —
+    the r11 conversion that moved the query off the rows-only list.
+
+    Why this is exact: each DP cell is a FIXED expression tree,
+    cell(i,j) = (aᵢ−tⱼ)² + min(prev[j], prev[j−1], cur[j−1]) — there
+    is no reduction reassociation anywhere (unlike an FFT/eigh), so
+    stepping the identical IEEE double ops row-by-row reproduces the
+    kernel's doubles bit-for-bit; floor(d·10⁴ + 0.5) on both sides
+    then lands on the same integer lattice (the ANN rank-key recipe).
+
+    Shape: the Sakoe-Chiba band is W = 2·DTW_BAND+1 explicit slot
+    columns (slot k of row i holds cell j = i − r + k; out-of-band =
+    +inf, matching the kernel's np.full(inf) init), stepped DIM times
+    by the recursion with DuckDB lateral column aliases carrying the
+    cur[j−1] within-row dependency. Embeddings are pre-flattened into
+    narrow per-(row, i) tables (te_flat scalar, tr_band W columns) so
+    the recursion never hauls LIST columns through its joins —
+    measured 17.8 s → 6.4 s at sf0.01. Cost is bounded by
+    DTW_PROBE_CAP·|train|·DIM·W cells by construction."""
+    r, L, W = DTW_BAND, DIM, 2 * DTW_BAND + 1
+    inf = "CAST('infinity' AS DOUBLE)"
+    tband_cols = ", ".join(
+        f"CASE WHEN i.i - {r} + {k} BETWEEN 1 AND {L}"
+        f" THEN CAST(tr.embedding[i.i - {r} + {k}] AS DOUBLE)"
+        f" ELSE NULL END AS t{k}"
+        for k in range(W)
+    )
+    steps = []
+    for k in range(W):
+        j = f"(dp.i + 1 - {r} + {k})"
+        prev_up = f"dp.s{k + 1}" if k + 1 < W else inf
+        mins = f"LEAST({prev_up}, dp.s{k}" + (f", n{k - 1})" if k else ")")
+        steps.append(
+            f"CASE WHEN {j} BETWEEN 1 AND {L}"
+            f" THEN (tf.ai - tb.t{k}) * (tf.ai - tb.t{k}) + {mins}"
+            f" ELSE {inf} END AS n{k}"
+        )
+    step_cols = ",\n               ".join(steps)
+    init = ", ".join(
+        ("CAST(0.0 AS DOUBLE)" if k == r else inf) + f" AS s{k}"
+        for k in range(W)
+    )
+    sel = ", ".join(f"n{k}" for k in range(W))
+    return f"""
+        WITH RECURSIVE
+        te AS MATERIALIZED (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id % {TEST_MOD} = 0
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {DTW_PROBE_CAP}
+        ),
+        tr AS MATERIALIZED (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id % {TEST_MOD} != 0
+        ),
+        te_flat AS MATERIALIZED (
+            SELECT te.vec_id AS test_id, i.i AS i,
+                   CAST(te.embedding[i.i] AS DOUBLE) AS ai
+            FROM te CROSS JOIN
+                 (SELECT CAST(range AS INT) AS i FROM range(1, {L + 1})) i
+        ),
+        tr_band AS MATERIALIZED (
+            SELECT tr.vec_id AS train_id, i.i AS i, {tband_cols}
+            FROM tr CROSS JOIN
+                 (SELECT CAST(range AS INT) AS i FROM range(1, {L + 1})) i
+        ),
+        dp AS (
+            SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
+                   0 AS i, {init}
+            FROM te CROSS JOIN tr
+            UNION ALL
+            SELECT dp.test_id, dp.train_id, dp.i + 1 AS i, {sel}
+            FROM (
+                SELECT dp.test_id, dp.train_id, dp.i,
+                       {step_cols}
+                FROM dp
+                JOIN te_flat tf
+                  ON tf.test_id = dp.test_id AND tf.i = dp.i + 1
+                JOIN tr_band tb
+                  ON tb.train_id = dp.train_id AND tb.i = dp.i + 1
+                WHERE dp.i < {L}
+            ) dp
+        ),
+        scored AS (
+            SELECT test_id, train_id,
+                   CAST(floor(s{r} * 10000.0 + 0.5) AS BIGINT) AS d2t
+            FROM dp WHERE i = {L}
+        ),
+        pick AS (
+            SELECT test_id, train_id, d2t,
+                   row_number() OVER (
+                       PARTITION BY test_id ORDER BY d2t, train_id
+                   ) AS rn
+            FROM scored
+        )
+        SELECT p.test_id, te.label AS true_label, tr.label AS pred_label,
+               p.d2t AS dtw2_t
+        FROM pick p
+        JOIN te ON te.vec_id = p.test_id
+        JOIN tr ON tr.vec_id = p.train_id
+        WHERE p.rn = 1
+    """
+
+
+ORACLES["q_dtw_1nn"] = _dtw_oracle_sql()

@@ -180,8 +180,9 @@ def q_ucr_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ucr_dtw_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-DTW(8) 1-NN accuracy on the same fixture (DP recursion →
-    rows-only driver check; pytest pins the value)."""
+    """Banded-DTW(8) 1-NN accuracy on the same fixture — hash-checked
+    since r11 against a recursive-CTE oracle that replays the DP
+    cell-exactly (_ucr_dtw_oracle_sql); pytest still pins the value."""
     return ucr_accuracy(
         spark, UCR_TRAIN_FIX, UCR_TEST_FIX, UCR_FIX_LEN, band=UCR_DTW_BAND
     )
@@ -223,10 +224,111 @@ QUERIES = {
     "q_ucr_dtw_accuracy": q_ucr_dtw_accuracy,
 }
 
+def _ucr_dtw_oracle_sql() -> str:
+    """Replay q_ucr_dtw_accuracy's banded-DTW DP as a DuckDB recursive
+    CTE (the q_dtw_1nn conversion, similarity._dtw_oracle_sql, applied
+    to the committed fixture): each DP cell is a fixed IEEE expression
+    tree — no reduction reassociation — so row-stepping the identical
+    ops reproduces the kernel's doubles bit-for-bit. The kernel argmins
+    RAW doubles (no rounding), so the oracle ranks by the raw double
+    with the train-file-order tie-break the kernel's first-occurrence
+    argmin uses. The Sakoe-Chiba band is W = 2r+1 explicit slot
+    columns; within-row cur[j−1] dependency = lateral column alias."""
+    r, L = UCR_DTW_BAND, UCR_FIX_LEN
+    W = 2 * r + 1
+    inf = "CAST('infinity' AS DOUBLE)"
+    cols = ", ".join(
+        ["'label': 'DOUBLE'"] + [f"'p{i}': 'DOUBLE'" for i in range(L)]
+    )
+    arr = "[" + ", ".join(f"p{i}" for i in range(L)) + "]"
+    tband_cols = ", ".join(
+        f"CASE WHEN i.i - {r} + {k} BETWEEN 1 AND {L}"
+        f" THEN tr.emb[i.i - {r} + {k}] ELSE NULL END AS t{k}"
+        for k in range(W)
+    )
+    steps = []
+    for k in range(W):
+        j = f"(dp.i + 1 - {r} + {k})"
+        prev_up = f"dp.s{k + 1}" if k + 1 < W else inf
+        mins = f"LEAST({prev_up}, dp.s{k}" + (f", n{k - 1})" if k else ")")
+        steps.append(
+            f"CASE WHEN {j} BETWEEN 1 AND {L}"
+            f" THEN (tf.ai - tb.t{k}) * (tf.ai - tb.t{k}) + {mins}"
+            f" ELSE {inf} END AS n{k}"
+        )
+    step_cols = ",\n               ".join(steps)
+    init = ", ".join(
+        ("CAST(0.0 AS DOUBLE)" if k == r else inf) + f" AS s{k}"
+        for k in range(W)
+    )
+    sel = ", ".join(f"n{k}" for k in range(W))
+    return f"""
+        WITH RECURSIVE
+        te AS MATERIALIZED (
+            SELECT row_number() OVER () AS rid,
+                   CAST(label AS BIGINT) AS label, {arr} AS emb
+            FROM read_csv('{UCR_TEST_FIX}', skip=1, header=false,
+                          columns={{{cols}}})
+        ),
+        tr AS MATERIALIZED (
+            SELECT row_number() OVER () AS tidx,
+                   CAST(label AS BIGINT) AS label, {arr} AS emb
+            FROM read_csv('{UCR_TRAIN_FIX}', skip=1, header=false,
+                          columns={{{cols}}})
+        ),
+        te_flat AS MATERIALIZED (
+            SELECT te.rid, i.i AS i, te.emb[i.i] AS ai
+            FROM te CROSS JOIN
+                 (SELECT CAST(range AS INT) AS i FROM range(1, {L + 1})) i
+        ),
+        tr_band AS MATERIALIZED (
+            SELECT tr.tidx, i.i AS i, {tband_cols}
+            FROM tr CROSS JOIN
+                 (SELECT CAST(range AS INT) AS i FROM range(1, {L + 1})) i
+        ),
+        dp AS (
+            SELECT te.rid, tr.tidx, 0 AS i, {init}
+            FROM te CROSS JOIN tr
+            UNION ALL
+            SELECT dp.rid, dp.tidx, dp.i + 1 AS i, {sel}
+            FROM (
+                SELECT dp.rid, dp.tidx, dp.i,
+                       {step_cols}
+                FROM dp
+                JOIN te_flat tf ON tf.rid = dp.rid AND tf.i = dp.i + 1
+                JOIN tr_band tb ON tb.tidx = dp.tidx AND tb.i = dp.i + 1
+                WHERE dp.i < {L}
+            ) dp
+        ),
+        pick AS (
+            SELECT rid, tidx, s{r} AS d2,
+                   row_number() OVER (
+                       PARTITION BY rid ORDER BY s{r}, tidx
+                   ) AS rn
+            FROM dp WHERE i = {L}
+        ),
+        pred AS (
+            SELECT p.rid, te.label AS true_label, tr.label AS pred_label
+            FROM pick p
+            JOIN te ON te.rid = p.rid
+            JOIN tr ON tr.tidx = p.tidx
+            WHERE p.rn = 1
+        )
+        SELECT count(*) AS n_test,
+               CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+        FROM pred
+    """
+
+
 ORACLES = {
     # The oracle computes d² in the direct-difference form while Spark
     # uses the rearranged GEMM; argmin can only diverge on float
     # near-ties (< ~1e-9 gaps), which the seeded fixture does not
-    # contain. DTW's DP recursion is not SQL-expressible → rows-only.
+    # contain.
     "q_ucr_knn_accuracy": _ucr_oracle_sql(),
+    # DTW DP replayed cell-exactly by a recursive CTE (r11 conversion).
+    "q_ucr_dtw_accuracy": _ucr_dtw_oracle_sql(),
 }

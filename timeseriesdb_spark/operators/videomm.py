@@ -314,6 +314,37 @@ def vfp_with_carry(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(extract, out_schema)
 
 
+def vfp_with_carry_docs(doc: DataFrame) -> DataFrame:
+    """video_fingerprints with ALL input columns carried through —
+    the DOCUMENTS-stream twin of vfp_with_carry (which takes encoded
+    clip payloads): synthesizes the clip from text exactly like the
+    batch tier, appends a vfp column, stateless one Arrow pass, so it
+    runs unchanged on a readStream frame. Used by the fused
+    multimodal_keep_stream gate."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(doc.schema.fields) + [StructField("vfp", StringType())]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fps_ = []
+            for text in pdf["text"]:
+                payload = video.synth_video(text.encode("utf-8"))
+                _, frames = video.decode_video(payload)
+                fps_.append(
+                    audio.fingerprint_bits(frames.ravel().astype(np.int64))
+                )
+            out = pdf.copy()
+            out["vfp"] = fps_
+            yield out
+
+    return doc.mapInPandas(extract, out_schema)
+
+
 def video_probe_stream(
     stream: DataFrame, corpus_bands: DataFrame
 ) -> DataFrame:

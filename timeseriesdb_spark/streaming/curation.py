@@ -181,6 +181,54 @@ def lang_filter_stream(
     )
 
 
+def multimodal_keep_stream(
+    stream: DataFrame,
+    corpus_text_fps: DataFrame,
+    image_bands: DataFrame,
+    video_bands: DataFrame,
+) -> DataFrame:
+    """Fused multimodal keep gate on the documents ingest path — the
+    streamed twin of q_multimodal_keep's conjunction (videomm.py:
+    drop the sample when ANY modality is a duplicate), expressed
+    against the PERSISTED corpus artifacts so every gate is stateless
+    (a replayed micro-batch re-probes to the same answer):
+
+    - text: exact-fingerprint gate — md5 of whitespace-normalized
+      lowercase text (the q_fingerprint canonical form), one
+      stream-static LEFT ANTI equi-join against the corpus fp frame;
+    - image: dHash gate — one Arrow fingerprint pass
+      (dhash_with_carry) then the banded-Hamming anti-join probe
+      against the persisted dhash index (fp_probe_stream);
+    - video: fingerprint gate — same shared probe core over
+      vfp_with_carry_docs and the vfp band index.
+
+    Gates chain as filters, so a document dropped by an earlier
+    modality never pays the later decode; survivors carry fp/dhash/vfp
+    as audit columns. Within-stream duplicates remain the periodic
+    batch pass (q_multimodal_keep), the lambda split every modality
+    uses individually. Scale: each gate is an equi-join against a
+    band_key-bucketed bounded index — no state store, no shuffle of
+    the stream beyond the joins Catalyst plans."""
+    from timeseriesdb_spark.operators.multimodal import (
+        dhash_with_carry,
+        fp_probe_stream,
+    )
+    from timeseriesdb_spark.operators.videomm import vfp_with_carry_docs
+
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    cur = (
+        stream.withColumn("fp", F.md5(norm))
+        .alias("a")
+        .join(
+            corpus_text_fps.select(F.col("fp").alias("cfp")).alias("c"),
+            F.col("a.fp") == F.col("c.cfp"),
+            "left_anti",
+        )
+    )
+    cur = fp_probe_stream(dhash_with_carry(cur), image_bands, "dhash")
+    return fp_probe_stream(vfp_with_carry_docs(cur), video_bands, "vfp")
+
+
 def semantic_decon_stream(
     stream: DataFrame, eval_emb: DataFrame,
     thr: int | None = None,
