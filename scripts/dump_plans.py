@@ -53,8 +53,12 @@ HEADLINERS = [
     "q_image_incremental",  # r9: checkpointed batch decode, band probes
     "q_audio_dedup",     # r10: clip fingerprint pass + banded keep/drop
     "q_video_dedup",     # r10: container decode + shared banded core
-    "q_lang_id_ngram",   # r10: literal-map trigram scan, shuffle-free
+    "q_lang_id_ngram",   # r10: broadcast-join trigram scoring, 1 exchange
     "q_curation",        # r10: full pipeline incl. dropped-ids CC tail
+    "q_semantic_decon",  # r11: capped-eval one-pass Arrow scan, 0 shuffle
+    "q_dtw_1nn",         # r11: TakeOrdered probe window + broadcast DP
+    "q_hll_register_table",  # r11: distinct-prefix collapse + max agg
+    "q_video_mean_dhash",    # r11: one Arrow decode+mean pass, no joins
 ]
 
 SF = "/root/testdata/sf0.01"

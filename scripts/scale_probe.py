@@ -51,6 +51,11 @@ PROBES = {
     # heavy hitters; the cumulative windows run over the BOUNDED
     # bucket frame, so growth must track the scan
     "q_quantile_rollup": "fixed-grid quantile tier + rank finalize",
+    # r11: the seeded-md5 HLL tier — registers per (signal, day)
+    # bounded at m=256 rows regardless of event count; the estimate
+    # merges day registers per signal (max) then one bounded agg
+    "q_hll_register_table": "seeded-md5 HLL register rollup",
+    "q_hll_estimate": "HLL merge + harmonic estimate from registers",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,
@@ -98,6 +103,9 @@ DOC_PROBES = {
     # cross-replica batch pairs may exist; the row count is
     # structurally batch-linear and the joins stay band-bucketed.
     "q_image_incremental": "incremental image dedup vs x1 corpus",
+    # r11: the rate-normalized video fingerprint — one Arrow
+    # decode+mean pass per clip, no joins; rows exactly one per doc
+    "q_video_mean_dhash": "rate-normalized mean-frame dHash tier",
     # r10: trained trigram scorer — per-scale-dir profile training is
     # a bounded |langs|*CAP driver sample; scoring is one broadcast
     # join + a |docs|-sized partial agg, so time must track the scan
@@ -148,6 +156,16 @@ EMB_PROBES = {
     # exchanges carry candidate arrays, never corpus-sized rows;
     # output fixed at 3·PROBES rows, so time is the signal
     "q_ann_recall": "LSH/IVF/PQ recall grading (stratified top-K)",
+    # r11: asymmetric small-side decon — NOT pair-forming: the eval
+    # side is a SEMDECON_EVAL_CAP md5-window however large the table
+    # (the r10 verdict's scale-killer, fixed), so the driver pull is
+    # flat and time tracks the one corpus scan. Eval-window size at
+    # ×1/×16 is printed alongside as the flat-driver-cost witness.
+    "q_semantic_decon": "capped-eval semantic decontamination scan",
+    # r11: probe-capped banded DTW — test side fixed at DTW_PROBE_CAP,
+    # broadcast train side grows with the table (KNN_TRAIN_CAP-guarded)
+    # so the DP cost grows linearly in corpus size, never quadratically
+    "q_dtw_1nn": "banded-DTW 1-NN over the md5-window probe set",
 }
 USER_STRIDE = 1_000_000  # >> max user_id, keeps replicas disjoint
 EVENT_STRIDE = 1_000_000_000
@@ -280,6 +298,81 @@ def main() -> None:
         eresults[name] = {k: time_query(fn, spark, edirs[k]) for k in FACTORS}
         print(name, {k: round(v, 3) for k, v in eresults[name].items()})
 
+    # flat-driver-cost witness for the capped semantic-decon eval pull
+    from timeseriesdb_spark.operators.similarity import semdecon_eval_set
+
+    ev_sizes = {
+        k: semdecon_eval_set(
+            load_table(spark, edirs[k], "embeddings")
+        ).count()
+        for k in (1, 16)
+    }
+    print("semdecon eval window rows:", ev_sizes)
+
+    # ---- ingest-path axis: the fused multimodal keep stream ------
+    # Indexes built ONCE from the FIXED ×1 corpus slice (src0) and
+    # checkpointed, so the timed section is the stream alone — the
+    # production shape: persisted stores, accumulating crawls.
+    from timeseriesdb_spark.operators.multimodal import (
+        fp_bands,
+        image_bands,
+        image_dhash_fingerprints,
+    )
+    from timeseriesdb_spark.operators.videomm import video_fingerprints
+    from timeseriesdb_spark.streaming.curation import multimodal_keep_stream
+
+    corpus = (
+        load_table(spark, ddirs[1], "documents")
+        .select("doc_id", "text", "source")
+        .where(F.col("source") == "src0")
+    )
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    tfps = corpus.select(F.md5(norm).alias("fp")).localCheckpoint()
+    ibands = image_bands(
+        image_dhash_fingerprints(corpus), cap=True
+    ).localCheckpoint()
+    vbands = fp_bands(
+        video_fingerprints(corpus), "doc_id", "vfp", cap=True
+    ).localCheckpoint()
+
+    def run_keep_stream(k: int, rep: str, fmt: str, path: str | None):
+        srcdir = f"{SCRATCH}/keepsrc_{k}"
+        schema = spark.read.parquet(srcdir).schema
+        stream = spark.readStream.schema(schema).parquet(srcdir)
+        w = (
+            multimodal_keep_stream(stream, tfps, ibands, vbands)
+            .writeStream.format(fmt)
+            .option("checkpointLocation", f"{SCRATCH}/keepck_{k}_{rep}")
+            .trigger(availableNow=True)
+        )
+        if path:
+            w = w.option("path", path)
+        q = w.start()
+        q.awaitTermination()
+
+    sresults: dict[int, float] = {}
+    skept: dict[int, int] = {}
+    for k in FACTORS:
+        (
+            load_table(spark, ddirs[k], "documents")
+            .select("doc_id", "text", "source")
+            .coalesce(8)
+            .write.mode("overwrite")
+            .parquet(f"{SCRATCH}/keepsrc_{k}")
+        )
+        ts = []
+        for rep in range(RUNS + 1):  # first run is warm-up
+            t0 = time.perf_counter()
+            run_keep_stream(k, str(rep), "noop", None)
+            ts.append(time.perf_counter() - t0)
+        sresults[k] = statistics.median(ts[1:])
+        print("multimodal_keep_stream", k, round(sresults[k], 3))
+    for k in (1, 16):  # kept-rows witness (parquet sink, untimed)
+        outp = f"{SCRATCH}/keepout_{k}"
+        run_keep_stream(k, "rows", "parquet", outp)
+        skept[k] = spark.read.parquet(outp).count()
+    print("keep_stream kept rows:", skept)
+
     lines = [
         "# SCALING — weak-scaling probes at ×1/×4/×16 (local[32])",
         "",
@@ -398,6 +491,50 @@ def main() -> None:
             f"| {name} | {note} | {r[1]:.3f} | {r[4]:.3f} | {r[16]:.3f} "
             f"| {r[16] / r[1]:.1f}× |"
         )
+    sr = sresults
+    lines += [
+        "",
+        f"(q_semantic_decon eval window: ×1 = {ev_sizes[1]} rows, "
+        f"×16 = {ev_sizes[16]} rows — the driver-side pull is",
+        "SEMDECON_EVAL_CAP-bounded BY CONSTRUCTION: replicating the",
+        "table 16× does not move it. q_dtw_1nn's test side is likewise",
+        "DTW_PROBE_CAP-fixed; its growth is the broadcast train scan.)",
+        "",
+        "## Ingest-path axis: fused multimodal keep stream ×1/×4/×16",
+        "",
+        "multimodal_keep_stream (streaming/curation.py) replayed",
+        "availableNow over the scaled documents as the stream, against",
+        "FIXED ×1-corpus indexes (text fp / image dHash / video vfp,",
+        "built once and checkpointed before timing — the production",
+        "shape: persisted stores, accumulating crawls). All three gates",
+        "are stateless stream-static joins, so time must track the",
+        "stream scan; kept rows grow with the stream (replicas rename",
+        "sources, so replica docs don't collide with the ×1 corpus",
+        "beyond the fingerprint-robustness floor).",
+        "",
+        "| stream | ×1 s | ×4 s | ×16 s | ×16/×1 | kept ×16/×1 |",
+        "|---|---|---|---|---|---|",
+        f"| multimodal_keep_stream | {sr[1]:.3f} | {sr[4]:.3f} "
+        f"| {sr[16]:.3f} | {sr[16] / sr[1]:.1f}× "
+        f"| {skept[16] / max(skept[1], 1):.1f}× |",
+        "",
+        "## Re-encoding invariance boundary (r11, pinned in",
+        "tests/test_video.py)",
+        "",
+        "- AUDIO fingerprints are rate-robust BY CONSTRUCTION: the",
+        "  proportional chunk grid resamples the clip, so 2× zero-order",
+        "  hold, 2× linear interpolation and decimation-by-2 all measure",
+        "  hamming ≤ 1 (≤ DHASH_T) — a re-encoded audio clip pairs with",
+        "  its original under the existing banded index.",
+        "- VIDEO frame-major voxel fingerprints are edit-robust but NOT",
+        "  rate-robust (restride scrambles spatial phase: hamming 25–32).",
+        "  The rate-normalized tier q_video_mean_dhash (time-mean frame →",
+        "  image dHash; oracle-checked) is EXACTLY invariant to uniform",
+        "  fps upsampling; decimation robustness is bounded by",
+        "  inter-frame correlation — the synthetic corpus's independent",
+        "  text-chunk frames are the adversarial worst case (hamming",
+        "  9–12, above DHASH_T), real frame-correlated video is not.",
+    ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")

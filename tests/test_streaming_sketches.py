@@ -154,3 +154,102 @@ def test_streamed_heavy_hitters_equals_batch(spark, tmp_path):
         .reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_streamed_hll_registers_equal_batch(spark, tmp_path):
+    """The seeded-md5 HLL register tier (r11): max is associative and
+    idempotent, so registers merged from per-micro-batch partials must
+    equal q_hll_register_table EXACTLY however the rows were split,
+    stay identical through compaction, and the served estimate must
+    equal q_hll_estimate's column bit-for-bit."""
+    from timeseriesdb_spark.operators.chunking import (
+        q_hll_estimate,
+        q_hll_register_table,
+    )
+
+    src = str(tmp_path / "src")
+    tier = str(tmp_path / "hllreg")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    edges = pd.date_range(lo, hi, periods=5)
+    for i in range(4):
+        chunk = ev.filter(
+            (F.col("ts") >= str(edges[i]))
+            & (F.col("ts") < str(edges[i + 1]) if i < 3 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    eng = SignalEngine(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = eng.maintain_hll_register_stream(stream, tier, ckpt)
+    q.awaitTermination(180)
+
+    key = ["user_id", "event_date", "register_idx"]
+    got = eng.hll_registers(tier).toPandas().sort_values(key)
+    exp = (
+        q_hll_register_table(spark, SF_DIR).toPandas().sort_values(key)
+    )
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    n = eng.compact_partials(tier, "hllreg")
+    assert n >= 4
+    got2 = eng.hll_registers(tier).toPandas().sort_values(key)
+    pd.testing.assert_frame_equal(
+        got2.reset_index(drop=True),
+        got.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    est = (
+        eng.hll_distinct_estimate(tier)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp_est = (
+        q_hll_estimate(spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (est["n_regs"].values == exp_est["n_regs"].values).all()
+    assert (
+        est["approx_distinct"].values == exp_est["approx_distinct"].values
+    ).all()  # bit-identical doubles, not approx-equal
+
+    # day-range read path: pruning tier partials to [lo2, hi2] must
+    # equal the batch register table over the same event slice
+    from timeseriesdb_spark.operators.chunking import _hll_registers
+
+    lo2, hi2 = str(edges[1]), str(edges[2])
+    ranged = (
+        eng.hll_registers(tier, start_day=lo2, end_day=hi2)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    sliced = ev.filter(
+        (F.date_trunc("day", F.col("ts")) >= lo2)
+        & (F.date_trunc("day", F.col("ts")) <= hi2)
+    )
+    exp_ranged = (
+        _hll_registers(sliced)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(ranged) == len(exp_ranged) > 0
+    pd.testing.assert_frame_equal(ranged, exp_ranged, check_dtype=False)

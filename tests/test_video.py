@@ -434,3 +434,79 @@ def test_fingerprint_total_and_deterministic(samples):
     # scale invariance (2x fits: |s| <= 32768 -> s^2 <= 2^31; chunk
     # sums of <=250 terms stay far under int64 even at 4x energy)
     assert audio.fingerprint_bits(2 * s) == fp1
+
+
+# ---- re-encoding robustness (r11) ------------------------------------
+
+def _ham(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def test_voxel_fp_rate_boundary_and_mean_dhash_invariance():
+    """The re-encoding-robustness contract, pinned both ways:
+
+    (a) the frame-major voxel fingerprint (video_fingerprints /
+        audio.fingerprint_bits over frames.ravel()) is EDIT-robust but
+        NOT rate-robust — temporal restride scrambles the spatial
+        phase at every proportional chunk position (measured 25-32
+        bits on the synthetic clips), so a re-encoded clip does not
+        pair under it (the documented invariance boundary);
+    (b) the rate-normalized mean_frame_dhash IS exactly invariant to
+        uniform fps upsampling (frame duplication leaves the integer
+        per-pixel mean unchanged), keeps unrelated clips far, and its
+        decimation robustness is bounded by inter-frame correlation —
+        the synthetic corpus's independent text-chunk frames are the
+        adversarial worst case and measure ABOVE DHASH_T, which a
+        real pipeline reads as: decimated re-encodes of
+        frame-correlated video pair, of scene-cut slideshows don't."""
+    from timeseriesdb_spark.operators.videomm import mean_frame_dhash
+
+    texts = [
+        b"the quick brown fox jumps over the lazy dog and runs far away"
+        b" home again and again",
+        b"short clip text example for the restride robustness probe ok",
+    ]
+    unrelated = video.decode_video(
+        video.synth_video(b"totally unrelated other content zzz")
+    )[1]
+    for t in texts:
+        _, fr = video.decode_video(video.synth_video(t))
+        if fr.shape[0] < 2:
+            continue
+        # (a) voxel fp: restride breaks pairing (boundary, documented)
+        vfp0 = audio.fingerprint_bits(fr.ravel().astype(np.int64))
+        vfp_drop = audio.fingerprint_bits(
+            fr[::2].ravel().astype(np.int64)
+        )
+        assert _ham(vfp0, vfp_drop) > DHASH_T
+        # (b) mean-frame dhash: fps-upsample exactly invariant
+        m0 = mean_frame_dhash(fr)
+        for k in (2, 3):
+            assert mean_frame_dhash(np.repeat(fr, k, axis=0)) == m0
+        assert _ham(m0, mean_frame_dhash(unrelated)) > DHASH_T
+        # decimation on uncorrelated synthetic frames: outside the
+        # invariance boundary by construction (worst case pinned)
+        assert _ham(m0, mean_frame_dhash(fr[::2])) > DHASH_T
+
+
+def test_audio_fingerprint_is_rate_robust():
+    """The AUDIO fingerprint is rate-robust BY CONSTRUCTION — the
+    proportional chunk grid (sample i of n -> chunk i*C//n) resamples
+    the clip, so uniform re-encoding (2x zero-order hold, 2x linear
+    interpolation, decimation by 2) moves only boundary samples and
+    flips at most a bit or two: a re-encoded audio clip PAIRS with its
+    original under the existing banded index, no second hash needed
+    (contrast with the video boundary above)."""
+    rng = np.random.RandomState(7)
+    for n in (5700, 2400, 800):
+        s = np.clip(
+            np.cumsum(rng.randint(-80, 81, size=n)), -3000, 3000
+        ).astype(np.int64)
+        f0 = audio.fingerprint_bits(s)
+        hold = np.repeat(s, 2)
+        dec = s[::2]
+        lin = np.round(
+            np.interp(np.arange(2 * n) / 2.0, np.arange(n), s)
+        ).astype(np.int64)
+        for rep in (hold, dec, lin):
+            assert _ham(f0, audio.fingerprint_bits(rep)) <= DHASH_T

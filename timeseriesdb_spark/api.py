@@ -386,6 +386,89 @@ class SignalEngine:
             .start()
         )
 
+    def maintain_hll_register_stream(
+        self, stream: DataFrame, sketch_path: str, checkpoint: str
+    ):
+        """Incremental SEEDED-md5 HLL register maintenance — the
+        deterministic twin of maintain_distinct_stream (r11,
+        q_hll_register_table's tier): each micro-batch writes its
+        per-(signal, day, register_idx) max-rho partials into its own
+        batch_id partition (idempotent under replay). max is
+        associative and idempotent, so merged-at-read registers equal
+        the one-pass batch table EXACTLY however the rows were
+        micro-batched (tests/test_streaming_sketches.py), and — unlike
+        the DataSketches bytes — the whole store is cross-engine
+        hash-checkable."""
+        from timeseriesdb_spark.operators.chunking import _hll_registers
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            _hll_registers(batch_df).write.mode("overwrite").parquet(
+                f"{sketch_path}/batch_id={bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def hll_registers(
+        self, sketch_path: str, start_day=None, end_day=None
+    ) -> DataFrame:
+        """Merged (signal, day, register_idx, rho) registers from
+        maintained partials — bit-identical to q_hll_register_table
+        over the same rows (max-merge). Optional [start_day, end_day]
+        bounds (inclusive) prune TIER partials, never raw facts —
+        the rollup's whole point: any time-range distinct question
+        answers from bytes-per-signal-day state."""
+        tier = self.spark.read.parquet(sketch_path)
+        if start_day is not None:
+            tier = tier.where(F.col("event_date") >= F.lit(start_day))
+        if end_day is not None:
+            tier = tier.where(F.col("event_date") <= F.lit(end_day))
+        return tier.groupBy(
+            "user_id", "event_date", "register_idx"
+        ).agg(F.max("rho").alias("rho"))
+
+    def hll_distinct_estimate(
+        self, sketch_path: str, start_day=None, end_day=None
+    ) -> DataFrame:
+        """Per-signal raw harmonic distinct estimate served from the
+        maintained register store (q_hll_estimate's finalize, minus
+        the exact-count witness column — at serving time there is no
+        raw re-scan to witness against, that's the point). Day-range
+        bounds restrict which daily registers merge (union over the
+        range = max over its registers — exactly a range distinct)."""
+        from timeseriesdb_spark.operators.chunking import (
+            HLL_EST_NUM,
+            HLL_M,
+        )
+
+        merged = (
+            self.hll_registers(sketch_path, start_day, end_day)
+            .groupBy("user_id", "register_idx")
+            .agg(F.max("rho").alias("rho"))
+        )
+        per_user = merged.groupBy("user_id").agg(
+            F.count("*").alias("n_regs"),
+            F.sum(
+                F.expr("CAST(shiftleft(1L, 61 - rho) AS DECIMAL(38,0))")
+            ).alias("s_nonzero"),
+        )
+        s_int = (
+            F.col("s_nonzero")
+            + (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
+            * F.lit(2**61).cast("decimal(38,0)")
+        )
+        return per_user.select(
+            "user_id",
+            F.col("n_regs").cast("bigint").alias("n_regs"),
+            (F.lit(HLL_EST_NUM) / s_int.cast("double")).alias(
+                "approx_distinct"
+            ),
+        )
+
     def maintain_frequency_stream(
         self, stream: DataFrame, sketch_path: str, checkpoint: str
     ):
@@ -466,6 +549,9 @@ class SignalEngine:
         "qsk": lambda df: df.groupBy("user_id", "day", "bucket").agg(
             F.sum("partial_n").alias("partial_n")
         ),
+        "hllreg": lambda df: df.groupBy(
+            "user_id", "event_date", "register_idx"
+        ).agg(F.max("rho").alias("rho")),
         "terms": lambda df: df.groupBy("source", "term").agg(
             F.sum("cnt").alias("cnt")
         ),

@@ -35,9 +35,11 @@ from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timeseriesdb_spark.functions import audio, video
+from timeseriesdb_spark.functions import audio, imaging, video
 from timeseriesdb_spark.operators.common import parallelize_small_scan
 from timeseriesdb_spark.operators.multimodal import (
+    DHASH_GRID,
+    DHASH_ROW_BITS,
     DHASH_T,
     fp_bands,
     fp_dedup_decision,
@@ -314,6 +316,76 @@ def vfp_with_carry(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(extract, out_schema)
 
 
+def mean_frame_dhash(frames) -> str:
+    """RATE-NORMALIZED video fingerprint: the image-dHash gradient
+    sign bits of the TIME-MEAN frame (per-pixel integer floor-mean
+    over frames → exact-integer bilinear DHASH_GRID resample →
+    row-gradient signs). Marginalizing the time axis makes the hash
+    EXACTLY invariant to uniform fps upsampling (duplicating every
+    frame k× leaves the mean unchanged — pinned in tests), and robust
+    to temporal decimation precisely to the extent adjacent frames
+    correlate: real video is highly frame-correlated, while the
+    synthetic corpus's frames are independent text chunks — the
+    adversarial worst case, where drop-every-2nd measures hamming
+    9–12 (> DHASH_T; pinned as the documented invariance boundary,
+    unrelated clips at 26–36 for contrast; SCALING.md).
+
+    The frame-major voxel fingerprint (video_fingerprints) is the
+    EDIT-robust tier; this is the RATE-robust tier — a real pipeline
+    persists both band indexes, pairing a clip with its re-encoded
+    self (reference analogue: the lossy recoding daemon,
+    recoding_daemon.rs:143-225, degrades stored clips in place).
+    All-integer ⇒ cross-engine exact (q_video_mean_dhash oracle)."""
+    import numpy as np
+
+    nf = frames.shape[0]
+    mean = (frames.astype(np.int64).sum(axis=0) // nf).astype(np.uint8)
+    n, _ = imaging.bilinear_gray_exact(
+        mean[:, :, None], DHASH_GRID, DHASH_GRID
+    )
+    bits = (n[:, 1:] > n[:, :-1]).ravel()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def video_mean_dhash(doc: DataFrame) -> DataFrame:
+    """Per-clip rate-normalized fingerprint frame (doc_id, mdhash) —
+    the persisted second band-index axis next to q_video_fp.
+
+    The kernel body is INLINE (module-object references only, like
+    every other kernel): a closure that names a module-level function
+    pickles it by (module, qualname) REFERENCE, which makes the Python
+    worker import the repo package — and the driver contract runs from
+    an arbitrary cwd where that import fails. Module OBJECTS
+    (video/imaging) serialize by value, so they are the only repo
+    references a kernel may close over (the repo-wide convention)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g = DHASH_GRID
+        for pdf in batches:
+            ids, fps_ = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = video.synth_video(text.encode("utf-8"))
+                _, frames = video.decode_video(payload)
+                nf = frames.shape[0]
+                mean = (
+                    frames.astype(np.int64).sum(axis=0) // nf
+                ).astype(np.uint8)
+                n, _ = imaging.bilinear_gray_exact(mean[:, :, None], g, g)
+                bits = (n[:, 1:] > n[:, :-1]).ravel()
+                ids.append(doc_id)
+                fps_.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "mdhash": fps_})
+
+    return doc.mapInPandas(extract, "doc_id bigint, mdhash string")
+
+
+def q_video_mean_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-declared wrapper over :func:`video_mean_dhash`."""
+    return video_mean_dhash(_docs(spark, sf_dir))
+
+
 def vfp_with_carry_docs(doc: DataFrame) -> DataFrame:
     """video_fingerprints with ALL input columns carried through —
     the DOCUMENTS-stream twin of vfp_with_carry (which takes encoded
@@ -421,6 +493,7 @@ QUERIES = {
     "q_video_dedup": q_video_dedup,
     "q_video_incremental": q_video_incremental,
     "q_multimodal_keep": q_multimodal_keep,
+    "q_video_mean_dhash": q_video_mean_dhash,
 }
 
 
@@ -481,6 +554,65 @@ _VFP_SQL = f"""
         )
 """
 
+# The mean-frame dHash recomputed WITHOUT decoding: per-pixel integer
+# floor-mean over the synthesis-contract voxels, then the SAME
+# exact-bilinear + gradient-sign tail as the image dHash oracle
+# (_DHASH_FP_SQL), with the video frame dims as constants. Signs are
+# scale-invariant, so the single-channel mean plays the image chain's
+# 3-channel gsum role directly.
+_G2 = 2 * DHASH_GRID
+_MDHASH_SQL = f"""
+        {_VOX_SQL},
+        mg AS MATERIALIZED (
+            SELECT doc_id, CAST(j % {_PPF} AS BIGINT) AS j,
+                   sum(v) // nf AS gsum
+            FROM vox GROUP BY doc_id, j % {_PPF}, nf
+        ),
+        mc AS (
+            SELECT d.doc_id, px, py,
+                   ((2 * px + 1) * {video.VID_W} - {DHASH_GRID}) // {_G2} AS x0,
+                   ((2 * px + 1) * {video.VID_W} - {DHASH_GRID}) % {_G2} AS wx,
+                   ((2 * py + 1) * {video.VID_H} - {DHASH_GRID}) // {_G2} AS y0,
+                   ((2 * py + 1) * {video.VID_H} - {DHASH_GRID}) % {_G2} AS wy
+            FROM (SELECT DISTINCT doc_id FROM documents) d,
+                 (SELECT unnest(range(0, {DHASH_GRID})) AS px) tx,
+                 (SELECT unnest(range(0, {DHASH_GRID})) AS py) ty
+        ),
+        mc2 AS (
+            SELECT *, LEAST(x0 + 1, {video.VID_W - 1}) AS x1,
+                   LEAST(y0 + 1, {video.VID_H - 1}) AS y1
+            FROM mc
+        ),
+        mgrid AS (
+            SELECT mc2.doc_id, px, py,
+                   g00.gsum * ({_G2} - wx) * ({_G2} - wy)
+                   + g01.gsum * wx * ({_G2} - wy)
+                   + g10.gsum * ({_G2} - wx) * wy
+                   + g11.gsum * wx * wy AS nval
+            FROM mc2
+            JOIN mg g00 ON g00.doc_id = mc2.doc_id
+                       AND g00.j = y0 * {video.VID_W} + x0
+            JOIN mg g01 ON g01.doc_id = mc2.doc_id
+                       AND g01.j = y0 * {video.VID_W} + x1
+            JOIN mg g10 ON g10.doc_id = mc2.doc_id
+                       AND g10.j = y1 * {video.VID_W} + x0
+            JOIN mg g11 ON g11.doc_id = mc2.doc_id
+                       AND g11.j = y1 * {video.VID_W} + x1
+        ),
+        mbits AS (
+            SELECT doc_id, py, px,
+                   CASE WHEN lead(nval) OVER (
+                            PARTITION BY doc_id, py ORDER BY px) > nval
+                        THEN '1' ELSE '0' END AS b
+            FROM mgrid
+        ),
+        mfp AS (
+            SELECT doc_id, string_agg(b, '' ORDER BY py, px) AS mdhash
+            FROM mbits WHERE px < {DHASH_ROW_BITS}
+            GROUP BY doc_id
+        )
+"""
+
 from timeseriesdb_spark.operators.multimodal import (  # noqa: E402
     _banded_dedup_sql,
     _banded_pairs_sql,
@@ -491,6 +623,10 @@ from timeseriesdb_spark.operators.multimodal import (  # noqa: E402
 )
 
 ORACLES: dict[str, str] = {
+    "q_video_mean_dhash": f"""
+        WITH {_MDHASH_SQL}
+        SELECT doc_id, mdhash FROM mfp
+    """,
     "q_multimodal_keep": f"""
         WITH {_DHASH_FP_SQL},
         {_VFP_SQL.lstrip()},
