@@ -510,3 +510,110 @@ def test_audio_fingerprint_is_rate_robust():
         ).astype(np.int64)
         for rep in (hold, dec, lin):
             assert _ham(f0, audio.fingerprint_bits(rep)) <= DHASH_T
+
+
+def test_rate_probe_catches_reencodes_vfp_does_not(spark, tmp_path):
+    """End-to-end re-encode gate (r11): an fps-doubled RE-ENCODE of a
+    corpus clip (same frames, each duplicated, re-encoded at 2× fps)
+    is dropped by video_rate_probe_stream (mean-dhash store) and sails
+    through video_probe_stream (frame-major vfp) — the invariance
+    boundary demonstrated on the actual ingest path, both probes over
+    the same streamed payload frame. Unrelated clips survive both."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.operators.dedup import CORPUS_SOURCE
+    from timeseriesdb_spark.operators.multimodal import fp_bands
+    from timeseriesdb_spark.operators.videomm import (
+        mean_frame_dhash,
+        video_fingerprints,
+        video_probe_stream,
+        video_rate_probe_stream,
+        write_mdhash_store,
+    )
+
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    corpus = doc.where(F.col("source") == CORPUS_SOURCE)
+
+    # pick a corpus clip whose fps-doubled re-encode is (a) mdhash-
+    # identical (always true: the mean is unchanged) but (b) vfp-FAR
+    # (scrambled spatial phase; verify numpy-side to avoid assuming)
+    c0 = None
+    for row in corpus.orderBy("doc_id").limit(8).collect():
+        _, fr = video.decode_video(video.synth_video(row.text.encode()))
+        if fr.shape[0] < 2:
+            continue
+        re_frames = np.repeat(fr, 2, axis=0)
+        vfp0 = audio.fingerprint_bits(fr.ravel().astype(np.int64))
+        vfp1 = audio.fingerprint_bits(re_frames.ravel().astype(np.int64))
+        if sum(x != y for x, y in zip(vfp0, vfp1)) > DHASH_T:
+            c0, c0_frames = row, fr
+            break
+    assert c0 is not None
+    assert mean_frame_dhash(np.repeat(c0_frames, 2, axis=0)) == (
+        mean_frame_dhash(c0_frames)
+    )
+
+    reenc = video.encode_video(
+        np.repeat(c0_frames, 2, axis=0), fps=2 * video.VID_FPS
+    )
+    unrelated = video.synth_video(b"totally unrelated other clip zzz")
+    clips = spark.createDataFrame(
+        [
+            (9_000_001, bytearray(reenc)),
+            (9_000_002, bytearray(unrelated)),
+        ],
+        "doc_id long, payload binary",
+    )
+    src = str(tmp_path / "clipsrc")
+    clips.coalesce(1).write.mode("overwrite").parquet(src)
+
+    vbands = fp_bands(video_fingerprints(corpus), "doc_id", "vfp", cap=True)
+    spark.sql("DROP TABLE IF EXISTS mdhash_probe_test")
+    shutil.rmtree("spark-warehouse/mdhash_probe_test", ignore_errors=True)
+    try:
+        write_mdhash_store(corpus, "mdhash_probe_test")
+        mbands = spark.table("mdhash_probe_test")
+        # the corpus clip's own bands must have survived the df-cap,
+        # else the drop expectation is vacuous — re-pick would be
+        # needed; assert instead (synthetic corpus is diverse enough)
+        n_bands = mbands.where(F.col("doc_id") == c0.doc_id).count()
+        assert n_bands > 0
+
+        def run(probe, bands, out, ck):
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .parquet(src)
+            )
+            q = (
+                probe(stream, bands)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r.doc_id
+                for r in spark.read.parquet(out).select("doc_id").collect()
+            }
+
+        kept_rate = run(
+            video_rate_probe_stream, mbands,
+            str(tmp_path / "rout"), str(tmp_path / "rck"),
+        )
+        kept_vfp = run(
+            video_probe_stream, vbands,
+            str(tmp_path / "vout"), str(tmp_path / "vck"),
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mdhash_probe_test")
+
+    assert kept_rate == {9_000_002}      # re-encode caught, unrelated kept
+    assert 9_000_001 in kept_vfp         # vfp blind to the re-encode
+    # (no claim on the unrelated clip under vfp — a short synthetic
+    # clip may legitimately band-collide with some corpus clip)

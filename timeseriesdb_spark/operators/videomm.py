@@ -433,6 +433,78 @@ def video_probe_stream(
     return fp_probe_stream(vfp_with_carry(stream), corpus_bands, "vfp")
 
 
+def mdhash_with_carry(clips: DataFrame) -> DataFrame:
+    """Rate-normalized fingerprint of ALREADY-ENCODED clips (…,
+    payload binary) with ALL input columns carried through — the
+    payload-route twin of video_mean_dhash (which synthesizes from
+    documents.text). Decodes the real container, appends `mdhash`.
+    Stateless one Arrow pass; module-object references only (the
+    kernel-serialization rule), so it runs on a readStream frame from
+    any driver cwd."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(clips.schema.fields) + [StructField("mdhash", StringType())]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g = DHASH_GRID
+        for pdf in batches:
+            fps_ = []
+            for payload in pdf["payload"]:
+                _, frames = video.decode_video(bytes(payload))
+                nf = frames.shape[0]
+                mean = (
+                    frames.astype(np.int64).sum(axis=0) // nf
+                ).astype(np.uint8)
+                n, _ = imaging.bilinear_gray_exact(mean[:, :, None], g, g)
+                bits = (n[:, 1:] > n[:, :-1]).ravel()
+                fps_.append("".join("1" if b else "0" for b in bits))
+            out = pdf.copy()
+            out["mdhash"] = fps_
+            yield out
+
+    return clips.mapInPandas(extract, out_schema)
+
+
+def write_mdhash_store(corpus: DataFrame, table: str) -> None:
+    """Persist the corpus' RATE-NORMALIZED band index (mean-frame
+    dHash) as a band_key-bucketed catalog table — the second index
+    axis next to write_vfp_store: vfp pairs sample-space edits,
+    mdhash pairs re-encodes (fps changes leave the time-mean frame
+    fixed). A production pipeline maintains both, like chromaprint's
+    multiple hash families."""
+    from timeseriesdb_spark.operators.multimodal import fp_bands
+    from timeseriesdb_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        fp_bands(video_mean_dhash(corpus), "doc_id", "mdhash", cap=True),
+        table,
+        key="band_key",
+        sort_by=None,
+    )
+
+
+def video_rate_probe_stream(
+    stream: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Drop streamed clips that are RE-ENCODES of existing corpus
+    clips — the ingest gate the frame-major vfp probe cannot provide
+    (restride scrambles its spatial phase; SCALING.md boundary): one
+    Arrow mean-dhash pass over the clip payloads, then the shared
+    banded LEFT ANTI probe against the write_mdhash_store index.
+    Pinned end-to-end in tests/test_video.py: an fps-doubled
+    re-encode of a corpus clip is dropped HERE and sails through
+    video_probe_stream."""
+    from timeseriesdb_spark.operators.multimodal import fp_probe_stream
+
+    return fp_probe_stream(
+        mdhash_with_carry(stream), corpus_bands, "mdhash"
+    )
+
+
 def q_multimodal_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality curation decision — one row per document with
     the keep verdict of every doc-keyed modality and the conjunction
