@@ -226,3 +226,34 @@ def test_chunking_is_stream_legal(spark, tmp_path):
         for r in chunking.chunk_documents(doc).collect()
     }
     assert got == exp
+
+
+# ---- hypothesis property: the hex-string rho arithmetic (no Spark) ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="0123456789abcdef", min_size=15, max_size=15))
+def test_hll_rho_string_arithmetic_equals_bit_formula(tail):
+    """The register rho derived by pure hex-string arithmetic (leading
+    zero hex chars × 4 + a nibble CASE + 1 — what BOTH engines compute)
+    must equal the bit-twiddling definition: 1 + number of leading
+    zero bits of the 60-bit tail, 61 for an all-zero tail."""
+    # string-arithmetic form (mirrors _hll_registers / the oracle)
+    stripped = tail.lstrip("0")
+    zh = len(tail) - len(stripped)
+    if zh == chunking.HLL_TAIL_CHARS:
+        rho_str = 4 * chunking.HLL_TAIL_CHARS + 1
+    else:
+        c = stripped[0]
+        nib = 0 if c >= "8" else 1 if c >= "4" else 2 if c >= "2" else 3
+        rho_str = 4 * zh + nib + 1
+
+    # bit-twiddling ground truth over the 60-bit integer
+    v = int(tail, 16)
+    width = 4 * chunking.HLL_TAIL_CHARS
+    rho_bits = width + 1 if v == 0 else width - v.bit_length() + 1
+    assert rho_str == rho_bits
+    assert 1 <= rho_str <= width + 1

@@ -8,9 +8,11 @@ Scale notes: state is per-signal (the reference's unit of compression),
 so the shuffle key is signal_id and skew equals signal skew; at 100 TB
 you'd bound group size by (signal_id, day) exactly like the reference
 bounds segments to 1000 rows. Outputs are deterministic given the
-per-signal row order (sorted inside the UDF on (ts, event_id)), but
-float FFT results are not SQL-expressible → driver rows-only checks;
-pytest pins numerical properties instead (round-trip error bounds, the
+per-signal row order (sorted inside the UDF on (ts, event_id)). Both
+operators run on EXACT INTEGER lattices since r8 (LTTB) / r11
+(truncated Fourier — quantized twiddles shared with the oracle as
+literals), so both carry full DuckDB hash oracles; pytest additionally
+pins the numerical properties (round-trip error bounds, the
 reference's own test strategy — segment.rs:882-906 compare_vectors).
 """
 
@@ -24,6 +26,8 @@ from pyspark.sql import functions as F
 from timeseriesdb_spark.tables import load_table
 
 FFT_RATIO = 0.1    # keep top ratio·n/2 coefficients (ref ratio sweep 0.01-0.5)
+FFT_XU = 100              # value grid: testdata generates exact 0.01 steps
+FFT_TWS = 1_000_000_000   # twiddle quantization scale (1e-9 grid)
 LTTB_DENOM = 10          # downsample to n // LTTB_DENOM points (ratio 0.1)
 LTTB_Y_SCALE = 1_000_000  # trunc-quantization grid for the area criterion
 
@@ -140,32 +144,224 @@ def stateful_grouped_scan(df: DataFrame, kernel, schema: str,
 
 
 def q_fft_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncated-FFT reconstruction per signal: rfft, keep the
-    largest-magnitude ratio·n/2 coefficients, irfft back — the
+    """Truncated-Fourier reconstruction per signal: forward DFT, keep
+    the largest-magnitude ratio·n/2 coefficients, inverse back — the
     reference's Fourier compress/decompress round trip
-    (segment.rs:304-373). Emits (user_id, pos, value, recon)."""
+    (segment.rs:304-373). Emits (user_id, pos, value, recon).
+
+    ORACLE-CHECKED (r11, the q_pla_lttb discipline applied to the
+    Fourier family): the transform runs on an EXACT INTEGER lattice —
+    values on their native 0.01 grid (xi = value·FFT_XU, exact by
+    construction of the testdata), twiddles quantized to
+    round(cos/sin(2π·m/n)·FFT_TWS) where the only libm calls happen
+    INSIDE one process at a time and never cross the engine boundary:
+    the kernel computes its table with numpy, the LAZY oracle factory
+    computes the identical table with the same numpy on the same
+    machine and embeds it as VALUES literals (only n rows per DISTINCT
+    series length — cos(2πkj/n) = table[(k·j) mod n]). Coefficients
+    a_k = Σ xi·c[(kj)%n] are exact int64 (≤ n·maxₓ·FFT_TWS ≈ 5.5e15);
+    magnitude ranking a²+b² runs in arbitrary-precision ints (Python /
+    HUGEINT) with ties → smaller k; the reconstruction sum is again
+    exact integers with ONE final double division by n·FFT_XU·FFT_TWS²
+    — identical in both engines, so the emitted doubles hash-match.
+    Selection differs from the float rfft only at FP-noise near-ties;
+    reconstruction differs by O(keep·maxₓ/FFT_TWS) ≈ 1e-5 absolute —
+    far inside the truncation error the operator exists to trade
+    (pytest round-trip bounds unchanged, mean preservation at the
+    quantization floor).
+
+    The twiddle table is recomputed INLINE per group (no module-level
+    helper in the closure — the kernel-serialization rule); nk·n ≈
+    5000 int64 ops per signal, and the inverse touches only the ≤
+    keep kept coefficients."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def recon(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf["value"].to_numpy(dtype=np.float64)
         n = len(x)
-        coeffs = np.fft.rfft(x)
-        keep = max(1, int(len(coeffs) * FFT_RATIO))
-        idx = np.argsort(np.abs(coeffs))[:-keep]
-        coeffs[idx] = 0
-        y = np.fft.irfft(coeffs, n=n)
+        xi = np.floor(x * float(FFT_XU) + 0.5).astype(np.int64)
+        ang = 2.0 * np.pi * np.arange(n, dtype=np.float64) / float(n)
+        ca, sa = np.cos(ang), np.sin(ang)
+        c = (np.sign(ca) * np.floor(np.abs(ca) * FFT_TWS + 0.5)).astype(
+            np.int64
+        )
+        s = (np.sign(sa) * np.floor(np.abs(sa) * FFT_TWS + 0.5)).astype(
+            np.int64
+        )
+        nk = n // 2 + 1
+        j = np.arange(n, dtype=np.int64)
+        a = np.empty(nk, dtype=np.int64)
+        b = np.empty(nk, dtype=np.int64)
+        for k in range(nk):
+            idx = (k * j) % n
+            a[k] = np.dot(xi, c[idx])
+            b[k] = np.dot(xi, s[idx])
+        mag = [int(a[k]) ** 2 + int(b[k]) ** 2 for k in range(nk)]
+        keep = max(1, int(nk * FFT_RATIO))
+        kept = sorted(sorted(range(nk), key=lambda k: (-mag[k], k))[:keep])
+        y = [0] * n
+        for k in kept:
+            w = 1 if (k == 0 or 2 * k == n) else 2
+            ak, bk = int(a[k]), int(b[k])
+            idx = (k * j) % n
+            for jj in range(n):
+                m = idx[jj]
+                y[jj] += w * (ak * int(c[m]) + bk * int(s[m]))
+        # half-away integer micro-units, THEN one exact small-int cast:
+        # casting the raw ~1e26 integer to double double-rounds in some
+        # engines (DuckDB HUGEINT→DOUBLE goes via upper·2^64 + lower —
+        # measured 1-ulp drift on 2/100k rows), while recon_t ≤ ~1e9
+        # converts exactly everywhere
+        den = n * FFT_XU * FFT_TWS * FFT_TWS
+        rec = np.array(
+            [
+                (
+                    (2 * v * 1_000_000 + den) // (2 * den)
+                    if v >= 0
+                    else -((2 * (-v) * 1_000_000 + den) // (2 * den))
+                )
+                / 1_000_000
+                for v in y
+            ],
+            dtype=np.float64,
+        )
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"].to_numpy(),
                 "pos": np.arange(n, dtype=np.int64),
                 "value": x,
-                "recon": y,
+                "recon": rec,
             }
         )
 
     return packed_grouped_map(
         ev, recon, "user_id bigint, pos bigint, value double, recon double"
     )
+
+
+def fft_twiddles_int(n: int):
+    """The quantized twiddle table for modulus n — DRIVER-SIDE twin of
+    the inline computation in q_fft_recon's kernel (kept separate on
+    purpose: a kernel closure must not reference module functions).
+    Used by the oracle factory and the parity test."""
+    ang = 2.0 * np.pi * np.arange(n, dtype=np.float64) / float(n)
+    ca, sa = np.cos(ang), np.sin(ang)
+    c = (np.sign(ca) * np.floor(np.abs(ca) * FFT_TWS + 0.5)).astype(np.int64)
+    s = (np.sign(sa) * np.floor(np.abs(sa) * FFT_TWS + 0.5)).astype(np.int64)
+    return c, s
+
+
+def _resolve_sf_dir(sf_dir: str | None) -> str:
+    import os
+
+    return sf_dir or os.environ.get(
+        "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+    )
+
+
+_FFT_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _fft_recon_oracle(sf_dir: str | None = None) -> str:
+    """DuckDB replay of the integer-lattice truncated DFT: twiddle
+    VALUES per DISTINCT series length (n rows each — (k·j) mod n
+    indexing collapses the k×j plane onto one cycle), exact HUGEINT
+    coefficient/magnitude/reconstruction arithmetic, one final double
+    division. LAZY (the langid/mlscoring recipe): the factory reads
+    the same parquet to learn the distinct lengths."""
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _FFT_ORACLE_CACHE:
+        import duckdb
+
+        con = duckdb.connect()
+        ns = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT count(*) FROM "
+                f"'{sf_dir}/events.parquet' GROUP BY user_id"
+            ).fetchall()
+        )
+        con.close()
+        rows = []
+        for n in ns:
+            c, s = fft_twiddles_int(int(n))
+            rows.extend(
+                f"({n}, {m}, {int(c[m])}, {int(s[m])})" for m in range(n)
+            )
+        tw = ", ".join(rows)
+        ratio = f"CAST({FFT_RATIO!r} AS DOUBLE)"
+        _FFT_ORACLE_CACHE[sf_dir] = f"""
+            WITH ord AS MATERIALIZED (
+                SELECT user_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS j,
+                       CAST(floor(value * {FFT_XU}.0 + 0.5) AS BIGINT)
+                           AS xi,
+                       value
+                FROM events
+            ),
+            nn AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                FROM ord GROUP BY user_id
+            ),
+            tw(n, m, c, s) AS (VALUES {tw}),
+            ks AS (
+                SELECT user_id, n, unnest(range(0, n // 2 + 1)) AS k
+                FROM nn
+            ),
+            co AS MATERIALIZED (
+                SELECT o.user_id, ks.k, ks.n,
+                       sum(o.xi * t.c) AS a, sum(o.xi * t.s) AS b
+                FROM ord o
+                JOIN ks ON ks.user_id = o.user_id
+                JOIN tw t ON t.n = ks.n AND t.m = (ks.k * o.j) % ks.n
+                GROUP BY o.user_id, ks.k, ks.n
+            ),
+            pick AS (
+                SELECT user_id, k, n, a, b,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY a * a + b * b DESC, k
+                       ) AS rn
+                FROM co
+            ),
+            kept AS (
+                SELECT user_id, k, n, a, b,
+                       CASE WHEN k = 0 OR 2 * k = n THEN 1 ELSE 2 END AS w
+                FROM pick
+                WHERE rn <= GREATEST(
+                    1, CAST(floor((n // 2 + 1) * {ratio}) AS BIGINT))
+            ),
+            yr AS (
+                SELECT o.user_id, o.j,
+                       sum(kt.w * (kt.a * t.c + kt.b * t.s)) AS y
+                FROM ord o
+                JOIN kept kt ON kt.user_id = o.user_id
+                JOIN tw t ON t.n = kt.n AND t.m = (kt.k * o.j) % kt.n
+                GROUP BY o.user_id, o.j
+            ),
+            den AS (
+                SELECT user_id,
+                       CAST(n AS HUGEINT) * {FFT_XU}
+                       * CAST({FFT_TWS} AS HUGEINT) * {FFT_TWS} AS d
+                FROM nn
+            )
+            SELECT o.user_id, o.j AS pos, o.value,
+                   CAST(CASE WHEN y.y >= 0
+                             THEN (2 * y.y * 1000000 + den.d)
+                                  // (2 * den.d)
+                             ELSE -((2 * (-y.y) * 1000000 + den.d)
+                                    // (2 * den.d)) END
+                        AS DOUBLE) / 1000000.0 AS recon
+            FROM ord o
+            JOIN yr y ON y.user_id = o.user_id AND y.j = o.j
+            JOIN den ON den.user_id = o.user_id
+        """
+    return _FFT_ORACLE_CACHE[sf_dir]
+
+
+LAZY_ORACLES = {"q_fft_recon": _fft_recon_oracle}
 
 
 def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
