@@ -140,22 +140,77 @@ def q_grail_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed_grouped_map(ev, embed, "user_id bigint, dim bigint, coeff double")
 
 
+_INT_DICT_CACHE: dict[str, list] = {}
+
+
+def _int_dictionary(spark: SparkSession, sf_dir: str) -> list:
+    """The dictionary on the EXACT INTEGER lattice: per landmark
+    signal, y = n·xi − Σxi with xi = round(value·100) — an affine
+    image of the z-normalized series (NCC is scale/shift-invariant,
+    so the coefficient is mathematically identical), but exactly
+    representable, which is what lets q_lcce carry a static DuckDB
+    oracle. Same K-lowest-ids bound and per-dir cache as
+    _dictionary."""
+    if sf_dir in _INT_DICT_CACHE:
+        return _INT_DICT_CACHE[sf_dir]
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.filter(F.col("user_id") < DICT_K)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    out = []
+    for _, g in pdf.groupby("user_id", sort=True):
+        xi = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out.append(len(xi) * xi - xi.sum())
+    _INT_DICT_CACHE[sf_dir] = out
+    return out
+
+
 def q_lcce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LCCE (lcce.rs:15-100): max normalized cross-correlation of every
     signal against every dictionary row. Emits
-    (user_id, dict_id, nccc, best_lag)."""
-    dict_series = _dictionary(spark, sf_dir)
+    (user_id, dict_id, nccc, best_lag).
+
+    ORACLE-CHECKED (r11, the integer-lattice discipline): NCC is
+    invariant to affine normalization, so z-normalized series are
+    replaced by their exact-integer affine images y = n·xi − Σxi
+    (values on the native 0.01 grid). The cross-correlation at every
+    lag is then an EXACT int64 sum (np.correlate on int64 is exact
+    direct convolution, not FFT), the argmax runs on the integer
+    lattice (ties → most negative lag, both engines), and the emitted
+    coefficient is one fixed float chain — CAST(cc)/(√Σy²·√Σd²) —
+    identical in DuckDB. A constant signal (Σy² = 0) keeps the
+    (0.0, 0) convention. O(n·m) per (signal, landmark) pair instead
+    of the FFT's O((n+m)log) — bounded by per-signal chunk sizes,
+    same at 100 TB where chunks are (signal, day)."""
+    dict_series = _int_dictionary(spark, sf_dir)
     bc = spark.sparkContext.broadcast(dict_series)
-    znorm, ncc_max = _kernels()  # closure-local, ships by value
 
     def correlate(pdf: pd.DataFrame) -> pd.DataFrame:
         dseries = bc.value
-        x = znorm(pdf["value"].to_numpy(dtype=np.float64))
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        xi = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        y = len(xi) * xi - xi.sum()
+        sy = int(np.dot(y, y))
         uid = int(pdf["user_id"].iloc[0])
         rows = []
         for j, d in enumerate(dseries):
-            c, lag = ncc_max(x, d)
-            rows.append((uid, j, c, lag))
+            sd = int(np.dot(d, d))
+            if sy == 0 or sd == 0:
+                rows.append((uid, j, 0.0, 0))
+                continue
+            # full linear cross-correlation, exact ints; index k maps
+            # to lag k - (len(d) - 1), cc[k] = Σ_i y[i + lag]·d[i]
+            cc = np.correlate(y, d, mode="full")
+            k = int(cc.argmax())
+            nccc = float(cc[k]) / (
+                np.sqrt(float(sy)) * np.sqrt(float(sd))
+            )
+            rows.append((uid, j, nccc, k - (len(d) - 1)))
         return pd.DataFrame(
             rows, columns=["user_id", "dict_id", "nccc", "best_lag"]
         )
@@ -171,4 +226,60 @@ QUERIES = {
     "q_lcce": q_lcce,
 }
 
-ORACLES: dict[str, str] = {}  # FFT pipelines → rows-only checks
+# q_grail_embed stays rows-only (eigendecomposition — reassociated
+# LAPACK reductions no SQL engine replays). q_lcce converted r11: the
+# integer-lattice cross-correlation below replays the kernel exactly —
+# exact int sums per lag, integer argmax with the most-negative-lag
+# tie-break, one fixed float chain for the coefficient.
+ORACLES: dict[str, str] = {
+    "q_lcce": f"""
+        WITH ord AS MATERIALIZED (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - 1 AS j,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xi,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        ys AS MATERIALIZED (
+            SELECT user_id, j, n * xi - sx AS y
+            FROM (
+                SELECT user_id, j, xi, n,
+                       sum(xi) OVER (PARTITION BY user_id) AS sx
+                FROM ord
+            )
+        ),
+        dt AS MATERIALIZED (
+            SELECT user_id AS dict_id, j AS i, y AS d
+            FROM ys WHERE user_id < {DICT_K}
+        ),
+        nx AS (SELECT user_id, sum(y * y) AS sy FROM ys GROUP BY user_id),
+        nd AS (SELECT dict_id, sum(d * d) AS sd FROM dt GROUP BY dict_id),
+        cc AS MATERIALIZED (
+            SELECT x.user_id, d.dict_id, x.j - d.i AS lag,
+                   sum(x.y * d.d) AS cc
+            FROM ys x, dt d
+            GROUP BY x.user_id, d.dict_id, x.j - d.i
+        ),
+        pick AS (
+            SELECT user_id, dict_id, lag, cc,
+                   row_number() OVER (
+                       PARTITION BY user_id, dict_id
+                       ORDER BY cc DESC, lag
+                   ) AS rn
+            FROM cc
+        )
+        SELECT p.user_id, p.dict_id,
+               CASE WHEN nx.sy = 0 OR nd.sd = 0 THEN 0.0
+                    ELSE CAST(p.cc AS DOUBLE)
+                         / (sqrt(CAST(nx.sy AS DOUBLE))
+                            * sqrt(CAST(nd.sd AS DOUBLE))) END AS nccc,
+               CASE WHEN nx.sy = 0 OR nd.sd = 0 THEN 0
+                    ELSE p.lag END AS best_lag
+        FROM pick p
+        JOIN nx ON nx.user_id = p.user_id
+        JOIN nd ON nd.dict_id = p.dict_id
+        WHERE p.rn = 1
+    """,
+}

@@ -472,14 +472,26 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (knn/mod.rs squared-L2 classify).
 
     Kernel: one gram-matrix pass per signal (stride-tricked
-    subsequence matrix, S·Sᵀ, the standard z-norm distance identity,
-    ±window/2 trivial-match exclusion) — O(n²) inside numpy's BLAS,
-    fine for per-signal chunk sizes; at 100 TB the same kernel runs
-    per (signal, day-chunk) with STOMP-style streaming dot-product
-    updates, same plan shape. Flat/constant subsequences (σ=0) get a
-    NaN-safe conventional distance (sqrt(2m)) like production MP
-    libraries. Rows-only check; pytest plants a motif and pins the
-    profile at its two sites to ~0 pointing at each other."""
+    subsequence matrix, ±window/2 trivial-match exclusion) — O(n²m)
+    per signal, fine for per-signal chunk sizes; at 100 TB the same
+    kernel runs per (signal, day-chunk) with STOMP-style streaming
+    dot-product updates, same plan shape. Flat/constant subsequences
+    get a NaN-safe conventional distance (sqrt(2m)) like production
+    MP libraries; pytest plants a motif and pins the profile at its
+    two sites to ~0 pointing at each other.
+
+    ORACLE-CHECKED (r11, completing the q_pla_lttb / q_fft_recon
+    integer-lattice family): every REDUCTION runs on exact integers —
+    values on their native 0.01 grid, the gram matrix as an int64
+    matmul (numpy integer matmul is exact, not BLAS float), window
+    sums/sum-of-squares exact — and the float finalize is a FIXED
+    per-element expression tree (one division, one sqrt, one clip —
+    each IEEE-deterministic on identical inputs), so DuckDB replays
+    the doubles bit-for-bit. Flatness is σ² = 0 tested EXACTLY on the
+    integer lattice (V = m·ΣQ − S² == 0) instead of a float epsilon.
+    Selection = (d ASC, neighbor ASC) on identical doubles ⇒ identical
+    argmin in both engines. Emitted mp is half-away micro-units (the
+    cast-exact discipline — np.round's half-even is engine-specific)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -499,18 +511,25 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mp_idx": pd.Series(dtype="int64"),
                 }
             )
-        S = np.lib.stride_tricks.sliding_window_view(x, m)  # (k, m)
-        mu = S.mean(axis=1)
-        sd = S.std(axis=1)
-        flat = sd < 1e-12
-        sd_safe = np.where(flat, 1.0, sd)
-        G = S @ S.T  # gram matrix of raw subsequences
-        # z-norm distance identity: d²(i,j) = 2m(1 − (G − m·μiμj)/(m·σiσj))
-        corr = (G - m * np.outer(mu, mu)) / (m * np.outer(sd_safe, sd_safe))
-        corr = np.clip(corr, -1.0, 1.0)
-        d = np.sqrt(2 * m * (1.0 - corr))
-        d[flat, :] = np.sqrt(2 * m)  # σ=0 convention
-        d[:, flat] = np.sqrt(2 * m)
+        xi = np.floor(x * 100.0 + 0.5).astype(np.int64)  # exact 0.01 grid
+        S = np.lib.stride_tricks.sliding_window_view(xi, m)  # (k, m) int64
+        Ssum = S.sum(axis=1)                 # exact
+        Q = (S * S).sum(axis=1)              # exact
+        G = S @ S.T                          # exact int64 matmul
+        # corr(i,j) = N / sqrt(Vi·Vj) with N = m·G − Si·Sj,
+        # V = m·Q − S² — all exact ints ≤ ~1.3e13 (< 2^53, so the
+        # float conversions below are exact too)
+        N = m * G - np.outer(Ssum, Ssum)
+        V = m * Q - Ssum * Ssum
+        flat = V == 0
+        vf = V.astype(np.float64)
+        denom = np.sqrt(
+            np.where(flat, 1.0, vf)[:, None] * np.where(flat, 1.0, vf)[None, :]
+        )
+        corr = np.clip(N.astype(np.float64) / denom, -1.0, 1.0)
+        d = np.sqrt((2 * m) * (1.0 - corr))
+        d[flat, :] = np.sqrt(float(2 * m))  # σ=0 convention
+        d[:, flat] = np.sqrt(float(2 * m))
         both_flat = np.ix_(flat.nonzero()[0], flat.nonzero()[0])
         d[both_flat] = 0.0
         excl = max(1, m // 2)
@@ -523,7 +542,7 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": np.full(k, uid, dtype=np.int64),
                 "pos": np.arange(k, dtype=np.int64),
-                "mp": np.round(mp, 6),
+                "mp": np.floor(mp * 1_000_000.0 + 0.5) / 1_000_000.0,
                 "mp_idx": mp_idx.astype(np.int64),
             }
         )
@@ -539,13 +558,97 @@ QUERIES = {
     "q_matrix_profile": q_matrix_profile,
 }
 
-# q_fft_recon / q_matrix_profile stay rows-only: their kernels run
-# through numpy FFT / BLAS GEMM whose summation order no SQL engine
-# reproduces bitwise. q_pla_lttb's selection, by contrast, is exact
-# integer arithmetic (see its docstring), so the oracle replays it
-# verbatim: a recursive CTE carries the previous kept position and a
-# correlated argmax subquery picks each bucket's point.
+# All three transform kernels run on exact integer lattices (LTTB r8,
+# truncated DFT + matrix profile r11), so all three carry full DuckDB
+# oracles: recursive-CTE selection replay for LTTB, lazy twiddle-table
+# replay for the DFT, and the windowed-statistics replay below for the
+# matrix profile (every float op is a fixed per-element expression on
+# exact-integer inputs — no reassociated reduction anywhere).
+_MP_EXCL = max(1, MP_WINDOW // 2)
+_MP_CORR = f"""
+    LEAST(GREATEST(
+        CAST({MP_WINDOW} * p.g - wi.s * wj.s AS DOUBLE)
+        / sqrt(CAST(wi.v AS DOUBLE) * CAST(wj.v AS DOUBLE)),
+        -1.0), 1.0)
+"""
+_MP_ORACLE = f"""
+    WITH ord AS MATERIALIZED (
+        SELECT user_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - 1 AS j,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xi
+        FROM events
+    ),
+    par AS (
+        SELECT user_id, n, n - {MP_WINDOW} + 1 AS k
+        FROM (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM ord GROUP BY user_id
+        )
+        WHERE n - {MP_WINDOW} + 1 > {_MP_EXCL} + 1
+    ),
+    wx AS (
+        SELECT o.user_id,
+               unnest(range(GREATEST(o.j - {MP_WINDOW} + 1, 0),
+                            LEAST(o.j, p.k - 1) + 1)) AS i,
+               o.xi
+        FROM ord o JOIN par p USING (user_id)
+    ),
+    win AS MATERIALIZED (
+        SELECT user_id, i, sum(xi) AS s,
+               CAST({MP_WINDOW} AS BIGINT) * sum(xi * xi)
+               - sum(xi) * sum(xi) AS v
+        FROM wx GROUP BY user_id, i
+    ),
+    pr AS MATERIALIZED (
+        SELECT a.user_id, a.j, b.j - a.j AS off, a.xi * b.xi AS p
+        FROM ord a
+        JOIN par pa USING (user_id)
+        JOIN ord b ON b.user_id = a.user_id
+                  AND b.j - a.j > {_MP_EXCL}
+                  AND b.j - a.j <= pa.k - 1
+    ),
+    g AS MATERIALIZED (
+        SELECT user_id, off, ia, sum(p) AS g
+        FROM (
+            SELECT r.user_id, r.off, r.p,
+                   unnest(range(GREATEST(r.j - {MP_WINDOW} + 1, 0),
+                                LEAST(r.j, p.k - 1 - r.off) + 1)) AS ia
+            FROM pr r JOIN par p USING (user_id)
+        )
+        GROUP BY user_id, off, ia
+    ),
+    pp AS (
+        SELECT user_id, ia AS i, ia + off AS jdx, g FROM g
+        UNION ALL
+        SELECT user_id, ia + off AS i, ia AS jdx, g FROM g
+    ),
+    scored AS (
+        SELECT p.user_id, p.i, p.jdx,
+               CASE WHEN wi.v = 0 AND wj.v = 0 THEN 0.0
+                    WHEN wi.v = 0 OR wj.v = 0
+                         THEN sqrt({float(2 * MP_WINDOW)!r})
+                    ELSE sqrt({float(2 * MP_WINDOW)!r} * (1.0 - {_MP_CORR}))
+               END AS d
+        FROM pp p
+        JOIN win wi ON wi.user_id = p.user_id AND wi.i = p.i
+        JOIN win wj ON wj.user_id = p.user_id AND wj.i = p.jdx
+    ),
+    pick AS (
+        SELECT user_id, i, jdx, d,
+               row_number() OVER (
+                   PARTITION BY user_id, i ORDER BY d, jdx
+               ) AS rn
+        FROM scored
+    )
+    SELECT user_id, i AS pos,
+           floor(d * 1000000.0 + 0.5) / 1000000.0 AS mp,
+           jdx AS mp_idx
+    FROM pick WHERE rn = 1
+"""
 ORACLES: dict[str, str] = {
+    "q_matrix_profile": _MP_ORACLE,
     "q_pla_lttb": f"""
         WITH RECURSIVE seq AS (
             SELECT user_id, event_id, ts, value,
