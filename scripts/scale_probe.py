@@ -56,6 +56,12 @@ PROBES = {
     # merges day registers per signal (max) then one bounded agg
     "q_hll_register_table": "seeded-md5 HLL register rollup",
     "q_hll_estimate": "HLL merge + harmonic estimate from registers",
+    # r11 late: the three integer-lattice conversions — per-signal
+    # kernels whose cost is O(chunk) work per signal, so time must
+    # track the signal count (weak scaling) with no per-task blowup
+    "q_fft_recon": "integer-lattice truncated DFT round trip",
+    "q_matrix_profile": "exact-int gram matrix profile per signal",
+    "q_lcce": "integer cross-correlation vs landmark dictionary",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,

@@ -139,3 +139,27 @@ def test_rolling_quantile_selection_invariants(spark):
     for uid, g in out.groupby("user_id"):
         s = vals[uid]
         assert set(g["med"]) <= s and set(g["p90"]) <= s
+
+
+def test_fft_twiddle_table_matches_kernel_inline():
+    """fft_twiddles_int (the oracle factory's table) must equal the
+    kernel's inline computation for every series length in play —
+    they are deliberately separate code paths (a kernel closure may
+    not reference module functions), so pin the identity directly."""
+    from timeseriesdb_spark.operators.transforms import (
+        FFT_TWS,
+        fft_twiddles_int,
+    )
+
+    for n in (45, 49, 63, 64, 86, 99):
+        ang = 2.0 * np.pi * np.arange(n, dtype=np.float64) / float(n)
+        ca, sa = np.cos(ang), np.sin(ang)
+        c = (np.sign(ca) * np.floor(np.abs(ca) * FFT_TWS + 0.5)).astype(
+            np.int64
+        )
+        s = (np.sign(sa) * np.floor(np.abs(sa) * FFT_TWS + 0.5)).astype(
+            np.int64
+        )
+        fc, fs = fft_twiddles_int(n)
+        assert (fc == c).all() and (fs == s).all()
+        assert fc[0] == FFT_TWS and fs[0] == 0  # DC exactness
