@@ -12,20 +12,36 @@ from timeseriesdb_spark.operators import mlkernels
 from timeseriesdb_spark.registry import QUERIES
 
 
-def test_ncc_self_is_one():
-    x = np.sin(np.linspace(0, 20, 500))
-    c, lag = mlkernels._ncc_max(x, x)
-    assert abs(c - 1.0) < 1e-9
-    assert lag == 0
+def test_ncc_qmax_self_is_grid_max():
+    # self-correlation == 1 exactly on the integer lattice: cc.max()
+    # is Σy², so the coefficient is sy/(√sy·√sy) and q == GRAIL_Q
+    x = np.floor(np.sin(np.linspace(0, 20, 500)) * 1000).astype(np.int64)
+    y = len(x) * x - x.sum()
+    assert mlkernels._ncc_qmax(y, y) == mlkernels.GRAIL_Q
 
 
-def test_ncc_detects_shift():
+def test_ncc_qmax_detects_shift_and_zero_guard():
     rng = np.random.default_rng(0)
-    x = rng.normal(size=400)
-    y = np.roll(x, 7)  # y lags x by 7
-    c, lag = mlkernels._ncc_max(x, y)
-    assert c > 0.9
-    assert abs(lag) == 7
+    x = rng.integers(-1000, 1000, size=400)
+    q = mlkernels._ncc_qmax(x, np.roll(x, 7))
+    assert q > 0.9 * mlkernels.GRAIL_Q
+    assert mlkernels._ncc_qmax(np.zeros(5, np.int64), x[:5]) == 0
+
+
+def test_grail_kernel_table_split_covers_grid():
+    # e1[q // 64 + 64] * e2[q % 64] must be finite and positive over
+    # the whole admissible grid, equal exp(0)=1 at q=0, and increase
+    # with q (the SINK kernel is monotone in the correlation)
+    proj, e1, e2 = mlkernels._grail_params(
+        [np.arange(9, dtype=np.int64) - 4, np.arange(9, dtype=np.int64) ** 2]
+    )
+    assert proj.shape[1] == min(2, mlkernels.EMBED_DIM)
+    ks = [
+        float(e1[q // 64 + 64]) * float(e2[q % 64])
+        for q in range(-mlkernels.GRAIL_Q, mlkernels.GRAIL_Q + 1)
+    ]
+    assert ks[mlkernels.GRAIL_Q] == 1.0
+    assert all(a < b for a, b in zip(ks, ks[1:]))
 
 
 def test_lcce_dictionary_members_self_correlate(spark):

@@ -11,10 +11,18 @@ which invokes Python per partition, not per group). That is the 100 TB
 topology: tiny O(K²) eigen work on the driver, embarrassingly parallel
 O(n·K·L log L) on executors, one shuffle on the signal key.
 
-Both emit float results of FFT pipelines → not SQL-expressible; the
-driver records rows-only checks and pytest pins numerical properties
-(self-correlation = 1, embedding dimension/energy — the reference's own
-loose-oracle strategy, segment.rs:882-906).
+Both are ORACLE-CHECKED via the integer-lattice discipline (r11): NCC
+is affine-invariant, so z-normalized series are replaced by exact
+integer images y = n·xi − Σxi; cross-correlations are exact int64
+sums (np.correlate direct convolution, not FFT); and GRAIL's SINK
+kernel exp(γ·NCC) is quantized onto a GRAIL_Q argument grid and split
+as e1[q div 64]·e2[q mod 64] — two tiny tables whose 193 doubles are
+literals in the oracle, so the transcendental never has to replay
+cross-engine. The K×K eigen-projection is trained driver-side and the
+LAZY oracle factory reruns the identical numpy on the identical
+DuckDB-read dictionary (the langid/mlscoring recipe). pytest keeps
+the reference's loose-oracle property pins (segment.rs:882-906) on
+top of the exact hash checks.
 """
 
 from __future__ import annotations
@@ -30,69 +38,56 @@ from timeseriesdb_spark.tables import load_table
 DICT_K = 8       # dictionary (landmark) series: the K lowest signal ids
 GRAIL_GAMMA = 1.0
 EMBED_DIM = 4    # keep top eigen-dimensions (rank truncation)
+GRAIL_Q = 4096   # SINK-kernel argument grid: q = half-up(nccc·GRAIL_Q)
 
 
-def _kernels():
-    """Kernel math built in a factory: the returned closures have no
-    module-level references, so a pandas UDF capturing them is
-    cloudpickled BY VALUE and runs on executors that don't have this
-    package installed (same rule as transforms.py's inline LTTB)."""
-
-    def znorm(x: np.ndarray) -> np.ndarray:
-        s = x.std()
-        return (x - x.mean()) / (s if s > 0 else 1.0)
-
-    def ncc_max(x: np.ndarray, y: np.ndarray) -> tuple[float, int]:
-        """Max normalized cross-correlation over all shifts (SINK/NCCc
-        core, lcce.rs NCCC): FFT cross-correlation, normalized by the
-        product of L2 norms. Returns (coefficient, best_lag)."""
-        n = len(x) + len(y) - 1
-        nfft = 1 << (n - 1).bit_length()
-        full = np.fft.irfft(
-            np.fft.rfft(x, nfft) * np.conj(np.fft.rfft(y, nfft)), nfft
-        )
-        # circular layout: positive lags 0..len(x)-1 at the front,
-        # negative lags -(len(y)-1)..-1 at the tail — stitch to lag order
-        neg = full[nfft - (len(y) - 1):] if len(y) > 1 else full[:0]
-        cc = np.concatenate([neg, full[: len(x)]])
-        denom = np.linalg.norm(x) * np.linalg.norm(y)
-        if denom == 0:
-            return 0.0, 0
-        k = int(np.argmax(cc))
-        return float(cc[k] / denom), k - (len(y) - 1)
-
-    return znorm, ncc_max
+def _ncc_qmax(y: np.ndarray, d: np.ndarray) -> int:
+    """Quantized max-NCC on the exact integer lattice (SINK/NCCc core,
+    lcce.rs NCCC, argmax only): the max cross-correlation is an exact
+    int64 (np.correlate is direct convolution, not FFT), the
+    coefficient one fixed float chain CAST(mc)/(√sy·√sd), and the
+    result its half-up GRAIL_Q-grid index — every step bit-replayable
+    in DuckDB. |nccc| ≤ 1 by Cauchy-Schwarz on exact integers, so
+    q ∈ [−GRAIL_Q, GRAIL_Q] even at the float boundary."""
+    sy = int(np.dot(y, y))
+    sd = int(np.dot(d, d))
+    if sy == 0 or sd == 0:
+        return 0
+    mc = int(np.correlate(y, d, mode="full").max())
+    nccc = float(mc) / (np.sqrt(float(sy)) * np.sqrt(float(sd)))
+    return int(np.floor(nccc * float(GRAIL_Q) + 0.5))
 
 
-_znorm, _ncc_max = _kernels()  # driver-side / test aliases
+def _grail_params(int_dict: list) -> tuple:
+    """(proj, e1, e2) — the trained GRAIL state, shared VERBATIM by
+    the Spark query (driver-side) and the lazy oracle factory so both
+    engines receive bit-identical constants (the kmeans/PQ retraining
+    precedent, similarity.py).
 
-
-_DICT_CACHE: dict[str, list[np.ndarray]] = {}
-
-
-def _dictionary(spark: SparkSession, sf_dir: str) -> list[np.ndarray]:
-    """Z-normalized landmark series for the K lowest signal ids —
-    driver-side collect of K series only (the dictionary is small by
-    construction; the corpus never moves). Cached per sf_dir: the
-    dictionary is immutable input, and both kernel queries plus
-    repeated bench runs reuse it instead of rescanning. CAVEAT: if a
-    path's data is rewritten within one session, the stale cache wins —
-    clear _DICT_CACHE after mutating a dir in place."""
-    if sf_dir in _DICT_CACHE:
-        return _DICT_CACHE[sf_dir]
-    ev = load_table(spark, sf_dir, "events")
-    pdf = (
-        ev.filter(F.col("user_id") < DICT_K)
-        .select("user_id", "ts", "event_id", "value")
-        .toPandas()
-        .sort_values(["user_id", "ts", "event_id"])
+    The SINK kernel exp(γ·nccc) is DEFINED on the quantized grid as
+    e1[q div 64]·e2[q mod 64] with e1[h] = exp(γ·64h/GRAIL_Q),
+    e2[l] = exp(γ·l/GRAIL_Q) — exp(a+b) = exp(a)·exp(b), split so the
+    oracle embeds 129+64 table doubles instead of 2·GRAIL_Q+1, and
+    the kernel value is ONE float multiply of two table entries in
+    both engines (no cross-engine transcendental). The K×K kernel
+    matrix eigh and the U/√λ projection run in numpy on the driver;
+    the factory reruns this exact function, so LAPACK reassociation
+    never crosses an engine boundary."""
+    e1 = np.exp(
+        np.arange(-64, 65, dtype=np.float64) * (64.0 * GRAIL_GAMMA / GRAIL_Q)
     )
-    out = [
-        _znorm(g["value"].to_numpy(dtype=np.float64))
-        for _, g in pdf.groupby("user_id", sort=True)
-    ]
-    _DICT_CACHE[sf_dir] = out
-    return out
+    e2 = np.exp(np.arange(0, 64, dtype=np.float64) * (GRAIL_GAMMA / GRAIL_Q))
+    K = len(int_dict)
+    W = np.empty((K, K))
+    for i in range(K):
+        for j in range(K):
+            q = _ncc_qmax(int_dict[i], int_dict[j])
+            W[i, j] = float(e1[q // 64 + 64]) * float(e2[q % 64])
+    W = (W + W.T) / 2.0  # NCC max is symmetric; keeps eigh's contract
+    vals, vecs = np.linalg.eigh(W)
+    order = np.argsort(vals)[::-1][:EMBED_DIM]
+    lam, U = np.maximum(vals[order], 1e-12), vecs[:, order]
+    return U / np.sqrt(lam), e1, e2  # proj: K × EMBED_DIM
 
 
 def q_grail_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,41 +95,43 @@ def q_grail_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each signal against the dictionary, projected through the
     dictionary kernel matrix's truncated eigendecomposition. Emits
     (user_id, dim, coeff) — a k-dim feature vector per signal usable
-    for downstream classification/clustering."""
-    dict_series = _dictionary(spark, sf_dir)
-    K = len(dict_series)
+    for downstream classification/clustering.
 
-    # SINK kernel: exp(gamma · max-NCC). Dictionary kernel matrix +
-    # eigenbasis computed once, driver-side (K×K).
-    W = np.empty((K, K))
-    for i in range(K):
-        for j in range(K):
-            W[i, j] = np.exp(GRAIL_GAMMA * _ncc_max(dict_series[i], dict_series[j])[0])
-    W = (W + W.T) / 2.0
-    vals, vecs = np.linalg.eigh(W)
-    order = np.argsort(vals)[::-1][:EMBED_DIM]
-    lam, U = np.maximum(vals[order], 1e-12), vecs[:, order]
-    proj = U / np.sqrt(lam)  # K × EMBED_DIM
-
-    bc = spark.sparkContext.broadcast((dict_series, proj))
-    znorm, ncc_max = _kernels()  # closure-local, ships by value
-    gamma = GRAIL_GAMMA
+    ORACLE-CHECKED (r11, was the last substantive rows-only query):
+    quantized-SINK kernel over integer-lattice NCC (see _grail_params
+    / _ncc_qmax), trained state replayed by the LAZY oracle factory,
+    final embedding a fixed left-associative K-term chain over
+    literal projection columns. The kernel closure inlines all lattice
+    math (no module references — the cloudpickle rule)."""
+    int_dict = _int_dictionary(spark, sf_dir)
+    proj, e1, e2 = _grail_params(int_dict)
+    bc = spark.sparkContext.broadcast((int_dict, proj, e1, e2))
+    qscale = float(GRAIL_Q)
 
     def embed(pdf: pd.DataFrame) -> pd.DataFrame:
-        dseries, pmat = bc.value
-        x = znorm(pdf["value"].to_numpy(dtype=np.float64))
-        kvec = np.array(
-            [np.exp(gamma * ncc_max(x, d)[0]) for d in dseries]
-        )
-        emb = kvec @ pmat
+        dseries, pmat, t1, t2 = bc.value
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        xi = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        y = len(xi) * xi - xi.sum()
+        sy = int(np.dot(y, y))
+        kv = []
+        for d in dseries:
+            sd = int(np.dot(d, d))
+            if sy == 0 or sd == 0:
+                q = 0
+            else:
+                mc = int(np.correlate(y, d, mode="full").max())
+                nccc = float(mc) / (np.sqrt(float(sy)) * np.sqrt(float(sd)))
+                q = int(np.floor(nccc * qscale + 0.5))
+            kv.append(float(t1[q // 64 + 64]) * float(t2[q % 64]))
         uid = int(pdf["user_id"].iloc[0])
-        return pd.DataFrame(
-            {
-                "user_id": uid,
-                "dim": np.arange(len(emb), dtype=np.int64),
-                "coeff": emb,
-            }
-        )
+        rows = []
+        for dim in range(pmat.shape[1]):
+            acc = kv[0] * float(pmat[0, dim])
+            for j in range(1, len(kv)):
+                acc = acc + kv[j] * float(pmat[j, dim])
+            rows.append((uid, dim, acc))
+        return pd.DataFrame(rows, columns=["user_id", "dim", "coeff"])
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     return packed_grouped_map(ev, embed, "user_id bigint, dim bigint, coeff double")
@@ -149,8 +146,10 @@ def _int_dictionary(spark: SparkSession, sf_dir: str) -> list:
     image of the z-normalized series (NCC is scale/shift-invariant,
     so the coefficient is mathematically identical), but exactly
     representable, which is what lets q_lcce carry a static DuckDB
-    oracle. Same K-lowest-ids bound and per-dir cache as
-    _dictionary."""
+    oracle and q_grail_embed a lazy one. Driver-side collect of K
+    series only (the dictionary is small by construction; the corpus
+    never moves), cached per sf_dir — immutable input; registered in
+    similarity.clear_trained_caches for in-place rewrites."""
     if sf_dir in _INT_DICT_CACHE:
         return _INT_DICT_CACHE[sf_dir]
     ev = load_table(spark, sf_dir, "events")
@@ -221,16 +220,154 @@ def q_lcce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resolve_sf_dir(sf_dir: str | None) -> str:
+    import os
+
+    return sf_dir or os.environ.get(
+        "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+    )
+
+
+def _int_dictionary_ddb(sf_dir: str) -> list:
+    """The q_lcce integer-lattice dictionary, read via DuckDB (the
+    oracle path has no SparkSession): same parquet doubles, same
+    (ts, event_id) order, same y = n·xi − Σxi images as
+    _int_dictionary — equality of the two read paths is exactly what
+    q_lcce's green hash pins (its oracle recomputes y in SQL from the
+    same files)."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT user_id, value FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id < {DICT_K} ORDER BY user_id, ts, event_id"
+    ).fetch_df()
+    con.close()
+    out = []
+    for _, g in pdf.groupby("user_id", sort=True):
+        xi = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out.append(len(xi) * xi - xi.sum())
+    return out
+
+
+_GRAIL_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _grail_oracle(sf_dir: str | None = None) -> str:
+    """DuckDB replay of the quantized-SINK GRAIL embedding: the lattice
+    NCC pipeline is q_lcce's oracle with max(cc) in place of the
+    argmax tie-break, the kernel is a 129+64-row VALUES lookup
+    (e1[q div 64]·e2[q mod 64], one multiply), and the embedding is a
+    per-dim left-associative chain over the factory-retrained
+    projection literals. LAZY: proj/e1/e2 come from rerunning
+    _grail_params on the DuckDB-read dictionary at oracle_sql() time."""
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _GRAIL_ORACLE_CACHE:
+        proj, e1, e2 = _grail_params(_int_dictionary_ddb(sf_dir))
+        K, D = proj.shape
+        # {v:.17e} — exponent-form literals parse DIRECTLY as DOUBLE
+        # (strtod, correctly rounded = exact repr round-trip). A bare
+        # decimal literal is DECIMAL first, and DECIMAL-domain folding
+        # of casts/products drifts 1 ulp (measured r11) — the HUGEINT
+        # double-rounding gotcha in literal clothing.
+        e1rows = ", ".join(
+            f"({h - 64}, {float(v):.17e})" for h, v in enumerate(e1)
+        )
+        e2rows = ", ".join(
+            f"({l}, {float(v):.17e})" for l, v in enumerate(e2)
+        )
+        kcols = ", ".join(
+            f"max(CASE WHEN dict_id = {j} THEN kv END) AS k{j}"
+            for j in range(K)
+        )
+        cases = []
+        for dim in range(D):
+            chain = f"(k0 * {float(proj[0, dim]):.17e})"
+            for j in range(1, K):
+                chain = (
+                    f"({chain} + (k{j} * {float(proj[j, dim]):.17e}))"
+                )
+            cases.append(f"WHEN {dim} THEN {chain}")
+        case = " ".join(cases)
+        dimvals = ", ".join(f"({d})" for d in range(D))
+        _GRAIL_ORACLE_CACHE[sf_dir] = f"""
+            WITH ord AS MATERIALIZED (
+                SELECT user_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS j,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xi,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            ),
+            ys AS MATERIALIZED (
+                SELECT user_id, j, n * xi - sx AS y
+                FROM (
+                    SELECT user_id, j, xi, n,
+                           sum(xi) OVER (PARTITION BY user_id) AS sx
+                    FROM ord
+                )
+            ),
+            dt AS MATERIALIZED (
+                SELECT user_id AS dict_id, j AS i, y AS d
+                FROM ys WHERE user_id < {DICT_K}
+            ),
+            nx AS (SELECT user_id, sum(y * y) AS sy FROM ys GROUP BY user_id),
+            nd AS (SELECT dict_id, sum(d * d) AS sd FROM dt GROUP BY dict_id),
+            cc AS MATERIALIZED (
+                SELECT x.user_id, d.dict_id, x.j - d.i AS lag,
+                       sum(x.y * d.d) AS cc
+                FROM ys x, dt d
+                GROUP BY x.user_id, d.dict_id, x.j - d.i
+            ),
+            mx AS (
+                SELECT user_id, dict_id, max(cc) AS mc
+                FROM cc GROUP BY user_id, dict_id
+            ),
+            qv AS (
+                SELECT m.user_id, m.dict_id,
+                       CASE WHEN nx.sy = 0 OR nd.sd = 0 THEN 0
+                            ELSE CAST(floor(
+                                CAST(m.mc AS DOUBLE)
+                                / (sqrt(CAST(nx.sy AS DOUBLE))
+                                   * sqrt(CAST(nd.sd AS DOUBLE)))
+                                * {GRAIL_Q}.0 + 0.5) AS BIGINT) END AS q
+                FROM mx m
+                JOIN nx ON nx.user_id = m.user_id
+                JOIN nd ON nd.dict_id = m.dict_id
+            ),
+            e1(h, v) AS (VALUES {e1rows}),
+            e2(l, v) AS (VALUES {e2rows}),
+            kvt AS (
+                SELECT s.user_id, s.dict_id, e1.v * e2.v AS kv
+                FROM (
+                    SELECT user_id, dict_id, q,
+                           CAST(floor(q / 64.0) AS BIGINT) AS qh
+                    FROM qv
+                ) s
+                JOIN e1 ON e1.h = s.qh
+                JOIN e2 ON e2.l = s.q - 64 * s.qh
+            ),
+            kp AS (SELECT user_id, {kcols} FROM kvt GROUP BY user_id)
+            SELECT kp.user_id, dm.dim, CASE dm.dim {case} END AS coeff
+            FROM kp CROSS JOIN (VALUES {dimvals}) AS dm(dim)
+        """
+    return _GRAIL_ORACLE_CACHE[sf_dir]
+
+
 QUERIES = {
     "q_grail_embed": q_grail_embed,
     "q_lcce": q_lcce,
 }
 
-# q_grail_embed stays rows-only (eigendecomposition — reassociated
-# LAPACK reductions no SQL engine replays). q_lcce converted r11: the
-# integer-lattice cross-correlation below replays the kernel exactly —
-# exact int sums per lag, integer argmax with the most-negative-lag
-# tie-break, one fixed float chain for the coefficient.
+LAZY_ORACLES = {"q_grail_embed": _grail_oracle}
+
+# Both kernels converted (q_lcce r11, q_grail_embed late r11): the
+# integer-lattice cross-correlation replays exactly — exact int sums
+# per lag, integer argmax with the most-negative-lag tie-break (lcce)
+# or plain max (grail), one fixed float chain for each coefficient.
 ORACLES: dict[str, str] = {
     "q_lcce": f"""
         WITH ord AS MATERIALIZED (

@@ -513,7 +513,11 @@ _DEG_COLS = ("d_mean", "d_std", "d_min", "d_max")
 
 
 def _dk(x) -> str:
-    return f"CAST({float(x)!r} AS DOUBLE)"
+    # exponent form parses DIRECTLY as DOUBLE (strtod, exact repr
+    # round-trip); a bare decimal literal is DECIMAL first, and
+    # DECIMAL-domain constant folding drifts 1 ulp (measured r11,
+    # q_grail_embed) — CAST alone does not protect against it
+    return f"{float(x):.17e}"
 
 
 def _drift_tail_sql(labeled_sql: str) -> str:

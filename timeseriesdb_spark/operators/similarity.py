@@ -286,7 +286,7 @@ def clear_trained_caches(sf_dir: str | None = None) -> None:
     caches (lang-id, drift oracle sample) register here rather than
     growing parallel half-hooks. With sf_dir=None, clears
     everything."""
-    from timeseriesdb_spark.operators import langid, mlscoring
+    from timeseriesdb_spark.operators import langid, mlkernels, mlscoring
 
     caches = [
         _IVF_CACHE, _PQ_CACHE,
@@ -297,6 +297,7 @@ def clear_trained_caches(sf_dir: str | None = None) -> None:
         mlscoring._FOREST_ORACLE_CACHE, mlscoring._KNN_ORACLE_CACHE,
         langid._PROFILE_CACHE, langid._LID_ORACLE_CACHE,
         langid._CONF_ORACLE_CACHE,
+        mlkernels._INT_DICT_CACHE, mlkernels._GRAIL_ORACLE_CACHE,
     ]
     for c in caches:
         if sf_dir is None:
@@ -1288,10 +1289,12 @@ _CELL_SQL = "(" + " + ".join(
 ) + ")"
 
 def _dk(x) -> str:
-    """A Python float as an exact DuckDB DOUBLE literal (repr
-    round-trips; bare decimal literals parse as DECIMAL in DuckDB,
-    so the cast is mandatory)."""
-    return f"CAST({float(x)!r} AS DOUBLE)"
+    """A Python float as an exact DuckDB DOUBLE literal: exponent
+    form parses directly as DOUBLE (strtod, exact repr round-trip).
+    A bare decimal literal parses as DECIMAL first, and
+    DECIMAL-domain constant folding drifts 1 ulp (measured r11,
+    q_grail_embed) — CAST(… AS DOUBLE) alone does not prevent it."""
+    return f"{float(x):.17e}"
 
 
 def _fold_dot_duck(vec, col: str = "embedding") -> str:
@@ -1667,7 +1670,7 @@ def _srp_bucket_sql() -> str:
         for i, x in enumerate(p, start=1):
             expr = (
                 f"({expr} + CAST(embedding[{i}] AS DOUBLE)"
-                f" * CAST({x!r} AS DOUBLE))"
+                f" * {float(x):.17e})"
             )
         bits.append(f"CASE WHEN {expr} >= 0.0 THEN '1' ELSE '0' END")
     return " || ".join(bits)
