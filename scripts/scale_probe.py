@@ -62,6 +62,10 @@ PROBES = {
     "q_fft_recon": "integer-lattice truncated DFT round trip",
     "q_matrix_profile": "exact-int gram matrix profile per signal",
     "q_lcce": "integer cross-correlation vs landmark dictionary",
+    # r11 late: quantized-SINK GRAIL — same per-signal lattice-kernel
+    # shape as q_lcce plus a fixed O(K^2) driver-side train; the train
+    # cost is scale-INVARIANT, so the curve must track q_lcce's
+    "q_grail_embed": "quantized-SINK GRAIL embedding vs dictionary",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,
