@@ -67,3 +67,33 @@ def test_grail_embedding_shape_and_determinism(spark):
     a = pdf.sort_values(["user_id", "dim"]).reset_index(drop=True)
     b = pdf2.sort_values(["user_id", "dim"]).reset_index(drop=True)
     assert np.allclose(a["coeff"], b["coeff"])
+
+
+def test_double_literal_exponent_form_survives_folding():
+    """Regression for the r11 1-ulp drift: bare decimal literals parse
+    as DECIMAL and DECIMAL-domain constant folding of a literal
+    product is NOT the IEEE double product — %.17e exponent form
+    parses directly as DOUBLE and must replay products bit-exactly.
+    Uses the exact pair that drifted in q_grail_embed's kernel table
+    plus a sweep of awkward 17-digit mantissas."""
+    import duckdb
+
+    from timeseriesdb_spark.operators.similarity import _dk
+
+    con = duckdb.connect()
+    pairs = [
+        (1.4330626211475785, 1.0225155652384655),  # the r11 drift pair
+        (0.1 + 0.2, 1.0 / 3.0),
+        (np.exp(1.0), np.pi),
+        (np.nextafter(1.0, 2.0), np.nextafter(0.5, 1.0)),
+    ]
+    for a, b in pairs:
+        lit_a, lit_b = _dk(a), _dk(b)
+        assert "e" in lit_a.lower()  # exponent form, parses as DOUBLE
+        typ, va, vb, prod = con.execute(
+            f"SELECT typeof({lit_a}), {lit_a}, {lit_b}, {lit_a} * {lit_b}"
+        ).fetchone()
+        assert typ == "DOUBLE"
+        assert va == a and vb == b          # exact literal round-trip
+        assert prod == float(a) * float(b)  # folding stays IEEE
+    con.close()
