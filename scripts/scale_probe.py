@@ -66,6 +66,16 @@ PROBES = {
     # shape as q_lcce plus a fixed O(K^2) driver-side train; the train
     # cost is scale-INVARIANT, so the curve must track q_lcce's
     "q_grail_embed": "quantized-SINK GRAIL embedding vs dictionary",
+    # r11 continuation: warehouse/feature shapes. SCD2 and the feature
+    # snapshot are one user-key window over the fact (per-task state =
+    # one signal's history — the replication axis adds signals, never
+    # history). Theil-Sen's pair fan-out is n_i² PER SIGNAL, constant
+    # here by construction; watermark lateness is the two-level carry
+    # plus a type-keyed rank selection (5 groups at any scale).
+    "q_scd2": "CDC change filter + interval build, one user window",
+    "q_feature_snapshot": "point-in-time feature join, one window",
+    "q_watermark_lateness": "two-level arrival carry + rank selection",
+    "q_theilsen_trend": "per-signal pairwise-slope median",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,
@@ -130,6 +140,12 @@ DOC_PROBES = {
     # r10: the cross-modality conjunction — three per-modality
     # branches fused by doc_id joins; rows exactly one per doc
     "q_multimodal_keep": "text+image+video keep conjunction",
+    # r11 continuation: backoff LM quality scoring. The rotation is a
+    # bijection on words, so each replica trains its own disjoint
+    # count tables with IDENTICAL shape; the broadcast tables grow
+    # ~16x (the min-count floor is the 100 TB lever, documented in the
+    # query), scoring stays one scan + per-doc agg; rows exactly 16x.
+    "q_bigram_backoff": "train-split backoff LM + per-doc scoring",
 }
 # audio-axis probes, run on the SAME events replicas. Replicated
 # signals have IDENTICAL value sequences, so every replica clip is an

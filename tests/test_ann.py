@@ -435,3 +435,91 @@ def test_semdecon_empty_eval_raises(spark):
     empty = emb.where(F.lit(False))
     with _pytest.raises(ValueError, match="empty eval set"):
         similarity._eval_matrix(empty)
+
+
+def test_mmr_rank1_is_top_quantized_dot(spark):
+    """MMR's first pick must equal q_ann_quantized's top-1 (rank 1 is
+    pure relevance), and scores are non-increasing from rank 2 on
+    (the marginal-penalty max can only grow as the selected set
+    grows)."""
+    from timeseriesdb_spark.operators.similarity import (
+        q_ann_quantized,
+        q_mmr_diversify,
+    )
+
+    mmr = (
+        q_mmr_diversify(spark, SF_DIR)
+        .orderBy("rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    top1 = q_ann_quantized(spark, SF_DIR).limit(1).collect()[0]
+    assert mmr["vec_id"].iloc[0] == top1["vec_id"]
+    assert mmr["rel"].iloc[0] == top1["qdot"]
+    assert mmr["mmr_score"].iloc[0] == 7 * top1["qdot"]
+    tail = mmr["mmr_score"].iloc[1:]
+    assert (tail.values[:-1] >= tail.values[1:]).all()
+    assert mmr["vec_id"].is_unique
+
+
+def test_mmr_skips_near_duplicate_of_rank1(spark, tmp_path):
+    """The reason MMR exists: with two near-identical highly-relevant
+    vectors, plain top-k returns both back-to-back; MMR must demote
+    the clone below a less-relevant-but-diverse vector."""
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.similarity import q_mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),       # the query vector
+        (1, [0.9, 0.43, 0.0, 0.0], 0),      # rank-1 by relevance
+        (2, [0.88, 0.45, 0.0, 0.0], 0),     # near-clone of 1
+        (3, [0.86, 0.0, -0.4, 0.0], 1),     # diverse, slightly less rel
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/embeddings.parquet")
+    out = q_mmr_diversify(spark, d).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    # plain relevance order would have been [1, 2, 3]
+    assert out[0]["rel"] > out[2]["rel"] > out[1]["rel"]
+
+
+def test_dedup_graph_stats_matches_python_recount(spark):
+    """Recompute nodes/edges/wedges/triangles from the raw pair frame
+    with Python sets — the SQL wedge join must agree exactly."""
+    from itertools import combinations
+
+    from timeseriesdb_spark.operators.dedup import (
+        CC_MIN_EST,
+        q_dedup_graph_stats,
+        q_minhash_lsh_pairs,
+    )
+
+    got = q_dedup_graph_stats(spark, SF_DIR).collect()[0]
+    pairs = (
+        q_minhash_lsh_pairs(spark, SF_DIR)
+        .where(F.col("est_jaccard") >= CC_MIN_EST)
+        .collect()
+    )
+    edges = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in pairs
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tris = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(n for n in adj[a] if n > a), 2)
+        if c in adj[b]
+    )
+    assert got["n_nodes"] == len(adj)
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tris
+    expect_cc = 0 if wedges == 0 else 3 * tris * 10**6 // wedges
+    assert got["global_cc_ppm"] == expect_cc

@@ -375,6 +375,26 @@ def test_ohlc_single_shuffle_jvm(spark):
     assert checks.exchange_count(df) <= 1, plan
 
 
+def test_scd2_single_shuffle_jvm(spark):
+    # change filter (lag) and interval build (lead + row_number) are
+    # both user-key windows over the same (ts, event_id) order — the
+    # filter preserves partitioning, so ONE exchange serves both
+    df = QUERIES["q_scd2"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
+def test_feature_snapshot_single_shuffle_jvm(spark):
+    # every feature (last value + running count per type) rides the
+    # same user-key window frame — adding features must not add
+    # exchanges or Python nodes
+    df = QUERIES["q_feature_snapshot"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "Python" not in plan, plan
+    assert checks.exchange_count(df) <= 1, plan
+
+
 def test_slo_burn_broadcasts_long_window(spark):
     # the 6-hour aggregate is window-count-sized: it must broadcast
     # onto the hourly rows, not shuffle them again

@@ -110,3 +110,134 @@ def test_recurrences_bit_identical_across_tiny_arrow_chunks(spark):
         spark.conf.set(key, old)
     assert small_e == big_e
     assert small_h == big_h
+
+
+def _write_events(spark, tmp_path, pdf, name="ev"):
+    d = str(tmp_path / name)
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_theilsen_exact_on_linear_series(spark, tmp_path):
+    """On v_t = 10 + 2.5·t/min every pairwise slope is the SAME
+    rational (2.5 units / 60 s), so the median must hit its exact
+    micro-unit quantization: floor(250·10¹⁰ / 6·10⁷) = 41_666."""
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.tsanalytics import q_theilsen_trend
+
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "user_id": [7] * n,
+            "event_type": ["view"] * n,
+            "value": [10.0 + 2.5 * t for t in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    out = q_theilsen_trend(spark, _write_events(spark, tmp_path, pdf)).collect()
+    assert len(out) == 1
+    assert out[0]["n_pairs"] == n * (n - 1) // 2
+    assert out[0]["slope_micro"] == 41_666
+    assert abs(out[0]["slope_per_s"] - 0.041666) < 1e-12
+
+
+def test_theilsen_shrugs_off_outliers(spark, tmp_path):
+    """20% of points spiked by +1000 leaves 0.8² = 64% of pairs clean
+    — the median slope must still be the clean line's (the breakdown
+    robustness OLS lacks; this is the reason the operator exists)."""
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.tsanalytics import q_theilsen_trend
+
+    n = 40
+    vals = [10.0 + 2.5 * t for t in range(n)]
+    for t in range(0, n, 5):  # every 5th point is wrecked
+        vals[t] += 1000.0
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "user_id": [7] * n,
+            "event_type": ["view"] * n,
+            "value": vals,
+            "props": ["{}"] * n,
+        }
+    )
+    out = q_theilsen_trend(spark, _write_events(spark, tmp_path, pdf)).collect()
+    assert out[0]["slope_micro"] == 41_666
+
+
+def test_watermark_lateness_matches_pandas_cummax(spark, tmp_path):
+    """Arrival order = event_id; lateness = cummax(event time) − own
+    event time. Recompute the whole profile in pandas on a crafted
+    out-of-order stream and compare every column, and pin that an
+    in-order stream reports all-zero lateness."""
+    import math
+
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.tsanalytics import (
+        WM_PCTS,
+        q_watermark_lateness,
+    )
+
+    n = 200
+    ts = list(pd.date_range("2024-01-01", periods=n, freq="30s"))
+    # swap a known 10% of adjacent-ish pairs 3 slots apart
+    for i in range(10, n - 5, 20):
+        ts[i], ts[i + 3] = ts[i + 3], ts[i]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": [i % 7 for i in range(n)],
+            "event_type": ["view" if i % 2 else "click" for i in range(n)],
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    out = (
+        q_watermark_lateness(spark, _write_events(spark, tmp_path, pdf))
+        .toPandas()
+        .set_index("event_type")
+    )
+    us = pdf["ts"].astype("int64") // 1000
+    late = us.cummax() - us
+    for et, g in pd.DataFrame(
+        {"et": pdf["event_type"], "late": late}
+    ).groupby("et"):
+        row = out.loc[et]
+        lat = g["late"].sort_values().reset_index(drop=True)
+        n_t = len(lat)
+        assert row["n_events"] == n_t
+        assert row["n_late"] == int((g["late"] > 0).sum())
+        assert row["max_late_us"] == int(g["late"].max())
+        assert row["share_late_ppm"] == int((g["late"] > 0).sum()) * 10**6 // n_t
+        for p in WM_PCTS:
+            r = math.ceil(n_t * p / 100)
+            assert row[f"p{p}_late_us"] == int(lat.iloc[r - 1]), (et, p)
+    # fully in-order stream → zero lateness everywhere
+    pdf2 = pdf.copy()
+    pdf2["ts"] = list(pd.date_range("2024-01-01", periods=n, freq="30s"))
+    out2 = q_watermark_lateness(
+        spark, _write_events(spark, tmp_path, pdf2, "inorder")
+    ).toPandas()
+    assert (out2["n_late"] == 0).all()
+    assert (out2["max_late_us"] == 0).all()
+
+
+def test_bigram_backoff_bounds(spark):
+    """Stupid-backoff scores are probabilities ≤ 1 (c12 ≤ c1 for the
+    seen branch; α·(c2+1)/(N+V) < 1 for the backoff branch), so every
+    mean log10 is ≤ 0, and the backoff count is bounded by the bigram
+    count."""
+    from timeseriesdb_spark.operators.text import q_bigram_backoff
+
+    pdf = q_bigram_backoff(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["mean_lp10"] <= 0).all()
+    assert (pdf["n_backoff"] <= pdf["n_bigrams"]).all()
+    assert (pdf["n_backoff"] >= 0).all()

@@ -1192,8 +1192,71 @@ def trim_spans_frame(doc: DataFrame) -> DataFrame:
     )
 
 
+def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural health metrics of the near-dup graph the clustering
+    consumes: node/edge counts, wedge count Σ d(d−1)/2, triangle count,
+    and the global clustering coefficient 3·triangles/wedges (integer
+    ppm). A true duplicate family is a quasi-clique (coefficient → 1);
+    long low-coefficient chains are the transitive-closure FALSE-MERGE
+    signature (one weak bridge pair swallowing two unrelated families)
+    — this is the one-row diagnostic you check BEFORE trusting
+    q_dedup_clusters' survivor drop, and the measurement behind the
+    CLUSTER_COS lesson documented at q_embedding_clusters.
+
+    All counts are exact integers (coefficient in half-up-free floor
+    ppm), so the row hash-checks cross-engine. Scale shape: edges are
+    LINEAR in corpus size (the measured SCALING.md LSH invariant);
+    triangle enumeration is the standard a<b<c wedge join — cost
+    Σ deg², fenced by the same per-bucket caps that fence the pair
+    generator (a hot template bucket cannot explode into a hot
+    triangle join)."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).where(
+        F.col("est_jaccard") >= CC_MIN_EST
+    )
+    e = pairs.select(
+        F.least("doc_a", "doc_b").alias("a"),
+        F.greatest("doc_a", "doc_b").alias("b"),
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+    )
+    n_edges = e.groupBy().agg(F.count("*").alias("n_edges"))
+    # a<b<c wedges closed by an (a, c) edge — each triangle counted once
+    e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "tb")
+        .join(e3, ["ta", "tc"])
+        .groupBy()
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        base.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0 "
+                "ELSE (3 * n_triangles * 1000000) div n_wedges END"
+            ).alias("global_cc_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_graph_stats": q_dedup_graph_stats,
     "q_dup_spans": q_dup_spans,
     "q_trim_spans": q_trim_spans,
     "q_span_length_sweep": q_span_length_sweep,
@@ -1495,6 +1558,36 @@ ORACLES = {
         FROM comp c
         JOIN (SELECT cluster_id, count(*) AS cluster_size
               FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    """,
+    "q_dedup_graph_stats": f"""
+        WITH {_LSH_PAIRS_CTES},
+        e AS (
+            SELECT DISTINCT least(doc_a, doc_b) AS a,
+                            greatest(doc_a, doc_b) AS b
+            FROM pairs WHERE est_jaccard >= {CC_MIN_EST}
+        ),
+        deg AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+            ) GROUP BY v
+        ),
+        base AS (
+            SELECT count(*) AS n_nodes,
+                   CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+            FROM deg
+        ),
+        ne AS (SELECT count(*) AS n_edges FROM e),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0
+                    ELSE (3 * n_triangles * 1000000) // n_wedges
+               END AS global_cc_ppm
+        FROM base CROSS JOIN ne CROSS JOIN tri
     """,
     "q_simhash": _SIMHASH_SQL,
     "q_simhash_clusters": f"""

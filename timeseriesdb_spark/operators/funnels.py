@@ -520,6 +520,92 @@ def q_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FEATURE_EVENTS = ["view", "click", "error"]  # point-in-time feature set
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a CDC event stream:
+    each user's event_type sequence is treated as an attribute feed,
+    consecutive repeats collapse, and every retained change becomes a
+    validity interval [valid_from, valid_to) with version numbers and
+    an is_current flag — the warehouse snapshot the reference's
+    last-match semi-join (tsbs/mod.rs:29-48) reads the tail of,
+    materialized for point-in-time queries at every historical ts.
+
+    One user-key shuffle: the change filter is a lag over the (ts,
+    event_id) total order, and the second window (lead + row_number
+    over change rows only) runs on the SAME partitioning, so Catalyst
+    adds no second exchange. Per-task state is one user's history —
+    bounded on the signal axis, so the plan survives 1000× more users
+    unchanged. Timestamps pass through exactly (no arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("state"),
+            F.lag("event_type", 1).over(w).alias("prev_state"),
+        )
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts", 1).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int"),
+    )
+
+
+def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: for every purchase, the
+    user's feature vector as of STRICTLY BEFORE that purchase — last
+    observed value per feature event type plus running exposure counts
+    — the feature-store discipline that keeps training labels from
+    leaking their own future (each training row sees only what a live
+    scorer would have seen at serving time).
+
+    All features ride ONE user-key window with an (unbounded, -1)
+    frame — the strictly-before bound is the frame itself, so there is
+    no range self-join and no fan-out; adding a feature adds a column
+    to the same pass, not a scan. Values pass through exactly (no
+    arithmetic — both engines emit the parquet doubles); counts are
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cols = [F.col("user_id"), F.col("event_id"), F.col("ts"), F.col("event_type")]
+    for f in FEATURE_EVENTS:
+        feat = F.when(F.col("event_type") == f, F.col("value"))
+        cols.append(
+            F.last(feat, ignorenulls=True).over(w).alias(f"last_{f}_value")
+        )
+        cols.append(F.count(feat).over(w).cast("long").alias(f"n_{f}_before"))
+    carried = ev.select(*cols)
+    return carried.where(F.col("event_type") == CONV_EVENT).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        *[
+            c
+            for f in FEATURE_EVENTS
+            for c in (f"last_{f}_value", f"n_{f}_before")
+        ],
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_abandoned_carts": q_abandoned_carts,
@@ -532,6 +618,8 @@ QUERIES = {
     "q_new_vs_returning": q_new_vs_returning,
     "q_lorenz_gini": q_lorenz_gini,
     "q_purchase_intervals": q_purchase_intervals,
+    "q_scd2": q_scd2,
+    "q_feature_snapshot": q_feature_snapshot,
 }
 
 _S1, _S2, _S3 = FUNNEL_STAGES
@@ -800,5 +888,46 @@ ORACLES = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE a.day >= c.cohort_day
         GROUP BY 1, 2
+    """,
+    "q_scd2": """
+        WITH changes AS (
+            SELECT user_id, event_id, ts, event_type AS state,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_state
+            FROM events
+        ),
+        kept AS (
+            SELECT * FROM changes
+            WHERE prev_state IS NULL OR state <> prev_state
+        )
+        SELECT user_id, state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INT) AS version,
+               CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                   AS is_current
+        FROM kept
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q_feature_snapshot": f"""
+        WITH carried AS (
+            SELECT user_id, event_id, ts, event_type,
+                   {", ".join(
+                       f"last_value(CASE WHEN event_type = '{f}' THEN value END"
+                       f" IGNORE NULLS) OVER w AS last_{f}_value, "
+                       f"count(CASE WHEN event_type = '{f}' THEN value END)"
+                       f" OVER w AS n_{f}_before"
+                       for f in FEATURE_EVENTS
+                   )}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               {", ".join(
+                   f"last_{f}_value, n_{f}_before" for f in FEATURE_EVENTS
+               )}
+        FROM carried WHERE event_type = '{CONV_EVENT}'
     """,
 }

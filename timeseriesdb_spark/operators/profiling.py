@@ -392,7 +392,47 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over the per-signal summary tier:
+    signals not dominated in (n_samples, max value) — the classic
+    multi-criteria operator (Börzsönyi et al. 2001, `SKYLINE OF`)
+    answering "which signals are extreme in volume OR amplitude
+    without being beaten on both". Dominance: b dominates a iff
+    b ≥ a on both axes and b > a on at least one.
+
+    Exactness: both axes are exact integers (count; max cents), so
+    the frontier is engine-identical. Scale shape: the dominance
+    anti-join is a nested-loop over the per-signal AGGREGATE tier —
+    signals-sized, orders of magnitude below the fact scan that
+    builds it (the decision-frame discipline of cluster_pairs); the
+    fact table contributes one partial-agg pass. At extreme signal
+    counts, pre-filter with the sort-first skyline refinement: sort
+    by n_samples desc and keep the running max_vu frontier — the
+    2-D case is one window pass; the anti-join form here stays the
+    general-dimension reference."""
+    ev = load_table(spark, sf_dir, "events")
+    sig = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_samples"),
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("max_vu"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dominated = (
+        (F.col("b.n_samples") >= F.col("a.n_samples"))
+        & (F.col("b.max_vu") >= F.col("a.max_vu"))
+        & (
+            (F.col("b.n_samples") > F.col("a.n_samples"))
+            | (F.col("b.max_vu") > F.col("a.max_vu"))
+        )
+    )
+    return a.join(b, dominated, "left_anti").select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.n_samples").alias("n_samples"),
+        F.col("a.max_vu").alias("max_vu"),
+    )
+
+
 QUERIES = {
+    "q_skyline": q_skyline,
     "q_column_profile": q_column_profile,
     "q_fanout_profile": q_fanout_profile,
     "q_corr_matrix": q_corr_matrix,
@@ -492,6 +532,19 @@ def _corr_matrix_sql() -> str:
 
 
 ORACLES = {
+    "q_skyline": """
+        WITH sig AS (
+            SELECT user_id, count(*) AS n_samples,
+                   max(CAST(round(value * 100) AS BIGINT)) AS max_vu
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_samples, max_vu FROM sig a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sig b
+            WHERE b.n_samples >= a.n_samples AND b.max_vu >= a.max_vu
+              AND (b.n_samples > a.n_samples OR b.max_vu > a.max_vu)
+        )
+    """,
     "q_corr_matrix": _corr_matrix_sql(),
     "q_fanout_profile": """
         WITH po AS (

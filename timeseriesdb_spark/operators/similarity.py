@@ -1248,8 +1248,87 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL = 32      # relevance-ranked candidate pool entering the greedy
+MMR_K = 10         # diversified results returned
+# λ = 0.7, scaled ×10 so the MMR objective is pure integer arithmetic:
+# score(d) = 7·rel(d) − 3·max_{s∈selected} sim(d, s)
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the retrieval
+    diversification step between ANN top-k and what a RAG/training
+    pipeline actually consumes: greedily pick K results that are
+    relevant to the query but NOT redundant with each other
+    (Carbonell & Goldstein 1998), killing the near-duplicate clumps
+    plain top-k returns on a corpus full of near-dups.
+
+    Exactness: relevance and pairwise similarity are the EXACT integer
+    dots of QUANT_SCALE-quantized vectors (the q_ann_quantized
+    discipline — integer sums are associative, so no float-order gap),
+    and λ = 0.7 scales to the all-integer objective 7·rel − 3·max_sim
+    with (score desc, vec_id) tie-breaks, so the whole greedy
+    trajectory is engine-exact; the DuckDB oracle replays it with a
+    recursive CTE + correlated argmax (the q_pla_lttb pattern).
+
+    Scale shape: the DISTRIBUTED work is the corpus scan → quantized
+    dot → TakeOrderedAndProject(MMR_POOL) — the same one-pass plan as
+    q_ann_quantized (at 100 TB the pool comes from the IVF/LSH index
+    instead, same pool contract). The greedy itself is O(K·POOL)
+    integer ops over a 32-row pool — driver-side by design, the
+    bounded-driver budget of IVF training/BPE merges/CC union-find;
+    the pool's int64 gram matrix is one exact numpy matmul."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"),
+    )
+    emb_q = emb.withColumn("qe", qz)
+    probe = emb_q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qe").alias("qq")
+    )
+    rel = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool_rows = (
+        emb_q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", rel.alias("rel"), "qe")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in pool_rows], dtype=np.int64)
+    rels = np.array([r["rel"] for r in pool_rows], dtype=np.int64)
+    mat = np.array([r["qe"] for r in pool_rows], dtype=np.int64)
+    sims = mat @ mat.T  # exact: int64 matmul of quantized components
+    chosen = [0]  # pool is (rel desc, vec_id) — row 0 IS the argmax
+    out = [(1, int(ids[0]), int(rels[0]), int(7 * rels[0]))]
+    remaining = set(range(1, len(ids)))
+    for rank in range(2, min(MMR_K, len(ids)) + 1):
+        best = None
+        for j in remaining:
+            score = 7 * int(rels[j]) - 3 * int(
+                max(sims[j][c] for c in chosen)
+            )
+            key = (-score, int(ids[j]))
+            if best is None or key < best[0]:
+                best = (key, j, score)
+        _, j, score = best
+        out.append((rank, int(ids[j]), int(rels[j]), int(score)))
+        chosen.append(j)
+        remaining.discard(j)
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, rel long, mmr_score long"
+    )
+
+
 QUERIES = {
     "q_ann_recall": q_ann_recall,
+    "q_mmr_diversify": q_mmr_diversify,
     "q_ann_topk": q_ann_topk,
     "q_ann_quantized": q_ann_quantized,
     "q_embedding_neardup": q_embedding_neardup,
@@ -1704,6 +1783,61 @@ ORACLES = {
         )
         SELECT vec_id, label, qdot FROM d
         ORDER BY qdot DESC, vec_id LIMIT {TOP_K}
+    """,
+    # Greedy MMR replay: integer dots (associative — plain GROUP BY
+    # sums) + a recursive CTE whose LATERAL argmax picks the next
+    # result exactly like the driver-side loop (score desc, vec_id).
+    "q_mmr_diversify": f"""
+        WITH RECURSIVE
+        qv AS (
+            SELECT i, CAST(round(CAST(embedding[i] AS DOUBLE)
+                                 * {QUANT_SCALE}) AS BIGINT) AS qx
+            FROM embeddings, range(1, {DIM + 1}) t(i)
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        comp AS (
+            SELECT vec_id, t.i,
+                   CAST(round(CAST(embedding[t.i] AS DOUBLE)
+                              * {QUANT_SCALE}) AS BIGINT) AS ex
+            FROM embeddings, range(1, {DIM + 1}) t(i)
+            WHERE vec_id != {QUERY_VEC_ID}
+        ),
+        rel AS (
+            SELECT c.vec_id, CAST(sum(c.ex * q.qx) AS BIGINT) AS rel
+            FROM comp c JOIN qv q ON q.i = c.i GROUP BY c.vec_id
+        ),
+        pool AS (
+            SELECT vec_id, rel FROM rel
+            ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+        ),
+        pcomp AS (SELECT c.* FROM comp c JOIN pool p USING (vec_id)),
+        sims AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(sum(a.ex * b.ex) AS BIGINT) AS sim
+            FROM pcomp a JOIN pcomp b
+              ON a.i = b.i AND a.vec_id != b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        sel AS (
+            (SELECT 1 AS rank, vec_id, rel, 7 * rel AS mmr_score,
+                    [vec_id] AS chosen
+             FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+            UNION ALL
+            SELECT sel.rank + 1, nxt.vec_id, nxt.rel, nxt.score,
+                   list_append(sel.chosen, nxt.vec_id)
+            FROM sel, LATERAL (
+                SELECT p.vec_id, p.rel,
+                       7 * p.rel - 3 * max(s.sim) AS score
+                FROM pool p JOIN sims s
+                  ON s.va = p.vec_id
+                 AND list_contains(sel.chosen, s.vb)
+                WHERE NOT list_contains(sel.chosen, p.vec_id)
+                GROUP BY p.vec_id, p.rel
+                ORDER BY score DESC, p.vec_id LIMIT 1
+            ) nxt
+            WHERE sel.rank < {MMR_K}
+        )
+        SELECT rank, vec_id, rel, mmr_score FROM sel ORDER BY rank
     """,
     "q_semdedup": f"""
         WITH base AS (

@@ -819,8 +819,95 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_from_term_counts(term_source_counts(doc))
 
 
+BACKOFF_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with stupid backoff — the CCNet-style
+    perplexity filter one rung above q_unigram_logprob: train bigram/
+    unigram counts on the TRAIN hash split (q_dataset_split's md5
+    bounds, so the LM never sees val/test text), then score EVERY
+    document's adjacent word pairs: s(w2|w1) = c12/c1 when the bigram
+    was seen in training, else α·(c2+1)/(N+V) (add-one unigram
+    backoff — OOV words bottom out at 1/(N+V)). Emits the per-doc
+    mean log10 score plus the backoff count (the out-of-LM rate, a
+    quality column in its own right: templated text backs off rarely,
+    gibberish constantly).
+
+    Determinism: every probability is a ratio of exact integers (the
+    α product is a fixed two-op IEEE chain), log10 rounds to 6dp per
+    bigram BEFORE accumulation, sums are decimal, and the mean is the
+    sign-branched half-up integer division — the q_unigram_logprob
+    discipline. Shape: two train-split count shuffles; the count
+    tables broadcast back onto the token stream (at 100 TB floor them
+    with min-count like any production LM); one per-doc shuffle."""
+    from timeseriesdb_spark.operators.common import array_ngrams
+
+    doc = load_table(spark, sf_dir, "documents")
+    warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    lo = SPLIT_BOUNDS[0]
+    train = doc.where(F.substring(F.md5(F.col("text")), 1, 2) < F.lit(lo))
+    twords = train.select(F.explode(warr).alias("w"))
+    tuni = twords.groupBy("w").agg(F.count("*").alias("c1"))
+    tbi = (
+        train.select(F.explode(array_ngrams(warr, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+    )
+    nv = float(twords.count() + tuni.count())
+    docbg = doc.select(
+        "doc_id", F.explode(array_ngrams(warr, 2)).alias("bg")
+    )
+    parts = F.split("bg", " ")
+    j = (
+        docbg.join(F.broadcast(tbi), "bg", "left")
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(
+            F.broadcast(tuni.select(F.col("w").alias("w1"), "c1")),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                tuni.select(F.col("w").alias("w2"), F.col("c1").alias("c2"))
+            ),
+            "w2",
+            "left",
+        )
+    )
+    seen = F.col("c12").isNotNull()
+    p = F.when(seen, F.col("c12") / F.col("c1")).otherwise(
+        F.lit(BACKOFF_ALPHA)
+        * ((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)) / F.lit(nv))
+    )
+    lp = F.round(F.log10(p), 6)
+    agg = (
+        j.select("doc_id", lp.alias("lp"), seen.alias("hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count(F.when(~F.col("hit"), 1)).alias("n_backoff"),
+            (F.sum(F.col("lp").cast("decimal(38,6)")) * F.lit(1_000_000))
+            .cast("long")
+            .alias("_u"),
+        )
+    )
+    q = F.expr(
+        "CASE WHEN _u >= 0 THEN (2 * _u + n_bigrams) div (2 * n_bigrams) "
+        "ELSE -((2 * -_u + n_bigrams) div (2 * n_bigrams)) END"
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_backoff",
+        (q.cast("double") / F.lit(1_000_000.0)).alias("mean_lp10"),
+    )
+
+
 QUERIES = {
     "q_trending_terms": q_trending_terms,
+    "q_bigram_backoff": q_bigram_backoff,
     "q_keyphrases": q_keyphrases,
     "q_regex_tokens": q_regex_tokens,
     "q_pmi_bigrams": q_pmi_bigrams,
@@ -1186,6 +1273,66 @@ ORACLES = {
                          THEN (2 * u + n_tokens) // (2 * n_tokens)
                          ELSE -((2 * -u + n_tokens) // (2 * n_tokens)) END
                     AS DOUBLE) / 1000000.0 AS mean_logp10
+        FROM agg
+    """,
+    "q_bigram_backoff": f"""
+        WITH toks AS (
+            SELECT doc_id, w, i FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        seq AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+            FROM toks
+        ),
+        docbg AS (
+            SELECT doc_id, bg FROM (
+                SELECT doc_id, w || ' ' || lead(w, 1)
+                       OVER (PARTITION BY doc_id ORDER BY j) AS bg
+                FROM seq
+            ) WHERE bg IS NOT NULL
+        ),
+        train AS (
+            SELECT doc_id FROM documents
+            WHERE substring(md5(text), 1, 2) < '{SPLIT_BOUNDS[0]}'
+        ),
+        ttoks AS (SELECT s.doc_id, s.w FROM seq s JOIN train USING (doc_id)),
+        tuni AS (SELECT w, count(*) AS c1 FROM ttoks GROUP BY w),
+        tbi AS (
+            SELECT bg, count(*) AS c12
+            FROM docbg JOIN train USING (doc_id) GROUP BY bg
+        ),
+        nv AS (SELECT CAST((SELECT count(*) FROM ttoks)
+                         + (SELECT count(*) FROM tuni) AS DOUBLE) AS x),
+        scored AS (
+            SELECT d.doc_id,
+                   round(log10(CASE WHEN b.c12 IS NOT NULL
+                                    THEN CAST(b.c12 AS DOUBLE) / u1.c1
+                                    ELSE 4e-1 * ((coalesce(u2.c1, 0) + 1)
+                                                 / nv.x)
+                               END), 6) AS lp,
+                   b.c12 IS NOT NULL AS hit
+            FROM docbg d
+            LEFT JOIN tbi b USING (bg)
+            LEFT JOIN tuni u1 ON u1.w = string_split(d.bg, ' ')[1]
+            LEFT JOIN tuni u2 ON u2.w = string_split(d.bg, ' ')[2]
+            CROSS JOIN nv
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   count(CASE WHEN NOT hit THEN 1 END) AS n_backoff,
+                   CAST(sum(CAST(lp AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS u
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, n_backoff,
+               CAST(CASE WHEN u >= 0
+                         THEN (2 * u + n_bigrams) // (2 * n_bigrams)
+                         ELSE -((2 * -u + n_bigrams) // (2 * n_bigrams))
+                    END AS DOUBLE) / 1000000.0 AS mean_lp10
         FROM agg
     """,
     "q_idf_rarity": """

@@ -862,6 +862,163 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_CHUNK = 4096      # arrival-order bucket width for the prefix-max carry
+WM_PCTS = [50, 95, 99]  # exact type-1 lateness percentiles reported
+
+
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness profile — the measurement that SIZES a
+    streaming watermark: for every event (arrival order = event_id,
+    the ingest sequence), lateness = high-water mark of event time
+    seen so far minus this event's own event time. Per event type it
+    reports how much of the stream is out-of-order and the exact
+    p50/p95/p99 lateness — 'withWatermark(X)' is read straight off
+    this table (choose X ≥ p99 to lose <1% of rows to late-drop).
+
+    Scale shape: the global running max is NOT a global sort — it is
+    the two-level carry q_running_sum pins (max is associative):
+    within-bucket prefix max partitioned by (event_id div WM_CHUNK),
+    plus a prefix max over the per-bucket maxima (a frame of
+    rows/WM_CHUNK — tiny), broadcast back by bucket. Percentiles are
+    rank SELECTION (type 1) over the per-type frame: row_number +
+    count ride one event_type exchange; no value arithmetic anywhere,
+    so every output is an exact integer."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"event_id div {WM_CHUNK}").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("in_max", F.max("us").over(w_in))
+    w_c = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carries = (
+        base.groupBy("bkt")
+        .agg(F.max("us").alias("bmax"))
+        .select("bkt", F.max("bmax").over(w_c).alias("carry"))
+    )
+    late = within.join(F.broadcast(carries), "bkt").select(
+        "event_type",
+        "event_id",
+        (
+            F.greatest(
+                F.col("in_max"),
+                F.coalesce(F.col("carry"), F.lit(-(1 << 62)).cast("long")),
+            )
+            - F.col("us")
+        ).alias("late_us"),
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("late_us", "event_id")
+    ranked = late.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    aggs = [
+        F.max("n").alias("n_events"),
+        F.count(F.when(F.col("late_us") > 0, 1)).alias("n_late"),
+        F.max("late_us").alias("max_late_us"),
+    ]
+    for p in WM_PCTS:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                    F.col("late_us"),
+                )
+            ).alias(f"p{p}_late_us")
+        )
+    return (
+        ranked.groupBy("event_type")
+        .agg(*aggs)
+        .withColumn(
+            "share_late_ppm", F.expr("(n_late * 1000000) div n_events")
+        )
+    )
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per signal: the median of all pairwise
+    slopes — the estimator that shrugs off the outliers that wreck
+    OLS (up to ~29% contamination), i.e. the trend line you fit on
+    dirty telemetry before alerting on drift.
+
+    Exactness: each slope is quantized to an integer — micro-units
+    per second, floor((Δcents·10¹⁰)/Δt_us), where the ceil-negation
+    identity floor(a/b) = −ceil(−a/b) keeps every div numerator
+    non-negative so Spark `div` and DuckDB `//` cannot diverge on
+    negative-operand semantics — and the median is rank SELECTION
+    (lower median) over those integers, so the result is engine-exact
+    with zero float ops. Δcents·10¹⁰ stays ≤10¹⁶ even for a 10⁶-cent
+    value span, inside int64.
+
+    Scale shape: the pair fan-out is a self equi-join on user_id, so
+    cost is Σᵢ nᵢ² — bounded by per-signal HISTORY, not corpus size
+    (the scaling axis adds signals, not history; SCALING.md). For
+    hot signals with unbounded history the estimator degrades
+    gracefully: subsample each signal to K samples first (the
+    md5-window probe-set pattern, DTW_PROBE_CAP) and Theil-Sen on
+    K²/2 pairs retains its breakdown point."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("vu"),
+        "event_id",
+    )
+    l = e.select(
+        "user_id",
+        F.col("us").alias("us1"),
+        F.col("vu").alias("v1"),
+        F.col("event_id").alias("id1"),
+    )
+    r = e.select(
+        "user_id",
+        F.col("us").alias("us2"),
+        F.col("vu").alias("v2"),
+        F.col("event_id").alias("id2"),
+    )
+    # strict time order: equal-timestamp pairs have no slope (Δt = 0)
+    pairs = l.join(r, "user_id").where(F.col("us1") < F.col("us2"))
+    slope = F.expr(
+        "CASE WHEN (v2 - v1) >= 0 "
+        "THEN ((v2 - v1) * 10000000000) div (us2 - us1) "
+        "ELSE -((-((v2 - v1) * 10000000000) + (us2 - us1) - 1) "
+        "div (us2 - us1)) END"
+    )
+    sl = pairs.select("user_id", "id1", "id2", slope.alias("slope_micro"))
+    wr = Window.partitionBy("user_id").orderBy("slope_micro", "id1", "id2")
+    wn = Window.partitionBy("user_id")
+    ranked = sl.select(
+        "user_id",
+        "slope_micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_pairs"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"),
+                    F.col("slope_micro"),
+                )
+            ).alias("slope_micro"),
+        )
+        .withColumn(
+            "slope_per_s", F.col("slope_micro").cast("double") / F.lit(1e6)
+        )
+    )
+
+
 QUERIES = {
     "q_counter_rate": q_counter_rate,
     "q_ohlc": q_ohlc,
@@ -877,6 +1034,8 @@ QUERIES = {
     "q_stl_decompose": q_stl_decompose,
     "q_holt_forecast": q_holt_forecast,
     "q_time_weighted_avg": q_time_weighted_avg,
+    "q_watermark_lateness": q_watermark_lateness,
+    "q_theilsen_trend": q_theilsen_trend,
 }
 
 ORACLES = {
@@ -1250,5 +1409,71 @@ ORACLES = {
                (cum_n * 2 >= total_n AND (cum_n - n) * 2 < total_n)
                  AS is_median_bin
         FROM c
+    """,
+    # The two-level (bucket, carry) prefix max is associative, so the
+    # oracle may use the plain single-window running max — provably
+    # the same value (max over a prefix is max over any partition of
+    # that prefix).
+    "q_watermark_lateness": f"""
+        WITH late AS (
+            SELECT event_type, event_id,
+                   max(epoch_us(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - epoch_us(ts) AS late_us
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, late_us,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY late_us, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM late
+        )
+        SELECT event_type,
+               max(n) AS n_events,
+               count(CASE WHEN late_us > 0 THEN 1 END) AS n_late,
+               max(late_us) AS max_late_us,
+               {", ".join(
+                   f"max(CASE WHEN rn = (n * {p} + 99) // 100"
+                   f" THEN late_us END) AS p{p}_late_us"
+                   for p in WM_PCTS
+               )},
+               (count(CASE WHEN late_us > 0 THEN 1 END) * 1000000)
+                   // max(n) AS share_late_ppm
+        FROM ranked GROUP BY event_type
+    """,
+    # Slope quantization keeps every div numerator non-negative, so
+    # trunc-vs-floor division semantics cannot diverge between engines.
+    "q_theilsen_trend": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS vu,
+                   event_id
+            FROM events
+        ),
+        sl AS (
+            SELECT l.user_id, l.event_id AS id1, r.event_id AS id2,
+                   CASE WHEN (r.vu - l.vu) >= 0
+                        THEN ((r.vu - l.vu) * 10000000000) // (r.us - l.us)
+                        ELSE -((-((r.vu - l.vu) * 10000000000)
+                                + (r.us - l.us) - 1) // (r.us - l.us))
+                   END AS slope_micro
+            FROM e l JOIN e r
+              ON l.user_id = r.user_id AND l.us < r.us
+        ),
+        ranked AS (
+            SELECT user_id, slope_micro,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY slope_micro, id1, id2) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM sl
+        )
+        SELECT user_id,
+               max(n) AS n_pairs,
+               max(CASE WHEN rn = (n + 1) // 2 THEN slope_micro END)
+                   AS slope_micro,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN slope_micro END)
+                    AS DOUBLE) / 1e6 AS slope_per_s
+        FROM ranked GROUP BY user_id
     """,
 }
