@@ -59,6 +59,13 @@ HEADLINERS = [
     "q_dtw_1nn",         # r11: TakeOrdered probe window + broadcast DP
     "q_hll_register_table",  # r11: distinct-prefix collapse + max agg
     "q_video_mean_dhash",    # r11: one Arrow decode+mean pass, no joins
+    "q_scd2",            # r11: change filter + intervals on ONE exchange
+    "q_feature_snapshot",  # r11: all features in one strictly-before frame
+    "q_watermark_lateness",  # r11: two-level arrival carry + rank select
+    "q_theilsen_trend",  # r11: user-key pair join, window reuses the key
+    "q_bigram_backoff",  # r11: train-split counts broadcast onto tokens
+    "q_dedup_graph_stats",   # r11: wedge joins over the bounded edge frame
+    "q_skyline",         # r11: dominance anti-join on the aggregate tier
 ]
 
 SF = "/root/testdata/sf0.01"

