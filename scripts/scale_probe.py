@@ -437,6 +437,13 @@ def main() -> None:
         "(asserted in tests/test_plans.py) is what the ×16 column",
         "demonstrates empirically.",
         "",
+        "q_theilsen_trend is the one deliberately COMPUTE-bound probe:",
+        "pair count is signals × n_i², so 16× the signals is 16× the",
+        "pairs and the near-16× time is LINEAR data scaling at full",
+        "CPU, not per-task state growth (per-signal history n_i is",
+        "constant on this axis; the hot-signal lever is the documented",
+        "per-signal sample cap).",
+        "",
         "## Corpus axis: documents ×1/×4/×16",
         "",
         "Each replica maps the text through a replica-specific alphabet",
