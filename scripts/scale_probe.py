@@ -76,6 +76,10 @@ PROBES = {
     "q_feature_snapshot": "point-in-time feature join, one window",
     "q_watermark_lateness": "two-level arrival carry + rank selection",
     "q_theilsen_trend": "per-signal pairwise-slope median",
+    # r11 continuation: HW rides the (signal, day) close selection +
+    # the grouped-scan carry (2+m doubles per signal) — the q_ewma
+    # shape, so growth must track the scan
+    "q_holt_winters": "daily-close Holt-Winters triple smoothing",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,

@@ -241,3 +241,66 @@ def test_bigram_backoff_bounds(spark):
     assert (pdf["mean_lp10"] <= 0).all()
     assert (pdf["n_backoff"] <= pdf["n_bigrams"]).all()
     assert (pdf["n_backoff"] >= 0).all()
+
+
+def test_holt_winters_periodic_series_forecasts_the_pattern(spark, tmp_path):
+    """On a pure m-periodic series the HW state is invariant (level
+    stays the seed mean, trend 0, seasonals the seed offsets), so the
+    one-season-ahead forecast must reproduce the pattern itself."""
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.tsanalytics import (
+        HW_H,
+        HW_M,
+        q_holt_winters,
+    )
+
+    pattern = [10.0, 40.0, 25.0, 5.0, 60.0, 35.0, 20.0]
+    n_days = HW_M * 6
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n_days),
+            "ts": pd.date_range("2024-01-01", periods=n_days, freq="1D"),
+            "user_id": [3] * n_days,
+            "event_type": ["view"] * n_days,
+            "value": [pattern[d % HW_M] for d in range(n_days)],
+            "props": ["{}"] * n_days,
+        }
+    )
+    d = str(tmp_path / "per")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    out = (
+        q_holt_winters(spark, d)
+        .orderBy("h")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(out) == HW_H
+    assert (out["trend"].abs() < 1e-9).all()
+    for _, row in out.iterrows():
+        want = pattern[(n_days + int(row["h"]) - 1) % HW_M]
+        assert abs(row["forecast"] - want) < 1e-9, (row["h"], want)
+
+
+def test_holt_winters_chunk_seams_bit_identical(spark):
+    """7-row Arrow chunks: the (level, trend, s1..s7) carry must make
+    chunked execution bit-identical (the q_ewma discipline)."""
+    from timeseriesdb_spark.operators.tsanalytics import q_holt_winters
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+
+    def snap():
+        return sorted(
+            tuple(row[c] for c in ["user_id", "h", "forecast", "level",
+                                   "trend", "seasonal"])
+            for row in q_holt_winters(spark, SF_DIR).collect()
+        )
+
+    big = snap()
+    try:
+        spark.conf.set(key, "7")
+        small = snap()
+    finally:
+        spark.conf.set(key, old)
+    assert small == big

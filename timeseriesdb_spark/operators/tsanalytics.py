@@ -862,6 +862,193 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HW_ALPHA = 0.3   # Holt-Winters level smoothing
+HW_BETA = 0.1    # trend smoothing
+HW_GAMMA = 0.2   # seasonal smoothing
+HW_M = 7         # season length (daily series, weekly season)
+HW_H = 7         # forecast horizon (one season ahead)
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing — the top of
+    the forecasting ladder (EWMA → Holt → this): level + trend +
+    m=7 seasonal slots over each signal's DAILY CLOSE series, then a
+    one-season-ahead forecast ŷ_{T+h} = l_T + h·b_T + s_{T+h−m}.
+    The input is pure SELECTION (last value per signal-day), so no
+    arithmetic enters before the recurrence.
+
+    Seeding (classic): l = mean of the first m closes (sequential
+    left-assoc sum), b = 0, s_i = v_i − l; the recurrence runs from
+    sample m+1. Seasonality is POSITION-based (every m-th sample);
+    on a gappy calendar, regularize with q_resample_locf first.
+
+    ORACLE-CHECKED like q_ewma/q_holt_forecast: every update is a
+    fixed IEEE double chain — l ← α(v−s_k) + (1−α)(l+b);
+    b ← β(l_new−l) + (1−β)b; s_k ← γ(v−l_new) + (1−γ)s_k — so a
+    DuckDB recursive CTE carrying (level, trend, s1..s7) as columns
+    replays the final state bitwise; outputs are full precision.
+
+    Scale shape: one (signal, day) exchange for the close selection,
+    then the stateful_grouped_scan discipline — state is 2 + m
+    doubles per signal, per-task memory one Arrow batch, bit-identical
+    across chunk seams (the streaming-kernel guarantee)."""
+    from timeseriesdb_spark.operators.transforms import stateful_grouped_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("ts"),
+            "event_id",
+            F.col("value").alias("close"),
+        )
+    )
+
+    def hw(pdf: pd.DataFrame, state):
+        import numpy as np
+
+        v = pdf["close"].to_numpy(dtype=np.float64)
+        if state is None:
+            buf, l, b, s, t = [], None, None, None, 0
+        else:
+            buf, l, b, s, t = state
+            buf, s = list(buf), (list(s) if s is not None else None)
+        i = 0
+        if l is None:
+            take = min(HW_M - len(buf), len(v))
+            buf.extend(float(x) for x in v[:take])
+            i = take
+            if len(buf) < HW_M:
+                return None, (tuple(buf), None, None, None, len(buf))
+            acc = buf[0]
+            for x in buf[1:]:
+                acc = acc + x
+            l = acc / float(HW_M)
+            b = 0.0
+            s = [x - l for x in buf]
+            t = HW_M
+        for x in v[i:]:
+            t += 1
+            k = (t - 1) % HW_M
+            prev_l = l
+            l = HW_ALPHA * (x - s[k]) + (1 - HW_ALPHA) * (prev_l + b)
+            b = HW_BETA * (l - prev_l) + (1 - HW_BETA) * b
+            s[k] = HW_GAMMA * (x - l) + (1 - HW_GAMMA) * s[k]
+        return None, (tuple(buf), l, b, tuple(s), t)
+
+    def forecast(uid, state):
+        if state is None or state[1] is None:
+            return None
+        _, l, b, s, t = state
+        rows = []
+        for h in range(1, HW_H + 1):
+            k = (t + h - 1) % HW_M
+            rows.append(
+                (int(uid), h, l + float(h) * b + s[k], l, b, s[k])
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "h", "forecast", "level", "trend", "seasonal",
+            ],
+        )
+
+    return stateful_grouped_scan(
+        daily,
+        hw,
+        "user_id bigint, h bigint, forecast double, level double, "
+        "trend double, seasonal double",
+        finalize=forecast,
+    )
+
+
+def _hw_oracle_sql() -> str:
+    """Holt-Winters recursive-CTE replay: (level, trend, s1..sm) as
+    explicit columns, every update spelled as the identical IEEE
+    expression tree the kernel folds (constants via !r so the
+    Python-computed 1−α/1−β/1−γ bits embed verbatim)."""
+    m, a, b_, g = HW_M, HW_ALPHA, HW_BETA, HW_GAMMA
+    sk = (
+        f"CASE ((s.rn - 1) % {m}) + 1 "
+        + " ".join(f"WHEN {i} THEN r.s{i}" for i in range(1, m + 1))
+        + " END"
+    )
+    lnew = (
+        f"(CAST({a!r} AS DOUBLE) * (s.close - {sk}) "
+        f"+ CAST({1 - a!r} AS DOUBLE) * (r.level + r.trend))"
+    )
+    s_cols = ", ".join(
+        f"CASE WHEN ((s.rn - 1) % {m}) + 1 = {i} "
+        f"THEN CAST({g!r} AS DOUBLE) * (s.close - {lnew}) "
+        f"+ CAST({1 - g!r} AS DOUBLE) * r.s{i} ELSE r.s{i} END AS s{i}"
+        for i in range(1, m + 1)
+    )
+    seed_sum = "d1.close"
+    for i in range(2, m + 1):
+        seed_sum = f"({seed_sum} + d{i}.close)"
+    seed_joins = " ".join(
+        f"JOIN dseq d{i} ON d{i}.user_id = d1.user_id AND d{i}.rn = {i}"
+        for i in range(2, m + 1)
+    )
+    sk_t = (
+        f"CASE ((f.rn + h.h - 1) % {m}) + 1 "
+        + " ".join(f"WHEN {i} THEN f.s{i}" for i in range(1, m + 1))
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT user_id, day, close FROM (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       value AS close,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rnc
+                FROM events
+            ) WHERE rnc = 1
+        ),
+        dseq AS (
+            SELECT user_id, close,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM daily
+        ),
+        seed0 AS (
+            SELECT d1.user_id, d1.n,
+                   {seed_sum} / CAST({m} AS DOUBLE) AS level,
+                   {", ".join(f"d{i}.close AS c{i}" for i in range(1, m + 1))}
+            FROM dseq d1 {seed_joins}
+            WHERE d1.rn = 1
+        ),
+        r AS (
+            SELECT user_id, CAST({m} AS BIGINT) AS rn, n, level,
+                   CAST(0 AS DOUBLE) AS trend,
+                   {", ".join(f"c{i} - level AS s{i}" for i in range(1, m + 1))}
+            FROM seed0
+            UNION ALL
+            SELECT s.user_id, s.rn, r.n,
+                   {lnew} AS level,
+                   CAST({b_!r} AS DOUBLE) * ({lnew} - r.level)
+                       + CAST({1 - b_!r} AS DOUBLE) * r.trend AS trend,
+                   {s_cols}
+            FROM r JOIN dseq s
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT f.user_id, CAST(h.h AS BIGINT) AS h,
+               f.level + h.h * f.trend + {sk_t} AS forecast,
+               f.level, f.trend, {sk_t} AS seasonal
+        FROM r f
+        CROSS JOIN (VALUES {", ".join(f"({h})" for h in range(1, HW_H + 1))})
+            AS h(h)
+        WHERE f.rn = f.n
+    """
+
+
 WM_CHUNK = 4096      # arrival-order bucket width for the prefix-max carry
 WM_PCTS = [50, 95, 99]  # exact type-1 lateness percentiles reported
 
@@ -1036,6 +1223,7 @@ QUERIES = {
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_watermark_lateness": q_watermark_lateness,
     "q_theilsen_trend": q_theilsen_trend,
+    "q_holt_winters": q_holt_winters,
 }
 
 ORACLES = {
@@ -1442,6 +1630,7 @@ ORACLES = {
                    // max(n) AS share_late_ppm
         FROM ranked GROUP BY event_type
     """,
+    "q_holt_winters": _hw_oracle_sql(),
     # Slope quantization keeps every div numerator non-negative, so
     # trunc-vs-floor division semantics cannot diverge between engines.
     "q_theilsen_trend": """
