@@ -124,7 +124,10 @@ def test_theilsen_exact_on_linear_series(spark, tmp_path):
     micro-unit quantization: floor(250·10¹⁰ / 6·10⁷) = 41_666."""
     import pandas as pd
 
-    from timeseriesdb_spark.operators.tsanalytics import q_theilsen_trend
+    from timeseriesdb_spark.operators.tsanalytics import (
+        THEILSEN_SAMPLE_CAP,
+        q_theilsen_trend,
+    )
 
     n = 40
     pdf = pd.DataFrame(
@@ -139,7 +142,8 @@ def test_theilsen_exact_on_linear_series(spark, tmp_path):
     )
     out = q_theilsen_trend(spark, _write_events(spark, tmp_path, pdf)).collect()
     assert len(out) == 1
-    assert out[0]["n_pairs"] == n * (n - 1) // 2
+    k = min(n, THEILSEN_SAMPLE_CAP)
+    assert out[0]["n_pairs"] == k * (k - 1) // 2
     assert out[0]["slope_micro"] == 41_666
     assert abs(out[0]["slope_per_s"] - 0.041666) < 1e-12
 
@@ -168,6 +172,76 @@ def test_theilsen_shrugs_off_outliers(spark, tmp_path):
     )
     out = q_theilsen_trend(spark, _write_events(spark, tmp_path, pdf)).collect()
     assert out[0]["slope_micro"] == 41_666
+
+
+def test_theilsen_hot_signal_pair_fanout_is_capped(spark, tmp_path):
+    """A hot signal with 10× the cap's history must produce exactly
+    K·(K−1)/2 pairs (K = THEILSEN_SAMPLE_CAP), and the sample must be
+    the deterministic md5-window one — recomputed here in pure Python
+    (hashlib.md5 of the decimal event_id string, the same bytes both
+    engines hash), the capped median must equal Theil-Sen run directly
+    on that recomputed sample."""
+    import hashlib
+
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.tsanalytics import (
+        THEILSEN_SAMPLE_CAP,
+        q_theilsen_trend,
+    )
+
+    n = THEILSEN_SAMPLE_CAP * 10
+    rng_vals = [10.0 + 0.37 * t + (7.0 if t % 11 == 0 else 0.0) for t in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "user_id": [3] * n,
+            "event_type": ["view"] * n,
+            "value": rng_vals,
+            "props": ["{}"] * n,
+        }
+    )
+    out = q_theilsen_trend(spark, _write_events(spark, tmp_path, pdf)).collect()
+    assert len(out) == 1
+    k = THEILSEN_SAMPLE_CAP
+    assert out[0]["n_pairs"] == k * (k - 1) // 2
+
+    # replay the md5-window sample and the integer slope median in Python
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    sample = sorted(order[:k])  # event_id ascending == us ascending here
+    us = [int(pd.Timestamp("2024-01-01").value // 1000) + 60_000_000 * i for i in sample]
+    vu = [round(rng_vals[i] * 100) for i in sample]
+    slopes = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            num, den = (vu[b] - vu[a]) * 10_000_000_000, us[b] - us[a]
+            slopes.append(num // den)  # Python // is floor — same identity
+    slopes.sort()
+    assert out[0]["slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_theilsen_span_overflow_fails_loud(spark, tmp_path):
+    """A pair whose value span exceeds THEILSEN_SPAN_CENTS must raise
+    (raise_error in the plan) rather than silently wrap — pinning the
+    cross-engine overflow contract from the docstring."""
+    import pandas as pd
+    import pytest
+
+    from timeseriesdb_spark.operators.tsanalytics import q_theilsen_trend
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": pd.date_range("2024-01-01", periods=2, freq="1min"),
+            "user_id": [5, 5],
+            "event_type": ["view", "view"],
+            "value": [0.0, 2e7],  # 2e9 cents > THEILSEN_SPAN_CENTS
+            "props": ["{}", "{}"],
+        }
+    )
+    with pytest.raises(Exception, match="int64-safe bound"):
+        q_theilsen_trend(spark, _write_events(spark, tmp_path, pdf)).collect()
 
 
 def test_watermark_lateness_matches_pandas_cummax(spark, tmp_path):

@@ -21,6 +21,11 @@ from timeseriesdb_spark.tables import load_table
 FOLLOW_MIN = 30     # interval-join window after a trigger event, minutes
 EWMA_ALPHA = 0.2    # smoothing factor
 HIST_BIN_W = 25.0   # histogram bin width over `value`
+# Theil-Sen: per-signal md5-window subsample cap (bounds pair fan-out
+# at K²/2 per signal regardless of history length) and the int64-safe
+# per-pair value-span bound in cents (span·10¹⁰ must fit in int64).
+THEILSEN_SAMPLE_CAP = 32
+THEILSEN_SPAN_CENTS = 900_000_000
 
 
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,18 +1152,36 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     value span, inside int64.
 
     Scale shape: the pair fan-out is a self equi-join on user_id, so
-    cost is Σᵢ nᵢ² — bounded by per-signal HISTORY, not corpus size
-    (the scaling axis adds signals, not history; SCALING.md). For
-    hot signals with unbounded history the estimator degrades
-    gracefully: subsample each signal to K samples first (the
-    md5-window probe-set pattern, DTW_PROBE_CAP) and Theil-Sen on
-    K²/2 pairs retains its breakdown point."""
+    raw cost would be Σᵢ nᵢ² — per-signal HISTORY squared. A hot
+    signal with unbounded history would own the stage, so each signal
+    is first subsampled to THEILSEN_SAMPLE_CAP points in
+    (md5(event_id), event_id) order — the deterministic md5-window
+    discipline of DTW_PROBE_CAP / IVF_TRAIN_CAP (similarity.py),
+    replayed verbatim in the oracle so both engines rank the SAME
+    ≤K²/2 pairs. Theil-Sen on a uniform subsample keeps its ~29%
+    breakdown point (the sample inherits the contamination rate), and
+    per-signal work is now O(K²) regardless of history length.
+
+    Overflow contract: Δcents·10¹⁰ must stay inside int64, i.e. the
+    per-pair value span ≤ THEILSEN_SPAN_CENTS (9·10⁸ cents = $9M).
+    Beyond that, non-ANSI Spark would wrap silently while DuckDB
+    raises — so BOTH engines guard the span explicitly and fail
+    loudly and identically (raise_error / error) instead of
+    diverging."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
         F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("vu"),
         "event_id",
+    )
+    ws = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    e = (
+        e.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= THEILSEN_SAMPLE_CAP)
+        .drop("srn")
     )
     l = e.select(
         "user_id",
@@ -1175,7 +1198,10 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict time order: equal-timestamp pairs have no slope (Δt = 0)
     pairs = l.join(r, "user_id").where(F.col("us1") < F.col("us2"))
     slope = F.expr(
-        "CASE WHEN (v2 - v1) >= 0 "
+        f"CASE WHEN abs(v2 - v1) > {THEILSEN_SPAN_CENTS} "
+        "THEN CAST(raise_error('q_theilsen_trend: per-pair value span "
+        "exceeds the int64-safe bound (THEILSEN_SPAN_CENTS)') AS BIGINT) "
+        "WHEN (v2 - v1) >= 0 "
         "THEN ((v2 - v1) * 10000000000) div (us2 - us1) "
         "ELSE -((-((v2 - v1) * 10000000000) + (us2 - us1) - 1) "
         "div (us2 - us1)) END"
@@ -1633,16 +1659,30 @@ ORACLES = {
     "q_holt_winters": _hw_oracle_sql(),
     # Slope quantization keeps every div numerator non-negative, so
     # trunc-vs-floor division semantics cannot diverge between engines.
-    "q_theilsen_trend": """
-        WITH e AS (
+    # The md5-window subsample and the span guard are replayed
+    # verbatim: DuckDB md5 produces the same lowercase hex as Spark,
+    # and error() fails where Spark's raise_error fails.
+    "q_theilsen_trend": f"""
+        WITH e0 AS (
             SELECT user_id, epoch_us(ts) AS us,
                    CAST(round(value * 100) AS BIGINT) AS vu,
-                   event_id
+                   event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS srn
             FROM events
+        ),
+        e AS (
+            SELECT user_id, us, vu, event_id FROM e0
+            WHERE srn <= {THEILSEN_SAMPLE_CAP}
         ),
         sl AS (
             SELECT l.user_id, l.event_id AS id1, r.event_id AS id2,
-                   CASE WHEN (r.vu - l.vu) >= 0
+                   CASE WHEN abs(r.vu - l.vu) > {THEILSEN_SPAN_CENTS}
+                        THEN CAST(error('q_theilsen_trend: span overflow')
+                                  AS BIGINT)
+                        WHEN (r.vu - l.vu) >= 0
                         THEN ((r.vu - l.vu) * 10000000000) // (r.us - l.us)
                         ELSE -((-((r.vu - l.vu) * 10000000000)
                                 + (r.us - l.us) - 1) // (r.us - l.us))
