@@ -523,3 +523,92 @@ def test_dedup_graph_stats_matches_python_recount(spark):
     assert got["n_triangles"] == tris
     expect_cc = 0 if wedges == 0 else 3 * tris * 10**6 // wedges
     assert got["global_cc_ppm"] == expect_cc
+
+
+def test_knn_over_cap_degrades_to_md5_window_sample(spark, monkeypatch):
+    """r12: past KNN_TRAIN_CAP the 1-NN kernels must ANSWER on a
+    deterministic md5-window train subsample, not raise (VERDICT r11
+    #3). Force the cap below the sf train split (400 rows at sf0.001),
+    then replay the sample selection AND the GEMM scoring in pure
+    Python/numpy — identical float ops, so every prediction and
+    rounded distance must match exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.similarity import TEST_MOD, dtw_1nn
+    from timeseriesdb_spark.tables import load_table
+
+    cap = 50
+    monkeypatch.setattr(similarity, "KNN_TRAIN_CAP", cap)
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .toPandas()
+    )
+    tr = emb[emb.vec_id % TEST_MOD != 0]
+    assert len(tr) > cap  # the fixture genuinely exceeds the cap
+
+    out = similarity.q_knn_1nn(spark, SF_DIR).toPandas().set_index("test_id")
+
+    # replay: md5-window pick of the train sample, then the same GEMM
+    picked = sorted(
+        tr.vec_id.to_numpy(),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:cap]
+    ts = tr.set_index("vec_id").loc[sorted(picked)]
+    Tm = np.stack(ts["embedding"].to_numpy()).astype(np.float64)
+    tn2 = (Tm * Tm).sum(axis=1)
+    te = emb[emb.vec_id % TEST_MOD == 0]
+    A = np.stack(te["embedding"].to_numpy()).astype(np.float64)
+    a2 = (A * A).sum(axis=1)
+    d2 = np.round(np.maximum(a2[:, None] + tn2[None, :] - 2.0 * (A @ Tm.T), 0.0), 4)
+    best = d2.argmin(axis=1)
+    exp = pd.DataFrame(
+        {
+            "test_id": te.vec_id.to_numpy(dtype=np.int64),
+            "pred_label": ts["label"].to_numpy(dtype=np.int64)[best],
+            "dist2": d2[np.arange(len(best)), best],
+        }
+    ).set_index("test_id")
+    assert len(out) == len(exp)
+    got = out.loc[exp.index]
+    assert (got["pred_label"].to_numpy() == exp["pred_label"].to_numpy()).all()
+    assert np.array_equal(got["dist2"].to_numpy(), exp["dist2"].to_numpy())
+
+    # the DTW kernel rides the same bounded pull: must answer too
+    dt = dtw_1nn(spark, SF_DIR, band=0, probe_cap=5).toPandas()
+    assert len(dt) == 5
+
+
+def test_dedup_graph_stats_empty_graph_is_zero_not_null(spark, tmp_path):
+    """r12 (ADVICE r11): on a corpus with NO near-dup pairs the wedge
+    sum aggregates over zero rows — without the coalesce it is NULL
+    and leaks past the n_wedges = 0 guard. Documented semantics:
+    coefficient = 0, never NULL."""
+    import pandas as pd
+
+    from timeseriesdb_spark.operators.dedup import q_dedup_graph_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["s"] * 3,
+            "lang": ["en"] * 3,
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight nine",
+                "red orange yellow green blue indigo violet umber",
+            ],
+            "quality": [0.5] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    d = str(tmp_path / "empty_graph")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    row = q_dedup_graph_stats(spark, d).collect()[0]
+    assert row["n_edges"] == 0
+    assert row["n_wedges"] == 0 and row["n_wedges"] is not None
+    assert row["global_cc_ppm"] == 0

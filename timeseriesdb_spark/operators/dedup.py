@@ -1231,9 +1231,12 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+    # coalesce: sum over an EMPTY degree frame is NULL, which would
+    # leak NULL past the n_wedges = 0 guard below (ADVICE r11) — the
+    # documented semantics are coefficient = 0 on an empty graph
     base = deg.agg(
         F.count("*").alias("n_nodes"),
-        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+        F.expr("coalesce(sum(d * (d - 1)), 0) div 2").alias("n_wedges"),
     )
     n_edges = e.groupBy().agg(F.count("*").alias("n_edges"))
     # a<b<c wedges closed by an (a, c) edge — each triangle counted once
@@ -1581,7 +1584,8 @@ ORACLES = {
         ),
         base AS (
             SELECT count(*) AS n_nodes,
-                   CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+                   CAST(coalesce(sum(d * (d - 1)), 0) // 2 AS BIGINT)
+                       AS n_wedges
             FROM deg
         ),
         ne AS (SELECT count(*) AS n_edges FROM e),

@@ -654,6 +654,25 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_TRAIN_CAP = 200_000  # broadcast guard: ~200k × 64 × 8B ≈ 100 MB
 
 
+def _bounded_train_pull(emb: DataFrame, cap: int):
+    """The broadcast-side train pull shared by the 1-NN kernels: at
+    most `cap` train rows reach the driver, picked in (md5(vec_id),
+    vec_id) order — the IVF_TRAIN_CAP / DTW_PROBE_CAP md5-window
+    discipline, so an over-cap corpus degrades to a DETERMINISTIC
+    uniform subsample instead of raising (r12; previously ValueError).
+    Under the cap the limit is a no-op and the set is exactly the full
+    train split, so registered-oracle parity is untouched. Rows come
+    back sorted by vec_id ascending so numpy first-occurrence argmin
+    remains the smallest-train-id tie-break either way."""
+    return (
+        emb.filter(F.col("vec_id") % TEST_MOD != 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(cap)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+
+
 def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN classification (knn/mod.rs:303-316): for each test vector
     (vec_id % 5 == 0) the label of the squared-L2-argmin train vector.
@@ -663,9 +682,11 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The train side is the broadcast dictionary pattern (the reference
     slurps the train CSV whole, knn/main.rs:11-64) behind an explicit
-    KNN_TRAIN_CAP guard — past the cap this operator must switch to
-    the LSH/IVF candidate paths, and it says so instead of OOMing the
-    driver. Scoring is one GEMM per Arrow batch:
+    KNN_TRAIN_CAP bound — past the cap the train set degrades to the
+    deterministic md5-window subsample (_bounded_train_pull) so the
+    query keeps answering at any corpus size instead of OOMing the
+    driver; exact full-corpus 1-NN beyond the cap is what the LSH/IVF
+    candidate paths are for. Scoring is one GEMM per Arrow batch:
     d² = ||a||² + ||t||² − 2·A·Tᵀ, argmin per row (train rows sorted
     by vec_id, so numpy's first-occurrence argmin IS the tie-break).
 
@@ -681,18 +702,8 @@ def q_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    train = (
-        emb.filter(F.col("vec_id") % TEST_MOD != 0)
-        .orderBy("vec_id")
-        .limit(KNN_TRAIN_CAP + 1)
-        .toPandas()
-    )
-    if len(train) > KNN_TRAIN_CAP:
-        raise ValueError(
-            f"q_knn_1nn train side exceeds KNN_TRAIN_CAP={KNN_TRAIN_CAP}; "
-            "sample the train set or use the LSH/IVF candidate paths"
-        )
-    tids = train["vec_id"].to_numpy(dtype=np.int64)  # ascending (orderBy)
+    train = _bounded_train_pull(emb, KNN_TRAIN_CAP)
+    tids = train["vec_id"].to_numpy(dtype=np.int64)  # ascending (sorted)
     tlabels = train["label"].to_numpy(dtype=np.int64)
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
     tnorm2 = (tmat * tmat).sum(axis=1)
@@ -766,17 +777,7 @@ def dtw_1nn(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    train = (
-        emb.filter(F.col("vec_id") % TEST_MOD != 0)
-        .orderBy("vec_id")
-        .limit(KNN_TRAIN_CAP + 1)
-        .toPandas()
-    )
-    if len(train) > KNN_TRAIN_CAP:
-        raise ValueError(
-            f"dtw_1nn train side exceeds KNN_TRAIN_CAP={KNN_TRAIN_CAP}; "
-            "sample the train set or use LSH/IVF candidates first"
-        )
+    train = _bounded_train_pull(emb, KNN_TRAIN_CAP)
     tlabels = train["label"].to_numpy(dtype=np.int64)
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((tlabels, tmat, band))
@@ -1301,6 +1302,12 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_POOL)
         .collect()
     )
+    if not pool_rows:
+        # degenerate corpus (no query vector / <2 vectors): empty
+        # result, not IndexError on the missing argmax row
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, rel long, mmr_score long"
+        )
     ids = np.array([r["vec_id"] for r in pool_rows], dtype=np.int64)
     rels = np.array([r["rel"] for r in pool_rows], dtype=np.int64)
     mat = np.array([r["qe"] for r in pool_rows], dtype=np.int64)
