@@ -847,14 +847,23 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     lo = SPLIT_BOUNDS[0]
     train = doc.where(F.substring(F.md5(F.col("text")), 1, 2) < F.lit(lo))
-    twords = train.select(F.explode(warr).alias("w"))
-    tuni = twords.groupBy("w").agg(F.count("*").alias("c1"))
+    # one pass over the train split: N (token count) and V (vocab)
+    # both come off the checkpointed unigram table — N = Σc1 — so the
+    # explode/split runs once, not three times (ADVICE r11), and the
+    # two broadcast self-views below reuse the same checkpoint
+    tuni = (
+        train.select(F.explode(warr).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint()
+    )
     tbi = (
         train.select(F.explode(array_ngrams(warr, 2)).alias("bg"))
         .groupBy("bg")
         .agg(F.count("*").alias("c12"))
     )
-    nv = float(twords.count() + tuni.count())
+    n_v = tuni.agg(F.sum("c1"), F.count("*")).first()
+    nv = float(int(n_v[0] or 0) + int(n_v[1]))
     docbg = doc.select(
         "doc_id", F.explode(array_ngrams(warr, 2)).alias("bg")
     )
