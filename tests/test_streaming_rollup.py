@@ -95,8 +95,12 @@ def test_stream_distinct_sketches_match_batch(spark, tmp_path):
         r.user_id: r.approx_distinct
         for r in eng.distinct_estimate(sk).collect()
     }
+    # q_distinct_hll is pytest-only since r12 (the register tier is
+    # the declared surface) — import it directly
+    from timeseriesdb_spark.operators.chunking import q_distinct_hll
+
     exp = {
         r.user_id: r.approx_distinct
-        for r in QUERIES["q_distinct_hll"](spark, SF_DIR).collect()
+        for r in q_distinct_hll(spark, SF_DIR).collect()
     }
     assert got == exp
