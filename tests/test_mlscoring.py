@@ -49,3 +49,30 @@ def test_tree_model_is_deterministic_and_bounded(spark):
     assert len(t1) == 3  # root + two children: a broadcast-sized model
     for j, thr in t1:
         assert 0 <= j < 4 and isinstance(thr, float)
+
+
+FFT_FAMILIES = ["q_kmeans_drift_fft", "q_tree_drift_fft"]
+
+
+@pytest.mark.parametrize("family", FFT_FAMILIES)
+def test_fft_drift_agreement_bounded_and_deterministic(spark, family):
+    a = _rates(mlscoring.QUERIES[family](spark, SF_DIR))
+    assert a
+    for n, agree, rate in a.values():
+        assert 0 <= agree <= n
+        if n:
+            assert 0.0 <= rate <= 1.0
+    assert a == _rates(mlscoring.QUERIES[family](spark, SF_DIR))
+
+
+def test_fft_tier_segments_match_paa_tier(spark):
+    """The FFT tier buckets by q_fft_recon's pos, the PAA tier by its
+    own row_number — both over (ts, event_id) per signal, so every
+    signal must report the SAME number of complete segments. This is
+    the alignment claim that makes raw labels comparable across
+    tiers."""
+    paa = _rates(mlscoring.QUERIES["q_kmeans_drift"](spark, SF_DIR))
+    fft = _rates(mlscoring.QUERIES["q_kmeans_drift_fft"](spark, SF_DIR))
+    assert set(paa) == set(fft)
+    for u in paa:
+        assert paa[u][0] == fft[u][0], u

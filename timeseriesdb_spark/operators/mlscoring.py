@@ -431,11 +431,141 @@ def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_result(spark, sf_dir, label_of)
 
 
+# ---- FFT-tier drift (r12, VERDICT r11 #4) ---------------------------
+# The reference's lossyML matrix scores each model family across
+# SEVERAL degradation tiers — PAA, FFT, PLA, GRAIL
+# (lossyML/src/file_io.rs:60-230) — while the four q_*_drift queries
+# above score raw-vs-PAA only. This extends agreement scoring to the
+# truncated-Fourier tier by reusing q_fft_recon's integer-lattice
+# reconstruction (transforms.py — already hash-checked at both SFs):
+# degraded features are plain exact-decimal mean/std/min/max of the
+# reconstructed values per segment, raw features are computed from the
+# SAME frame, so raw labels provably equal the PAA family's raw labels
+# (sum over chunks of chunk sums == segment sum; pinned by pytest).
+
+
+def _fft_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment (raw, FFT-reconstructed) feature rows. Same
+    engine-exact discipline as _segment_features: values and recons
+    (the recon is on an exact 1e-6 grid by construction) round once
+    onto the DECIMAL(38,6) grid, sums become exact 1e-6-unit integers,
+    and the only float ops are the identical double divisions /
+    sqrt. Segment alignment: q_fft_recon's `pos` IS row_number over
+    (ts, event_id) per signal, so seg = pos div SEG_ROWS matches the
+    PAA family's bucketing exactly."""
+    from timeseriesdb_spark.operators.transforms import q_fft_recon
+
+    rec = q_fft_recon(spark, sf_dir)
+    v = F.col("value").cast(DEC).cast("double")
+    rv = F.col("recon").cast(DEC).cast("double")
+    base = rec.select(
+        "user_id",
+        v.alias("v"),
+        rv.alias("rv"),
+        F.floor(F.col("pos") / SEG_ROWS).alias("seg"),
+    )
+    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
+    segs = (
+        base.groupBy("user_id", "seg")
+        .agg(
+            units(F.sum(F.col("v").cast(DEC))).alias("su"),
+            units(F.sum((F.col("v") * F.col("v")).cast(DEC))).alias("ssu"),
+            F.min("v").alias("f_min"),
+            F.max("v").alias("f_max"),
+            units(F.sum(F.col("rv").cast(DEC))).alias("rsu"),
+            units(F.sum((F.col("rv") * F.col("rv")).cast(DEC))).alias(
+                "rssu"
+            ),
+            F.min("rv").alias("d_min"),
+            F.max("rv").alias("d_max"),
+            F.count("*").alias("nn"),
+        )
+        .where(F.col("nn") == SEG_ROWS)
+    )
+    mega = F.lit(1_000_000.0)
+    mean = F.col("su").cast("double") / F.col("nn") / mega
+    m2 = F.col("ssu").cast("double") / F.col("nn") / mega
+    dmean = F.col("rsu").cast("double") / F.col("nn") / mega
+    dm2 = F.col("rssu").cast("double") / F.col("nn") / mega
+    std = F.sqrt(F.greatest(m2 - mean * mean, F.lit(0.0)))
+    dstd = F.sqrt(F.greatest(dm2 - dmean * dmean, F.lit(0.0)))
+    return segs.select(
+        "user_id",
+        "seg",
+        mean.alias("f_mean"),
+        std.alias("f_std"),
+        F.col("f_min"),
+        F.col("f_max"),
+        dmean.alias("d_mean"),
+        dstd.alias("d_std"),
+        F.col("d_min"),
+        F.col("d_max"),
+    )
+
+
+def _fft_drift_result(
+    spark: SparkSession, sf_dir: str, label_of
+) -> DataFrame:
+    """_drift_result with the FFT-tier feature frame."""
+    feats = _fft_segment_features(spark, sf_dir)
+    labeled = feats.select(
+        "user_id",
+        label_of([F.col(c) for c in _FEATS_RAW]).alias("lr"),
+        label_of([F.col(c) for c in _FEATS_DEG]).alias("ld"),
+    )
+    per_user = labeled.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum((F.col("lr") == F.col("ld")).cast("bigint")).alias("n_agree"),
+    )
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    joined = users.join(per_user, "user_id", "left")
+    n = F.coalesce(F.col("n_segments"), F.lit(0))
+    a = F.coalesce(F.col("n_agree"), F.lit(0))
+    return joined.select(
+        "user_id",
+        n.alias("n_segments"),
+        a.alias("n_agree"),
+        F.when(n > 0, F.round(a / n, 6)).alias("agree_rate"),
+    )
+
+
+def q_kmeans_drift_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal kmeans label agreement between raw and
+    FFT-RECONSTRUCTED segments — the Fourier column of the lossyML
+    degradation matrix (lossyML/src/file_io.rs:60-230), answering
+    "does aging a segment to its truncated-DFT form change its
+    cluster?". Same trained centers as q_kmeans_drift (one model, all
+    tiers — the reference's design), scoring fully inside codegen."""
+    C = _train_kmeans(spark, sf_dir)
+
+    def label_of(f: list[Column]) -> Column:
+        dists = [
+            sum(
+                (f[j] - float(C[k, j])) * (f[j] - float(C[k, j]))
+                for j in range(4)
+            )
+            for k in range(N_CLUSTERS)
+        ]
+        return _argmin_label(dists)
+
+    return _fft_drift_result(spark, sf_dir, label_of)
+
+
+def q_tree_drift_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal threshold-tree label agreement on the FFT tier —
+    the dtree × Fourier cell of the lossyML matrix. Same trained tree
+    as q_tree_drift."""
+    tree = _train_tree(spark, sf_dir)
+    return _fft_drift_result(spark, sf_dir, lambda f: _tree_label(f, tree))
+
+
 QUERIES = {
     "q_kmeans_drift": q_kmeans_drift,
     "q_tree_drift": q_tree_drift,
     "q_knn_drift": q_knn_drift,
     "q_forest_drift": q_forest_drift,
+    "q_kmeans_drift_fft": q_kmeans_drift_fft,
+    "q_tree_drift_fft": q_tree_drift_fft,
 }
 ORACLES: dict[str, str] = {}
 
@@ -728,9 +858,130 @@ def _knn_drift_oracle(sf_dir: str | None = None) -> str:
     return _KNN_ORACLE_CACHE[sf_dir]
 
 
+def _fft_drift_tail_sql(fft_sql: str, labeled_sql: str) -> str:
+    """The FFT-tier twin of _drift_tail_sql: recon frame (the
+    q_fft_recon oracle verbatim, nested as a CTE), exact-decimal
+    segment features over (value, recon), the family's labeled CTE,
+    then the every-signal agreement rollup."""
+    return f"""
+        WITH recon AS MATERIALIZED ({fft_sql}),
+        rnn AS (
+            SELECT user_id, pos,
+                   CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS v,
+                   CAST(CAST(recon AS DECIMAL(38,6)) AS DOUBLE) AS rv
+            FROM recon
+        ),
+        segs AS (
+            SELECT user_id, pos // {SEG_ROWS} AS seg,
+                   CAST(sum(CAST(v AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS su,
+                   CAST(sum(CAST(v * v AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS ssu,
+                   min(v) AS f_min, max(v) AS f_max,
+                   CAST(sum(CAST(rv AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS rsu,
+                   CAST(sum(CAST(rv * rv AS DECIMAL(38,6))) * 1000000
+                        AS BIGINT) AS rssu,
+                   min(rv) AS d_min, max(rv) AS d_max,
+                   count(*) AS nn
+            FROM rnn GROUP BY 1, 2
+            HAVING count(*) = {SEG_ROWS}
+        ),
+        feats AS (
+            SELECT user_id, seg,
+                   CAST(su AS DOUBLE) / nn / 1000000.0 AS f_mean,
+                   sqrt(greatest(CAST(ssu AS DOUBLE) / nn / 1000000.0
+                        - (CAST(su AS DOUBLE) / nn / 1000000.0)
+                        * (CAST(su AS DOUBLE) / nn / 1000000.0), 0.0))
+                       AS f_std,
+                   f_min, f_max,
+                   CAST(rsu AS DOUBLE) / nn / 1000000.0 AS d_mean,
+                   sqrt(greatest(CAST(rssu AS DOUBLE) / nn / 1000000.0
+                        - (CAST(rsu AS DOUBLE) / nn / 1000000.0)
+                        * (CAST(rsu AS DOUBLE) / nn / 1000000.0), 0.0))
+                       AS d_std,
+                   d_min, d_max
+            FROM segs
+        ),
+        {labeled_sql},
+        per_user AS (
+            SELECT user_id, count(*) AS n_segments,
+                   CAST(sum(CASE WHEN lr = ld THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM labeled GROUP BY user_id
+        ),
+        users AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(p.n_agree, 0) AS BIGINT) AS n_agree,
+               CASE WHEN coalesce(p.n_segments, 0) > 0
+                    THEN round(p.n_agree / p.n_segments, 6)
+               END AS agree_rate
+        FROM users u LEFT JOIN per_user p USING (user_id)
+    """
+
+
+_KM_FFT_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _kmeans_fft_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _KM_FFT_ORACLE_CACHE:
+        from timeseriesdb_spark.operators.transforms import (
+            _fft_recon_oracle,
+        )
+
+        C = _kmeans_centers_np(_oracle_sample(sf_dir))
+        labeled = f"""dists AS (
+            SELECT user_id, seg,
+                   {", ".join(f"{d} AS dr{k}" for k, d in
+                              enumerate(_kmeans_dists_sql(C, _RAW_COLS)))},
+                   {", ".join(f"{d} AS dd{k}" for k, d in
+                              enumerate(_kmeans_dists_sql(C, _DEG_COLS)))}
+            FROM feats
+        ),
+        labeled AS (
+            SELECT user_id,
+                   {_argmin_case_sql([f"dr{k}" for k in range(N_CLUSTERS)])}
+                       AS lr,
+                   {_argmin_case_sql([f"dd{k}" for k in range(N_CLUSTERS)])}
+                       AS ld
+            FROM dists
+        )"""
+        _KM_FFT_ORACLE_CACHE[sf_dir] = _fft_drift_tail_sql(
+            _fft_recon_oracle(sf_dir), labeled
+        )
+    return _KM_FFT_ORACLE_CACHE[sf_dir]
+
+
+_TREE_FFT_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _tree_fft_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _TREE_FFT_ORACLE_CACHE:
+        from timeseriesdb_spark.operators.transforms import (
+            _fft_recon_oracle,
+        )
+
+        tree = _tree_np(_oracle_sample(sf_dir))
+        labeled = f"""labeled AS (
+            SELECT user_id,
+                   {_tree_case_sql(tree, _RAW_COLS)} AS lr,
+                   {_tree_case_sql(tree, _DEG_COLS)} AS ld
+            FROM feats
+        )"""
+        _TREE_FFT_ORACLE_CACHE[sf_dir] = _fft_drift_tail_sql(
+            _fft_recon_oracle(sf_dir), labeled
+        )
+    return _TREE_FFT_ORACLE_CACHE[sf_dir]
+
+
 LAZY_ORACLES = {
     "q_kmeans_drift": _kmeans_drift_oracle,
     "q_tree_drift": _tree_drift_oracle,
     "q_knn_drift": _knn_drift_oracle,
     "q_forest_drift": _forest_drift_oracle,
+    "q_kmeans_drift_fft": _kmeans_fft_drift_oracle,
+    "q_tree_drift_fft": _tree_fft_drift_oracle,
 }
