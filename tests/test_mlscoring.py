@@ -51,7 +51,7 @@ def test_tree_model_is_deterministic_and_bounded(spark):
         assert 0 <= j < 4 and isinstance(thr, float)
 
 
-FFT_FAMILIES = ["q_kmeans_drift_fft", "q_tree_drift_fft"]
+FFT_FAMILIES = ["q_kmeans_drift_fft", "q_tree_drift_fft", "q_kmeans_drift_pla"]
 
 
 @pytest.mark.parametrize("family", FFT_FAMILIES)
@@ -73,6 +73,7 @@ def test_fft_tier_segments_match_paa_tier(spark):
     tiers."""
     paa = _rates(mlscoring.QUERIES["q_kmeans_drift"](spark, SF_DIR))
     fft = _rates(mlscoring.QUERIES["q_kmeans_drift_fft"](spark, SF_DIR))
-    assert set(paa) == set(fft)
+    pla = _rates(mlscoring.QUERIES["q_kmeans_drift_pla"](spark, SF_DIR))
+    assert set(paa) == set(fft) == set(pla)
     for u in paa:
-        assert paa[u][0] == fft[u][0], u
+        assert paa[u][0] == fft[u][0] == pla[u][0], u

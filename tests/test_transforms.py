@@ -163,3 +163,38 @@ def test_fft_twiddle_table_matches_kernel_inline():
         fc, fs = fft_twiddles_int(n)
         assert (fc == c).all() and (fs == s).all()
         assert fc[0] == FFT_TWS and fs[0] == 0  # DC exactness
+
+
+def test_pla_recon_reproduces_kept_points_and_interpolates(spark):
+    """r12: q_pla_recon must (a) cover every original position exactly
+    once, (b) reproduce each LTTB-kept point's value to the cents
+    grid exactly, and (c) keep every interpolated value inside the
+    cents interval of its bracketing kept points (a line segment never
+    leaves its endpoints' range)."""
+    rec = QUERIES["q_pla_recon"](spark, SF_DIR).toPandas()
+    kept = QUERIES["q_pla_lttb"](spark, SF_DIR).toPandas()
+    from timeseriesdb_spark.tables import load_table
+
+    full = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    for uid, g in full.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        r = rec[rec.user_id == uid].sort_values("pos").reset_index(drop=True)
+        assert len(r) == len(g)  # (a) full coverage
+        assert (r["pos"].to_numpy() == np.arange(len(g))).all()
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5)
+        k = kept[kept.user_id == uid].sort_values(["ts", "event_id"])
+        kpos = np.sort(
+            g.reset_index().merge(k[["event_id"]], on="event_id")["index"].to_numpy()
+        )
+        rc = r["recon"].to_numpy() * 100.0  # recon in cents (exact 1e-6 grid)
+        # (b) kept points exact on the cents grid
+        assert np.abs(rc[kpos] - cents[kpos]).max() < 1e-6, uid
+        # (c) interp bounded by bracketing endpoints
+        for a, b in zip(kpos[:-1], kpos[1:]):
+            lo, hi = min(cents[a], cents[b]), max(cents[a], cents[b])
+            seg = rc[a : b + 1]
+            assert (seg >= lo - 1e-6).all() and (seg <= hi + 1e-6).all(), uid

@@ -444,18 +444,24 @@ def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (sum over chunks of chunk sums == segment sum; pinned by pytest).
 
 
-def _fft_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment (raw, FFT-reconstructed) feature rows. Same
+def _fft_segment_features(
+    spark: SparkSession, sf_dir: str, recon_fn=None
+) -> DataFrame:
+    """Per-segment (raw, reconstructed) feature rows for any recon
+    tier emitting the (user_id, pos, value, recon) contract —
+    q_fft_recon by default, q_pla_recon for the PLA tier. Same
     engine-exact discipline as _segment_features: values and recons
     (the recon is on an exact 1e-6 grid by construction) round once
     onto the DECIMAL(38,6) grid, sums become exact 1e-6-unit integers,
     and the only float ops are the identical double divisions /
-    sqrt. Segment alignment: q_fft_recon's `pos` IS row_number over
-    (ts, event_id) per signal, so seg = pos div SEG_ROWS matches the
-    PAA family's bucketing exactly."""
-    from timeseriesdb_spark.operators.transforms import q_fft_recon
+    sqrt. Segment alignment: the recon queries' `pos` IS row_number
+    over (ts, event_id) per signal, so seg = pos div SEG_ROWS matches
+    the PAA family's bucketing exactly."""
+    if recon_fn is None:
+        from timeseriesdb_spark.operators.transforms import q_fft_recon
 
-    rec = q_fft_recon(spark, sf_dir)
+        recon_fn = q_fft_recon
+    rec = recon_fn(spark, sf_dir)
     v = F.col("value").cast(DEC).cast("double")
     rv = F.col("recon").cast(DEC).cast("double")
     base = rec.select(
@@ -504,10 +510,10 @@ def _fft_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fft_drift_result(
-    spark: SparkSession, sf_dir: str, label_of
+    spark: SparkSession, sf_dir: str, label_of, recon_fn=None
 ) -> DataFrame:
-    """_drift_result with the FFT-tier feature frame."""
-    feats = _fft_segment_features(spark, sf_dir)
+    """_drift_result with a reconstruction-tier feature frame."""
+    feats = _fft_segment_features(spark, sf_dir, recon_fn)
     labeled = feats.select(
         "user_id",
         label_of([F.col(c) for c in _FEATS_RAW]).alias("lr"),
@@ -559,6 +565,32 @@ def q_tree_drift_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fft_drift_result(spark, sf_dir, lambda f: _tree_label(f, tree))
 
 
+def q_kmeans_drift_pla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal kmeans label agreement between raw and
+    PLA-RECONSTRUCTED segments (q_pla_recon's piecewise-linear read-
+    back of the LTTB kept points) — the PLA column of the lossyML
+    degradation matrix. With FFT and PAA this completes the three
+    reconstruction-backed tiers the reference sweeps
+    (lossyML/src/file_io.rs:60-230; GRAIL scores an embedding, not a
+    reconstruction — its agreement is covered by q_grail_embed's
+    oracle-checked kernel). Same trained centers as q_kmeans_drift."""
+    from timeseriesdb_spark.operators.transforms import q_pla_recon
+
+    C = _train_kmeans(spark, sf_dir)
+
+    def label_of(f: list[Column]) -> Column:
+        dists = [
+            sum(
+                (f[j] - float(C[k, j])) * (f[j] - float(C[k, j]))
+                for j in range(4)
+            )
+            for k in range(N_CLUSTERS)
+        ]
+        return _argmin_label(dists)
+
+    return _fft_drift_result(spark, sf_dir, label_of, recon_fn=q_pla_recon)
+
+
 QUERIES = {
     "q_kmeans_drift": q_kmeans_drift,
     "q_tree_drift": q_tree_drift,
@@ -566,6 +598,7 @@ QUERIES = {
     "q_forest_drift": q_forest_drift,
     "q_kmeans_drift_fft": q_kmeans_drift_fft,
     "q_tree_drift_fft": q_tree_drift_fft,
+    "q_kmeans_drift_pla": q_kmeans_drift_pla,
 }
 ORACLES: dict[str, str] = {}
 
@@ -977,6 +1010,42 @@ def _tree_fft_drift_oracle(sf_dir: str | None = None) -> str:
     return _TREE_FFT_ORACLE_CACHE[sf_dir]
 
 
+_KM_PLA_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _kmeans_pla_drift_oracle(sf_dir: str | None = None) -> str:
+    """Same shape as the FFT factory; the recon CTE is q_pla_recon's
+    STATIC oracle (the LTTB selection needs no trained state — only
+    the kmeans centers make this lazy)."""
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _KM_PLA_ORACLE_CACHE:
+        from timeseriesdb_spark.operators.transforms import (
+            ORACLES as _T_ORACLES,
+        )
+
+        C = _kmeans_centers_np(_oracle_sample(sf_dir))
+        labeled = f"""dists AS (
+            SELECT user_id, seg,
+                   {", ".join(f"{d} AS dr{k}" for k, d in
+                              enumerate(_kmeans_dists_sql(C, _RAW_COLS)))},
+                   {", ".join(f"{d} AS dd{k}" for k, d in
+                              enumerate(_kmeans_dists_sql(C, _DEG_COLS)))}
+            FROM feats
+        ),
+        labeled AS (
+            SELECT user_id,
+                   {_argmin_case_sql([f"dr{k}" for k in range(N_CLUSTERS)])}
+                       AS lr,
+                   {_argmin_case_sql([f"dd{k}" for k in range(N_CLUSTERS)])}
+                       AS ld
+            FROM dists
+        )"""
+        _KM_PLA_ORACLE_CACHE[sf_dir] = _fft_drift_tail_sql(
+            _T_ORACLES["q_pla_recon"], labeled
+        )
+    return _KM_PLA_ORACLE_CACHE[sf_dir]
+
+
 LAZY_ORACLES = {
     "q_kmeans_drift": _kmeans_drift_oracle,
     "q_tree_drift": _tree_drift_oracle,
@@ -984,4 +1053,5 @@ LAZY_ORACLES = {
     "q_forest_drift": _forest_drift_oracle,
     "q_kmeans_drift_fft": _kmeans_fft_drift_oracle,
     "q_tree_drift_fft": _tree_fft_drift_oracle,
+    "q_kmeans_drift_pla": _kmeans_pla_drift_oracle,
 }

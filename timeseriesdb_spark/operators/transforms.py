@@ -459,6 +459,103 @@ def q_pla_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pla_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-LINEAR reconstruction from the LTTB kept points —
+    what q_pla_lttb's downsample looks like when read back as a full
+    series (the reference's PLA aging level reconstructs segments as
+    line pieces, pla_lttb.rs; this is the decode half its recoding
+    daemon applies on query). Emits (user_id, pos, value, recon) —
+    the same contract as q_fft_recon, which is what lets the drift
+    matrix (mlscoring.py) score the PLA tier with the identical
+    machinery.
+
+    ENGINE-EXACT: the kept-point selection is the q_pla_lttb integer
+    criterion verbatim; interpolation runs on the cents lattice
+    (yc = floor(value·100 + 0.5), exact on the testdata grid) and
+    emits half-away micro-units — recon_u = yc₀·10⁴ +
+    half-away((j−x₀)(yc₁−yc₀)·10⁴ / (x₁−x₀)) — so kept positions
+    reproduce their value to the 1e-6 grid exactly and every emitted
+    double is the same small-integer/10⁶ in both engines. The oracle
+    reuses the q_pla_lttb recursive-CTE selection and adds one lead()
+    window + a bracketing join for the interp.
+
+    Scale shape: identical to q_pla_lttb — one signal-key exchange,
+    per-task state = one signal's chunk (packed_grouped_map); the
+    interp adds O(n) integer ops per signal."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def recon(pdf: pd.DataFrame) -> pd.DataFrame:
+        def lttb(yq: np.ndarray, n_out: int) -> np.ndarray:
+            n = len(yq)
+            if n_out >= n or n_out < 3:
+                return np.arange(n)
+            d = n_out - 2
+            bounds = 1 + (np.arange(n_out - 1, dtype=np.int64) * (n - 2)) // d
+            xs = np.arange(n, dtype=np.int64)
+            cs = bounds[1:]
+            ce = np.append(bounds[2:], n)
+            nonempty = ce > cs
+            ws = np.where(nonempty, ce - cs, 1)
+            sxs = np.where(nonempty, (cs + ce - 1) * (ce - cs) // 2, cs)
+            cum = np.concatenate(([0], np.cumsum(yq)))
+            sys_ = np.where(
+                nonempty,
+                cum[ce] - cum[cs],
+                np.where(cs < n, yq[np.minimum(cs, n - 1)], 0),
+            )
+            kept = [0]
+            for i in range(n_out - 2):
+                lo = int(bounds[i])
+                hi = int(max(bounds[i + 1], bounds[i] + 1))
+                w, sx, sy = int(ws[i]), int(sxs[i]), int(sys_[i])
+                ax = kept[-1]
+                ay = int(yq[ax])
+                seg = xs[lo:hi]
+                ys = yq[lo:hi]
+                areas = np.abs(
+                    (ax * w - sx) * (ys - ay) - (ax - seg) * (sy - ay * w)
+                )
+                kept.append(lo + int(np.argmax(areas)))
+            kept.append(n - 1)
+            return np.array(sorted(set(kept)), dtype=np.int64)
+
+        pdf = pdf.reset_index(drop=True)
+        n = len(pdf)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n_out = max(3, n // 10)  # LTTB_DENOM inline (closure rule)
+        yq = np.trunc(x * 1e6).astype(np.int64)  # LTTB_Y_SCALE inline
+        keep = lttb(yq, n_out)
+        yc = np.floor(x * 100.0 + 0.5).astype(np.int64)  # cents lattice
+        rec_u = np.empty(n, dtype=np.int64)
+        if len(keep) == 1:  # single-row signal: the point is itself
+            rec_u[0] = int(yc[0]) * 10_000
+        for a, b in zip(keep[:-1], keep[1:]):
+            a, b = int(a), int(b)
+            y0, dy, den = int(yc[a]), int(yc[b]) - int(yc[a]), b - a
+            j = np.arange(a, b + 1, dtype=np.int64)
+            num = (j - a) * dy * 10_000
+            q = np.where(
+                num >= 0,
+                (2 * num + den) // (2 * den),
+                -((2 * (-num) + den) // (2 * den)),
+            )
+            rec_u[a : b + 1] = y0 * 10_000 + q
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "pos": np.arange(n, dtype=np.int64),
+                "value": x,
+                "recon": rec_u.astype(np.float64) / 1e6,
+            }
+        )
+
+    return packed_grouped_map(
+        ev, recon, "user_id bigint, pos bigint, value double, recon double"
+    )
+
+
 MP_WINDOW = 16  # matrix-profile subsequence length
 
 
@@ -555,6 +652,7 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_fft_recon": q_fft_recon,
     "q_pla_lttb": q_pla_lttb,
+    "q_pla_recon": q_pla_recon,
     "q_matrix_profile": q_matrix_profile,
 }
 
@@ -647,9 +745,10 @@ _MP_ORACLE = f"""
            jdx AS mp_idx
     FROM pick WHERE rn = 1
 """
-ORACLES: dict[str, str] = {
-    "q_matrix_profile": _MP_ORACLE,
-    "q_pla_lttb": f"""
+# The recursive-CTE LTTB kept-point selection, shared by the
+# q_pla_lttb oracle (kept rows) and the q_pla_recon oracle (kept rows
+# + lead window + bracketing interp).
+_LTTB_KEPT_CTES = f"""
         WITH RECURSIVE seq AS (
             SELECT user_id, event_id, ts, value,
                    row_number() OVER (
@@ -733,8 +832,55 @@ ORACLES: dict[str, str] = {
             FROM seq s JOIN par p ON p.user_id = s.user_id
             WHERE p.n_out >= p.n
         )
+"""
+
+ORACLES: dict[str, str] = {
+    "q_matrix_profile": _MP_ORACLE,
+    "q_pla_lttb": f"""
+        {_LTTB_KEPT_CTES}
         SELECT s.user_id, s.event_id, s.ts, s.value
         FROM seq s
         JOIN kept k ON k.user_id = s.user_id AND k.pos = s.pos
+    """,
+    # Interp discipline mirrors the kernel exactly: cents lattice
+    # yc = floor(value*100 + 0.5), half-away micro-unit division, the
+    # final kept point (no successor) emitted via the x1 = x0 + 1
+    # degenerate segment whose numerator is 0 at pos = x0.
+    "q_pla_recon": f"""
+        {_LTTB_KEPT_CTES},
+        ky AS (
+            SELECT k.user_id, k.pos,
+                   CAST(floor(s.value * 100.0 + 0.5) AS BIGINT) AS yc,
+                   lead(k.pos) OVER (
+                       PARTITION BY k.user_id ORDER BY k.pos) AS npos,
+                   lead(CAST(floor(s.value * 100.0 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY k.user_id ORDER BY k.pos)
+                       AS nyc
+            FROM kept k
+            JOIN seq s ON s.user_id = k.user_id AND s.pos = k.pos
+        ),
+        brack AS (
+            SELECT user_id, pos AS x0, yc, npos AS x1, nyc
+            FROM ky WHERE npos IS NOT NULL
+            UNION ALL
+            SELECT user_id, pos AS x0, yc, pos + 1 AS x1, yc AS nyc
+            FROM ky WHERE npos IS NULL
+        ),
+        interp AS (
+            SELECT s.user_id, s.pos, s.value,
+                   b.x0, b.x1, b.yc, b.nyc
+            FROM seq s
+            JOIN brack b ON b.user_id = s.user_id
+                        AND s.pos >= b.x0 AND s.pos < b.x1
+        )
+        SELECT user_id, pos, value,
+               CAST(yc * 10000 +
+                    CASE WHEN (pos - x0) * (nyc - yc) >= 0
+                         THEN (2 * (pos - x0) * (nyc - yc) * 10000
+                               + (x1 - x0)) // (2 * (x1 - x0))
+                         ELSE -((2 * (-((pos - x0) * (nyc - yc))) * 10000
+                                 + (x1 - x0)) // (2 * (x1 - x0)))
+                    END AS DOUBLE) / 1000000.0 AS recon
+        FROM interp
     """,
 }
