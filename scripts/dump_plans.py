@@ -62,10 +62,12 @@ HEADLINERS = [
     "q_scd2",            # r11: change filter + intervals on ONE exchange
     "q_feature_snapshot",  # r11: all features in one strictly-before frame
     "q_watermark_lateness",  # r11: two-level arrival carry + rank select
-    "q_theilsen_trend",  # r11: user-key pair join, window reuses the key
+    "q_theilsen_trend",  # r12: md5-window cap under each pair-join input
     "q_bigram_backoff",  # r11: train-split counts broadcast onto tokens
     "q_dedup_graph_stats",   # r11: wedge joins over the bounded edge frame
     "q_skyline",         # r11: dominance anti-join on the aggregate tier
+    "q_pla_recon",       # r12: ONE signal-key exchange into the interp kernel
+    "q_kmeans_drift_fft",  # r12: recon kernel + shrinking agg chain
 ]
 
 SF = "/root/testdata/sf0.01"

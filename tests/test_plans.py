@@ -795,3 +795,23 @@ def test_image_neardup_single_decode_pass(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert set(checks.read_schema(df)) == {"doc_id", "text"}
+
+
+def test_pla_recon_single_exchange(spark):
+    """r12: the PLA reconstruction rides ONE signal-key exchange into
+    the grouped kernel (the packed_grouped_map contract) — adding the
+    interp must not introduce extra shuffles."""
+    df = QUERIES["q_pla_recon"](spark, SF_DIR)
+    assert checks.exchange_count(df) <= 1, checks.formatted_plan(df)
+
+
+def test_theilsen_sample_cap_precedes_pair_join(spark):
+    """r12: the md5-window subsample must run BEFORE the self join —
+    the row_number filter (srn <= cap) has to appear under each join
+    input so the pair fan-out is bounded by K^2/2 per signal, never
+    history^2."""
+    df = QUERIES["q_theilsen_trend"](spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"srn#\d+ <= 32", plan)) >= 2, plan
