@@ -80,6 +80,13 @@ PROBES = {
     # the grouped-scan carry (2+m doubles per signal) — the q_ewma
     # shape, so growth must track the scan
     "q_holt_winters": "daily-close Holt-Winters triple smoothing",
+    # r12: PLA read-back is the q_pla_lttb selection + O(n) integer
+    # interp in the same one-exchange kernel; the drift tiers chain a
+    # recon kernel into a shrinking (seg -> signal) agg chain, so both
+    # must track the scan like their reconstruction parents
+    "q_pla_recon": "LTTB kept points + piecewise-linear read-back",
+    "q_kmeans_drift_fft": "FFT-tier model-drift scoring chain",
+    "q_kmeans_drift_pla": "PLA-tier model-drift scoring chain",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,
