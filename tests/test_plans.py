@@ -806,12 +806,12 @@ def test_pla_recon_single_exchange(spark):
 
 
 def test_theilsen_sample_cap_precedes_pair_join(spark):
-    """r12: the md5-window subsample must run BEFORE the self join —
-    the row_number filter (srn <= cap) has to appear under each join
-    input so the pair fan-out is bounded by K^2/2 per signal, never
-    history^2."""
+    """r12: the md5-window subsample must run BEFORE the self join.
+    The capped frame is localCheckpoint-materialized, so the join's
+    plan must read the checkpoint (ExistingRDD) on BOTH sides and
+    contain NO parquet scan of the fact — one fact scan total, pair
+    fan-out bounded by K^2/2 per signal, never history^2."""
     df = QUERIES["q_theilsen_trend"](spark, SF_DIR)
     plan = checks.formatted_plan(df)
-    import re
-
-    assert len(re.findall(r"srn#\d+ <= 32", plan)) >= 2, plan
+    assert plan.count("ExistingRDD") >= 2, plan
+    assert "Scan parquet" not in plan, plan
