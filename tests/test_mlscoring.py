@@ -51,7 +51,11 @@ def test_tree_model_is_deterministic_and_bounded(spark):
         assert 0 <= j < 4 and isinstance(thr, float)
 
 
-FFT_FAMILIES = ["q_kmeans_drift_fft", "q_tree_drift_fft", "q_kmeans_drift_pla"]
+FFT_FAMILIES = [
+    f"q_{f}_drift_{t}"
+    for f in ("kmeans", "tree", "knn", "forest")
+    for t in ("fft", "pla")
+]
 
 
 @pytest.mark.parametrize("family", FFT_FAMILIES)

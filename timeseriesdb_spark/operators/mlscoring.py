@@ -330,12 +330,11 @@ def _tree_label(f: list[Column], tree) -> Column:
     )
 
 
-def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal kmeans label agreement between raw and PAA-degraded
-    segments (the lossyML measurement). The 4×4 center matrix folds
-    into the plan as literals: distance + argmin are Column
-    expressions, so scoring is pure JVM codegen — no Python anywhere.
-    Emits (user_id, n_segments, n_agree, agree_rate)."""
+def _kmeans_label_of(spark: SparkSession, sf_dir: str):
+    """Trained-kmeans labeler: 4×4 center matrix folded into the plan
+    as literals — distance + argmin are Column expressions (pure JVM
+    codegen). Shared by every degradation tier (one model, all tiers
+    — the reference's design)."""
     C = _train_kmeans(spark, sf_dir)
 
     def label_of(f: list[Column]) -> Column:
@@ -348,7 +347,14 @@ def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return _argmin_label(dists)
 
-    return _drift_result(spark, sf_dir, label_of)
+    return label_of
+
+
+def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal kmeans label agreement between raw and PAA-degraded
+    segments (the lossyML measurement). Emits (user_id, n_segments,
+    n_agree, agree_rate)."""
+    return _drift_result(spark, sf_dir, _kmeans_label_of(spark, sf_dir))
 
 
 def q_tree_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,14 +366,11 @@ def q_tree_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_result(spark, sf_dir, lambda f: _tree_label(f, tree))
 
 
-def q_knn_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal 1-NN label agreement — the knn family of the lossyML
-    matrix (the reference's knn classifies each segment against its
-    training dictionary, knn/mod.rs:303). Model = the sample's feature
-    rows + kmeans labels, broadcast; predict = label of the
-    euclidean-nearest row (first-occurrence argmin). The only family
-    needing Python — a vectorized pandas UDF over the per-segment
-    feature rows (4 doubles/segment, never raw values)."""
+def _knn_label_of(spark: SparkSession, sf_dir: str):
+    """1-NN labeler (the one Python family): sample feature rows +
+    kmeans labels broadcast; predict = label of the euclidean-nearest
+    row (first-occurrence argmin), vectorized pandas UDF over the
+    per-segment feature rows. Shared by every degradation tier."""
     X = _sample_features(spark, sf_dir)
     y = _kmeans_labels(X, _train_kmeans(spark, sf_dir))
     bc = spark.sparkContext.broadcast((X, y))
@@ -390,16 +393,21 @@ def q_knn_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = ((sq[:, :, 0] + sq[:, :, 1]) + sq[:, :, 2]) + sq[:, :, 3]
         return pd.Series(yt[d2.argmin(axis=1)]).astype("int32")
 
-    return _drift_result(spark, sf_dir, lambda f: knn_label(*f))
+    return lambda f: knn_label(*f)
 
 
-def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal random-forest label agreement — the rforest family
-    of the lossyML matrix: FOREST_TREES bagged depth-2 classifier
-    trees vote in the kmeans label space; majority vote, ties →
-    smallest label (np.argmax first occurrence). Each tree's leaf
-    table is literals, votes are integer sums, the argmax is a CASE
-    chain — pure JVM codegen like kmeans/tree."""
+def q_knn_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal 1-NN label agreement — the knn family of the lossyML
+    matrix (the reference's knn classifies each segment against its
+    training dictionary, knn/mod.rs:303)."""
+    return _drift_result(spark, sf_dir, _knn_label_of(spark, sf_dir))
+
+
+def _forest_label_of(spark: SparkSession, sf_dir: str):
+    """Bagged-forest labeler: FOREST_TREES depth-2 trees vote in the
+    kmeans label space; majority vote, ties → smallest label. Leaf
+    tables are literals, votes are integer sums, the argmax is a CASE
+    chain — pure JVM codegen. Shared by every degradation tier."""
     forest = _train_forest(spark, sf_dir)
 
     def label_of(f: list[Column]) -> Column:
@@ -428,7 +436,13 @@ def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = F.when(votes[k] == m, F.lit(k)).otherwise(out)
         return out
 
-    return _drift_result(spark, sf_dir, label_of)
+    return label_of
+
+
+def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signal random-forest label agreement — the rforest family
+    of the lossyML matrix."""
+    return _drift_result(spark, sf_dir, _forest_label_of(spark, sf_dir))
 
 
 # ---- FFT-tier drift (r12, VERDICT r11 #4) ---------------------------
@@ -535,60 +549,52 @@ def _fft_drift_result(
     )
 
 
-def q_kmeans_drift_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal kmeans label agreement between raw and
-    FFT-RECONSTRUCTED segments — the Fourier column of the lossyML
-    degradation matrix (lossyML/src/file_io.rs:60-230), answering
-    "does aging a segment to its truncated-DFT form change its
-    cluster?". Same trained centers as q_kmeans_drift (one model, all
-    tiers — the reference's design), scoring fully inside codegen."""
-    C = _train_kmeans(spark, sf_dir)
-
-    def label_of(f: list[Column]) -> Column:
-        dists = [
-            sum(
-                (f[j] - float(C[k, j])) * (f[j] - float(C[k, j]))
-                for j in range(4)
-            )
-            for k in range(N_CLUSTERS)
-        ]
-        return _argmin_label(dists)
-
-    return _fft_drift_result(spark, sf_dir, label_of)
-
-
-def q_tree_drift_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal threshold-tree label agreement on the FFT tier —
-    the dtree × Fourier cell of the lossyML matrix. Same trained tree
-    as q_tree_drift."""
-    tree = _train_tree(spark, sf_dir)
-    return _fft_drift_result(spark, sf_dir, lambda f: _tree_label(f, tree))
-
-
-def q_kmeans_drift_pla(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-signal kmeans label agreement between raw and
-    PLA-RECONSTRUCTED segments (q_pla_recon's piecewise-linear read-
-    back of the LTTB kept points) — the PLA column of the lossyML
-    degradation matrix. With FFT and PAA this completes the three
-    reconstruction-backed tiers the reference sweeps
-    (lossyML/src/file_io.rs:60-230; GRAIL scores an embedding, not a
-    reconstruction — its agreement is covered by q_grail_embed's
-    oracle-checked kernel). Same trained centers as q_kmeans_drift."""
+def _pla_recon_fn():
     from timeseriesdb_spark.operators.transforms import q_pla_recon
 
-    C = _train_kmeans(spark, sf_dir)
+    return q_pla_recon
 
-    def label_of(f: list[Column]) -> Column:
-        dists = [
-            sum(
-                (f[j] - float(C[k, j])) * (f[j] - float(C[k, j]))
-                for j in range(4)
-            )
-            for k in range(N_CLUSTERS)
-        ]
-        return _argmin_label(dists)
 
-    return _fft_drift_result(spark, sf_dir, label_of, recon_fn=q_pla_recon)
+_LABELERS = {
+    "kmeans": _kmeans_label_of,
+    "tree": lambda spark, sf_dir: (
+        lambda tree: (lambda f: _tree_label(f, tree))
+    )(_train_tree(spark, sf_dir)),
+    "knn": _knn_label_of,
+    "forest": _forest_label_of,
+}
+
+
+def _tier_query(family: str, tier: str):
+    """One cell of the lossyML degradation matrix (lossyML/src/
+    file_io.rs:60-230 scores every model family on every degradation
+    level): label agreement between raw and TIER-reconstructed
+    segment features, with the family's ONE trained model shared
+    across tiers (the reference's design). tier='fft' scores
+    q_fft_recon's truncated-DFT read-back, tier='pla' scores
+    q_pla_recon's piecewise-linear LTTB read-back; the PAA tier is
+    the original q_*_drift family."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        recon_fn = None if tier == "fft" else _pla_recon_fn()
+        return _fft_drift_result(
+            spark, sf_dir, _LABELERS[family](spark, sf_dir),
+            recon_fn=recon_fn,
+        )
+
+    q.__name__ = f"q_{family}_drift_{tier}"
+    q.__doc__ = _tier_query.__doc__
+    return q
+
+
+q_kmeans_drift_fft = _tier_query("kmeans", "fft")
+q_tree_drift_fft = _tier_query("tree", "fft")
+q_knn_drift_fft = _tier_query("knn", "fft")
+q_forest_drift_fft = _tier_query("forest", "fft")
+q_kmeans_drift_pla = _tier_query("kmeans", "pla")
+q_tree_drift_pla = _tier_query("tree", "pla")
+q_knn_drift_pla = _tier_query("knn", "pla")
+q_forest_drift_pla = _tier_query("forest", "pla")
 
 
 QUERIES = {
@@ -598,7 +604,12 @@ QUERIES = {
     "q_forest_drift": q_forest_drift,
     "q_kmeans_drift_fft": q_kmeans_drift_fft,
     "q_tree_drift_fft": q_tree_drift_fft,
+    "q_knn_drift_fft": q_knn_drift_fft,
+    "q_forest_drift_fft": q_forest_drift_fft,
     "q_kmeans_drift_pla": q_kmeans_drift_pla,
+    "q_tree_drift_pla": q_tree_drift_pla,
+    "q_knn_drift_pla": q_knn_drift_pla,
+    "q_forest_drift_pla": q_forest_drift_pla,
 }
 ORACLES: dict[str, str] = {}
 
@@ -758,11 +769,11 @@ def _argmin_case_sql(names: list[str]) -> str:
 _KM_ORACLE_CACHE: dict[str, str] = {}
 
 
-def _kmeans_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _KM_ORACLE_CACHE:
-        C = _kmeans_centers_np(_oracle_sample(sf_dir))
-        labeled = f"""dists AS (
+def _kmeans_labeled_sql(sf_dir: str) -> str:
+    """The kmeans dists+labeled CTE pair over `feats` — shared by the
+    PAA factory and every reconstruction-tier factory."""
+    C = _kmeans_centers_np(_oracle_sample(sf_dir))
+    return f"""dists AS (
             SELECT user_id, seg,
                    {", ".join(f"{d} AS dr{k}" for k, d in
                               enumerate(_kmeans_dists_sql(C, _RAW_COLS)))},
@@ -778,7 +789,14 @@ def _kmeans_drift_oracle(sf_dir: str | None = None) -> str:
                        AS ld
             FROM dists
         )"""
-        _KM_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+
+
+def _kmeans_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _KM_ORACLE_CACHE:
+        _KM_ORACLE_CACHE[sf_dir] = _drift_tail_sql(
+            _kmeans_labeled_sql(sf_dir)
+        )
     return _KM_ORACLE_CACHE[sf_dir]
 
 
@@ -794,17 +812,22 @@ def _tree_case_sql(tree, cols) -> str:
 _TREE_ORACLE_CACHE: dict[str, str] = {}
 
 
-def _tree_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _TREE_ORACLE_CACHE:
-        tree = _tree_np(_oracle_sample(sf_dir))
-        labeled = f"""labeled AS (
+def _tree_labeled_sql(sf_dir: str) -> str:
+    tree = _tree_np(_oracle_sample(sf_dir))
+    return f"""labeled AS (
             SELECT user_id,
                    {_tree_case_sql(tree, _RAW_COLS)} AS lr,
                    {_tree_case_sql(tree, _DEG_COLS)} AS ld
             FROM feats
         )"""
-        _TREE_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+
+
+def _tree_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _TREE_ORACLE_CACHE:
+        _TREE_ORACLE_CACHE[sf_dir] = _drift_tail_sql(
+            _tree_labeled_sql(sf_dir)
+        )
     return _TREE_ORACLE_CACHE[sf_dir]
 
 
@@ -833,52 +856,55 @@ def _forest_label_sql(forest, cols) -> str:
 _FOREST_ORACLE_CACHE: dict[str, str] = {}
 
 
-def _forest_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _FOREST_ORACLE_CACHE:
-        X = _oracle_sample(sf_dir)
-        forest = _forest_np(X, _kmeans_labels(X, _kmeans_centers_np(X)))
-        labeled = f"""labeled AS (
+def _forest_labeled_sql(sf_dir: str) -> str:
+    X = _oracle_sample(sf_dir)
+    forest = _forest_np(X, _kmeans_labels(X, _kmeans_centers_np(X)))
+    return f"""labeled AS (
             SELECT user_id,
                    {_forest_label_sql(forest, _RAW_COLS)} AS lr,
                    {_forest_label_sql(forest, _DEG_COLS)} AS ld
             FROM feats
         )"""
-        _FOREST_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+
+
+def _forest_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _FOREST_ORACLE_CACHE:
+        _FOREST_ORACLE_CACHE[sf_dir] = _drift_tail_sql(
+            _forest_labeled_sql(sf_dir)
+        )
     return _FOREST_ORACLE_CACHE[sf_dir]
 
 
 _KNN_ORACLE_CACHE: dict[str, str] = {}
 
 
-def _knn_drift_oracle(sf_dir: str | None = None) -> str:
+def _knn_labeled_sql(sf_dir: str) -> str:
     """1-NN labels as a rank over the literal sample table: d² spelled
     in the SAME left-associative term order the pandas UDF computes,
     first-occurrence argmin as (d², sample idx) row_number."""
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _KNN_ORACLE_CACHE:
-        X = _oracle_sample(sf_dir)
-        y = _kmeans_labels(X, _kmeans_centers_np(X))
-        rows = ", ".join(
-            f"({i}, {_dk(X[i, 0])}, {_dk(X[i, 1])}, {_dk(X[i, 2])},"
-            f" {_dk(X[i, 3])}, {int(y[i])})"
-            for i in range(len(X))
+    X = _oracle_sample(sf_dir)
+    y = _kmeans_labels(X, _kmeans_centers_np(X))
+    rows = ", ".join(
+        f"({i}, {_dk(X[i, 0])}, {_dk(X[i, 1])}, {_dk(X[i, 2])},"
+        f" {_dk(X[i, 3])}, {int(y[i])})"
+        for i in range(len(X))
+    )
+
+    def rank(cols) -> str:
+        d2 = (
+            f"({cols[0]} - s.m0) * ({cols[0]} - s.m0)"
+            f" + ({cols[1]} - s.s0) * ({cols[1]} - s.s0)"
+            f" + ({cols[2]} - s.n0) * ({cols[2]} - s.n0)"
+            f" + ({cols[3]} - s.x0) * ({cols[3]} - s.x0)"
+        )
+        return (
+            f"SELECT user_id, seg, y, row_number() OVER ("
+            f"PARTITION BY user_id, seg ORDER BY {d2}, s.idx) AS rk"
+            f" FROM feats CROSS JOIN sample s"
         )
 
-        def rank(cols) -> str:
-            d2 = (
-                f"({cols[0]} - s.m0) * ({cols[0]} - s.m0)"
-                f" + ({cols[1]} - s.s0) * ({cols[1]} - s.s0)"
-                f" + ({cols[2]} - s.n0) * ({cols[2]} - s.n0)"
-                f" + ({cols[3]} - s.x0) * ({cols[3]} - s.x0)"
-            )
-            return (
-                f"SELECT user_id, seg, y, row_number() OVER ("
-                f"PARTITION BY user_id, seg ORDER BY {d2}, s.idx) AS rk"
-                f" FROM feats CROSS JOIN sample s"
-            )
-
-        labeled = f"""sample(idx, m0, s0, n0, x0, y) AS (VALUES {rows}),
+    return f"""sample(idx, m0, s0, n0, x0, y) AS (VALUES {rows}),
         lr AS (SELECT user_id, seg, y AS lr FROM ({rank(_RAW_COLS)})
                WHERE rk = 1),
         ld AS (SELECT user_id, seg, y AS ld FROM ({rank(_DEG_COLS)})
@@ -887,7 +913,14 @@ def _knn_drift_oracle(sf_dir: str | None = None) -> str:
             SELECT l.user_id, l.lr, d.ld
             FROM lr l JOIN ld d USING (user_id, seg)
         )"""
-        _KNN_ORACLE_CACHE[sf_dir] = _drift_tail_sql(labeled)
+
+
+def _knn_drift_oracle(sf_dir: str | None = None) -> str:
+    sf_dir = _resolve_sf_dir(sf_dir)
+    if sf_dir not in _KNN_ORACLE_CACHE:
+        _KNN_ORACLE_CACHE[sf_dir] = _drift_tail_sql(
+            _knn_labeled_sql(sf_dir)
+        )
     return _KNN_ORACLE_CACHE[sf_dir]
 
 
@@ -954,96 +987,43 @@ def _fft_drift_tail_sql(fft_sql: str, labeled_sql: str) -> str:
     """
 
 
-_KM_FFT_ORACLE_CACHE: dict[str, str] = {}
+_LABELED_SQL = {
+    "kmeans": _kmeans_labeled_sql,
+    "tree": _tree_labeled_sql,
+    "knn": _knn_labeled_sql,
+    "forest": _forest_labeled_sql,
+}
 
 
-def _kmeans_fft_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _KM_FFT_ORACLE_CACHE:
-        from timeseriesdb_spark.operators.transforms import (
-            _fft_recon_oracle,
-        )
+def _make_tier_oracle(family: str, tier: str):
+    """Oracle factory for one (family, tier) cell: the family's
+    labeled CTE over the tier's reconstruction frame. The FFT recon
+    SQL is lazy (per-distinct-n twiddle tables); the PLA recon SQL is
+    static (the LTTB selection needs no trained state) — only the
+    family model makes either factory lazy."""
+    cache: dict[str, str] = {}
 
-        C = _kmeans_centers_np(_oracle_sample(sf_dir))
-        labeled = f"""dists AS (
-            SELECT user_id, seg,
-                   {", ".join(f"{d} AS dr{k}" for k, d in
-                              enumerate(_kmeans_dists_sql(C, _RAW_COLS)))},
-                   {", ".join(f"{d} AS dd{k}" for k, d in
-                              enumerate(_kmeans_dists_sql(C, _DEG_COLS)))}
-            FROM feats
-        ),
-        labeled AS (
-            SELECT user_id,
-                   {_argmin_case_sql([f"dr{k}" for k in range(N_CLUSTERS)])}
-                       AS lr,
-                   {_argmin_case_sql([f"dd{k}" for k in range(N_CLUSTERS)])}
-                       AS ld
-            FROM dists
-        )"""
-        _KM_FFT_ORACLE_CACHE[sf_dir] = _fft_drift_tail_sql(
-            _fft_recon_oracle(sf_dir), labeled
-        )
-    return _KM_FFT_ORACLE_CACHE[sf_dir]
+    def factory(sf_dir: str | None = None) -> str:
+        sf_dir = _resolve_sf_dir(sf_dir)
+        if sf_dir not in cache:
+            if tier == "fft":
+                from timeseriesdb_spark.operators.transforms import (
+                    _fft_recon_oracle,
+                )
 
+                recon = _fft_recon_oracle(sf_dir)
+            else:
+                from timeseriesdb_spark.operators.transforms import (
+                    ORACLES as _T_ORACLES,
+                )
 
-_TREE_FFT_ORACLE_CACHE: dict[str, str] = {}
+                recon = _T_ORACLES["q_pla_recon"]
+            cache[sf_dir] = _fft_drift_tail_sql(
+                recon, _LABELED_SQL[family](sf_dir)
+            )
+        return cache[sf_dir]
 
-
-def _tree_fft_drift_oracle(sf_dir: str | None = None) -> str:
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _TREE_FFT_ORACLE_CACHE:
-        from timeseriesdb_spark.operators.transforms import (
-            _fft_recon_oracle,
-        )
-
-        tree = _tree_np(_oracle_sample(sf_dir))
-        labeled = f"""labeled AS (
-            SELECT user_id,
-                   {_tree_case_sql(tree, _RAW_COLS)} AS lr,
-                   {_tree_case_sql(tree, _DEG_COLS)} AS ld
-            FROM feats
-        )"""
-        _TREE_FFT_ORACLE_CACHE[sf_dir] = _fft_drift_tail_sql(
-            _fft_recon_oracle(sf_dir), labeled
-        )
-    return _TREE_FFT_ORACLE_CACHE[sf_dir]
-
-
-_KM_PLA_ORACLE_CACHE: dict[str, str] = {}
-
-
-def _kmeans_pla_drift_oracle(sf_dir: str | None = None) -> str:
-    """Same shape as the FFT factory; the recon CTE is q_pla_recon's
-    STATIC oracle (the LTTB selection needs no trained state — only
-    the kmeans centers make this lazy)."""
-    sf_dir = _resolve_sf_dir(sf_dir)
-    if sf_dir not in _KM_PLA_ORACLE_CACHE:
-        from timeseriesdb_spark.operators.transforms import (
-            ORACLES as _T_ORACLES,
-        )
-
-        C = _kmeans_centers_np(_oracle_sample(sf_dir))
-        labeled = f"""dists AS (
-            SELECT user_id, seg,
-                   {", ".join(f"{d} AS dr{k}" for k, d in
-                              enumerate(_kmeans_dists_sql(C, _RAW_COLS)))},
-                   {", ".join(f"{d} AS dd{k}" for k, d in
-                              enumerate(_kmeans_dists_sql(C, _DEG_COLS)))}
-            FROM feats
-        ),
-        labeled AS (
-            SELECT user_id,
-                   {_argmin_case_sql([f"dr{k}" for k in range(N_CLUSTERS)])}
-                       AS lr,
-                   {_argmin_case_sql([f"dd{k}" for k in range(N_CLUSTERS)])}
-                       AS ld
-            FROM dists
-        )"""
-        _KM_PLA_ORACLE_CACHE[sf_dir] = _fft_drift_tail_sql(
-            _T_ORACLES["q_pla_recon"], labeled
-        )
-    return _KM_PLA_ORACLE_CACHE[sf_dir]
+    return factory
 
 
 LAZY_ORACLES = {
@@ -1051,7 +1031,9 @@ LAZY_ORACLES = {
     "q_tree_drift": _tree_drift_oracle,
     "q_knn_drift": _knn_drift_oracle,
     "q_forest_drift": _forest_drift_oracle,
-    "q_kmeans_drift_fft": _kmeans_fft_drift_oracle,
-    "q_tree_drift_fft": _tree_fft_drift_oracle,
-    "q_kmeans_drift_pla": _kmeans_pla_drift_oracle,
 }
+for _family in ("kmeans", "tree", "knn", "forest"):
+    for _tier in ("fft", "pla"):
+        LAZY_ORACLES[f"q_{_family}_drift_{_tier}"] = _make_tier_oracle(
+            _family, _tier
+        )
