@@ -413,6 +413,66 @@ class SignalEngine:
             .start()
         )
 
+    def maintain_drift_feature_stream(
+        self, stream: DataFrame, feature_path: str, checkpoint: str
+    ):
+        """Incremental drift-FEATURE maintenance — the scoring half of
+        the reference's recoding daemon (recoding_daemon.rs:96 ages
+        segments; lossyML measures whether aging changed model
+        answers) kept current from the live stream. A stateful O(1)
+        per-signal position carry (streaming/driftscore.py) assigns
+        each row its global arrival rank, then every micro-batch
+        writes its per-(signal, segment, chunk) exact-integer feature
+        partials into its own batch_id partition (idempotent under
+        replay). sums/min/max/count are associative, so the merged
+        chunk rows — and therefore the features, labels and agreement
+        rates computed from them — are bit-identical to the batch
+        q_*_drift queries however the rows were micro-batched
+        (tests/test_streaming_drift.py)."""
+        from timeseriesdb_spark.streaming.driftscore import (
+            chunk_feature_partials,
+            positioned_stream,
+        )
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            chunk_feature_partials(batch_df).write.mode(
+                "overwrite"
+            ).parquet(f"{feature_path}/batch_id={bid}")
+
+        return (
+            positioned_stream(stream)
+            .writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def drift_scores(
+        self, feature_path: str, sf_dir: str, family: str = "kmeans"
+    ) -> DataFrame:
+        """PAA-tier drift agreement answered FROM the maintained
+        feature partials — no rescan of raw history. Merges the chunk
+        partials (associative), finalizes features (half-up chunk
+        mean, std) and labels with the family's trained model — the
+        identical math to the batch query, so the result rows equal
+        q_<family>_drift(sf_dir) exactly when the partials cover the
+        same events."""
+        from timeseriesdb_spark.operators.mlscoring import (
+            _LABELERS,
+            _drift_rollup,
+            _features_from_chunks,
+        )
+        from timeseriesdb_spark.streaming.driftscore import (
+            merge_feature_partials,
+        )
+
+        partials = self.spark.read.parquet(feature_path)
+        feats = _features_from_chunks(merge_feature_partials(partials))
+        return _drift_rollup(
+            self.spark, sf_dir, feats,
+            _LABELERS[family](self.spark, sf_dir),
+        )
+
     def hll_registers(
         self, sketch_path: str, start_day=None, end_day=None
     ) -> DataFrame:

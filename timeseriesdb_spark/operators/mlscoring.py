@@ -222,7 +222,17 @@ def _segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence DuckDB replays verbatim. Squares round to the same 6dp
     decimal grid in BOTH the raw (v²) and degraded (cm²) paths, which
     is also what keeps PAA_CHUNK=1 identity ⇒ bit-equal features."""
-    ev = load_table(spark, sf_dir, "events")
+    return _features_from_chunks(
+        _chunks_frame(load_table(spark, sf_dir, "events"))
+    )
+
+
+def _chunks_frame(ev: DataFrame) -> DataFrame:
+    """value→chunk partial rows (exact 1e-6-unit integer sums + min/
+    max/count per (signal, segment, chunk)) — the mergeable half of
+    the feature math, shared with the streamed maintenance path
+    (streaming/driftscore.py writes these same columns per micro-batch
+    and merges them at read)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     rn = F.row_number().over(w) - 1
     v = F.col("value").cast(DEC).cast("double")
@@ -233,13 +243,20 @@ def _segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(rn / PAA_CHUNK).alias("chunk"),
     )
     units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
-    chunks = base.groupBy("user_id", "seg", "chunk").agg(
+    return base.groupBy("user_id", "seg", "chunk").agg(
         units(F.sum(F.col("v").cast(DEC))).alias("s_u"),
         units(F.sum((F.col("v") * F.col("v")).cast(DEC))).alias("ss_u"),
         F.min("v").alias("mn"),
         F.max("v").alias("mx"),
         F.count("*").alias("n"),
     )
+
+
+def _features_from_chunks(chunks: DataFrame) -> DataFrame:
+    """chunk rows → per-segment feature rows: the NON-mergeable
+    finalize (half-up chunk-mean division, segment sums, std) on the
+    exact integers."""
+    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
     # chunk mean in exact 1e-6 units: half-up integer division
     q = F.expr("(2 * abs(s_u) + n) div (2 * n)")
     cm_u = F.when(F.col("s_u") < 0, -q).otherwise(q)
@@ -284,11 +301,21 @@ def _segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drift_result(
     spark: SparkSession, sf_dir: str, label_of
 ) -> DataFrame:
-    """Shared drift rollup: label every segment under raw and degraded
-    features via `label_of(feature_cols) -> Column`, then aggregate
-    agreement per signal. Signals with no complete segment still emit
-    a (user_id, 0, 0, null) row — every signal is accounted for."""
-    feats = _segment_features(spark, sf_dir)
+    """Shared drift rollup over the PAA-tier feature frame."""
+    return _drift_rollup(
+        spark, sf_dir, _segment_features(spark, sf_dir), label_of
+    )
+
+
+def _drift_rollup(
+    spark: SparkSession, sf_dir: str, feats: DataFrame, label_of
+) -> DataFrame:
+    """Label every segment under raw and degraded features via
+    `label_of(feature_cols) -> Column`, then aggregate agreement per
+    signal. Signals with no complete segment still emit a (user_id,
+    0, 0, null) row — every signal is accounted for. Takes the feats
+    frame so batch tiers AND the streamed-partials finalize
+    (api.drift_scores) share one rollup."""
     labeled = feats.select(
         "user_id",
         label_of([F.col(c) for c in _FEATS_RAW]).alias("lr"),
@@ -527,25 +554,9 @@ def _fft_drift_result(
     spark: SparkSession, sf_dir: str, label_of, recon_fn=None
 ) -> DataFrame:
     """_drift_result with a reconstruction-tier feature frame."""
-    feats = _fft_segment_features(spark, sf_dir, recon_fn)
-    labeled = feats.select(
-        "user_id",
-        label_of([F.col(c) for c in _FEATS_RAW]).alias("lr"),
-        label_of([F.col(c) for c in _FEATS_DEG]).alias("ld"),
-    )
-    per_user = labeled.groupBy("user_id").agg(
-        F.count("*").alias("n_segments"),
-        F.sum((F.col("lr") == F.col("ld")).cast("bigint")).alias("n_agree"),
-    )
-    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
-    joined = users.join(per_user, "user_id", "left")
-    n = F.coalesce(F.col("n_segments"), F.lit(0))
-    a = F.coalesce(F.col("n_agree"), F.lit(0))
-    return joined.select(
-        "user_id",
-        n.alias("n_segments"),
-        a.alias("n_agree"),
-        F.when(n > 0, F.round(a / n, 6)).alias("agree_rate"),
+    return _drift_rollup(
+        spark, sf_dir, _fft_segment_features(spark, sf_dir, recon_fn),
+        label_of,
     )
 
 
