@@ -582,6 +582,29 @@ def test_knn_over_cap_degrades_to_md5_window_sample(spark, monkeypatch):
     dt = dtw_1nn(spark, SF_DIR, band=0, probe_cap=5).toPandas()
     assert len(dt) == 5
 
+    # the DECLARED oracle replays the same md5-window cap (r12 review
+    # fix): run it with the cap patched to this test's value and
+    # hash-compare against the capped Spark output — the contract
+    # must hold PAST the cap, not only under it
+    import re
+
+    import duckdb
+
+    from timeseriesdb_spark.operators.similarity import ORACLES
+
+    # the oracle string was built at import time with the real cap —
+    # patch its (single) train LIMIT down to this test's cap
+    sql = re.sub(r"LIMIT \d+", f"LIMIT {cap}", ORACLES["q_knn_1nn"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_DIR}/embeddings.parquet'"
+    )
+    odf = con.execute(sql).fetch_df().set_index("test_id").sort_index()
+    gdf = out.sort_index()
+    assert (gdf["pred_label"].to_numpy() == odf["pred_label"].to_numpy()).all()
+    assert np.array_equal(gdf["dist2"].to_numpy(), odf["dist2"].to_numpy())
+
 
 def test_dedup_graph_stats_empty_graph_is_zero_not_null(spark, tmp_path):
     """r12 (ADVICE r11): on a corpus with NO near-dup pairs the wedge

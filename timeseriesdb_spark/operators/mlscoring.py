@@ -242,6 +242,15 @@ def _chunks_frame(ev: DataFrame) -> DataFrame:
         F.floor(rn / SEG_ROWS).alias("seg"),
         F.floor(rn / PAA_CHUNK).alias("chunk"),
     )
+    return chunk_feature_agg(base)
+
+
+def chunk_feature_agg(base: DataFrame) -> DataFrame:
+    """THE mergeable chunk aggregation over a (user_id, v, seg, chunk)
+    frame — one definition shared by the batch path above and the
+    streamed maintenance path (streaming/driftscore.py), so the
+    stream==batch bit-parity invariant cannot drift apart in two
+    copies (r12 review fix)."""
     units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
     return base.groupBy("user_id", "seg", "chunk").agg(
         units(F.sum(F.col("v").cast(DEC))).alias("s_u"),
@@ -384,13 +393,18 @@ def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_result(spark, sf_dir, _kmeans_label_of(spark, sf_dir))
 
 
+def _tree_label_of(spark: SparkSession, sf_dir: str):
+    """Trained-tree labeler: three (index, threshold) literal pairs —
+    labeling compiles to a nested CASE, fully inside codegen. Shared
+    by every degradation tier."""
+    tree = _train_tree(spark, sf_dir)
+    return lambda f: _tree_label(f, tree)
+
+
 def q_tree_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-signal threshold-tree label agreement — the dtree family of
-    the reference's lossyML matrix (buffer_pool.rs:798-938). The
-    3-node model is three (index, threshold) literal pairs: labeling
-    compiles to a nested CASE, fully inside codegen."""
-    tree = _train_tree(spark, sf_dir)
-    return _drift_result(spark, sf_dir, lambda f: _tree_label(f, tree))
+    the reference's lossyML matrix (buffer_pool.rs:798-938)."""
+    return _drift_result(spark, sf_dir, _tree_label_of(spark, sf_dir))
 
 
 def _knn_label_of(spark: SparkSession, sf_dir: str):
@@ -568,9 +582,7 @@ def _pla_recon_fn():
 
 _LABELERS = {
     "kmeans": _kmeans_label_of,
-    "tree": lambda spark, sf_dir: (
-        lambda tree: (lambda f: _tree_label(f, tree))
-    )(_train_tree(spark, sf_dir)),
+    "tree": _tree_label_of,
     "knn": _knn_label_of,
     "forest": _forest_label_of,
 }

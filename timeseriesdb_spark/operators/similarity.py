@@ -1976,16 +1976,25 @@ ORACLES = {
         JOIN (SELECT cluster_id, count(*) AS cluster_size
               FROM comp GROUP BY cluster_id) s USING (cluster_id)
     """,
+    # the train CTE replays _bounded_train_pull's md5-window cap, so
+    # the oracle stays the contract past KNN_TRAIN_CAP too (under the
+    # cap the LIMIT is a no-op and the set is the full train split)
     "q_knn_1nn": f"""
-        WITH d2 AS (
+        WITH train AS MATERIALIZED (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id % {TEST_MOD} != 0
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {KNN_TRAIN_CAP}
+        ),
+        d2 AS (
             SELECT a.vec_id AS test_id, a.label AS true_label,
                    b.vec_id AS train_id, b.label AS pred_label,
                    round(sum((CAST(a.embedding[i] AS DOUBLE)
                               - CAST(b.embedding[i] AS DOUBLE))
                              * (CAST(a.embedding[i] AS DOUBLE)
                                 - CAST(b.embedding[i] AS DOUBLE))), 4) AS dist2
-            FROM embeddings a, embeddings b, range(1, {DIM + 1}) t(i)
-            WHERE a.vec_id % {TEST_MOD} = 0 AND b.vec_id % {TEST_MOD} != 0
+            FROM embeddings a, train b, range(1, {DIM + 1}) t(i)
+            WHERE a.vec_id % {TEST_MOD} = 0
             GROUP BY a.vec_id, a.label, b.vec_id, b.label
         )
         SELECT test_id, true_label, pred_label, dist2 FROM (
@@ -2052,6 +2061,8 @@ def _dtw_oracle_sql() -> str:
         tr AS MATERIALIZED (
             SELECT vec_id, label, embedding FROM embeddings
             WHERE vec_id % {TEST_MOD} != 0
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {KNN_TRAIN_CAP}
         ),
         te_flat AS MATERIALIZED (
             SELECT te.vec_id AS test_id, i.i AS i,

@@ -111,23 +111,17 @@ def chunk_feature_partials(positioned: DataFrame) -> DataFrame:
         DEC,
         PAA_CHUNK,
         SEG_ROWS,
+        chunk_feature_agg,
     )
 
     v = F.col("value").cast(DEC).cast("double")
-    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
     base = positioned.select(
         "user_id",
         v.alias("v"),
         F.expr(f"pos div {SEG_ROWS}").alias("seg"),
         F.expr(f"pos div {PAA_CHUNK}").alias("chunk"),
     )
-    return base.groupBy("user_id", "seg", "chunk").agg(
-        units(F.sum(F.col("v").cast(DEC))).alias("s_u"),
-        units(F.sum((F.col("v") * F.col("v")).cast(DEC))).alias("ss_u"),
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count("*").alias("n"),
-    )
+    return chunk_feature_agg(base)
 
 
 def merge_feature_partials(partials: DataFrame) -> DataFrame:
