@@ -605,6 +605,21 @@ def test_knn_over_cap_degrades_to_md5_window_sample(spark, monkeypatch):
     assert (gdf["pred_label"].to_numpy() == odf["pred_label"].to_numpy()).all()
     assert np.array_equal(gdf["dist2"].to_numpy(), odf["dist2"].to_numpy())
 
+    # same contract for the banded-DTW oracle: its train CTE carries
+    # the identical cap — patch ONLY the train LIMIT (the probe-window
+    # LIMIT stays) and hash-compare the registered q_dtw_1nn
+    from timeseriesdb_spark.operators.similarity import q_dtw_1nn
+
+    dsql = ORACLES["q_dtw_1nn"].replace("LIMIT 200000", f"LIMIT {cap}")
+    assert dsql != ORACLES["q_dtw_1nn"]  # the train LIMIT was found
+    dgot = (
+        q_dtw_1nn(spark, SF_DIR).toPandas().set_index("test_id").sort_index()
+    )
+    dexp = con.execute(dsql).fetch_df().set_index("test_id").sort_index()
+    assert len(dgot) == len(dexp)
+    assert (dgot["pred_label"].to_numpy() == dexp["pred_label"].to_numpy()).all()
+    assert (dgot["dtw2_t"].to_numpy() == dexp["dtw2_t"].to_numpy()).all()
+
 
 def test_dedup_graph_stats_empty_graph_is_zero_not_null(spark, tmp_path):
     """r12 (ADVICE r11): on a corpus with NO near-dup pairs the wedge
