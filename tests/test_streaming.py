@@ -215,3 +215,79 @@ def test_stream_anomaly_flags_match_batch(spark, tmp_path):
     }
     assert got == exp
     assert any(f == 1 for _, f in exp), "fixture should flag something"
+
+
+def test_socket_stream_end_to_end(spark):
+    """r12: the RUNNABLE network-source path — a real localhost TCP
+    server feeds newline-delimited JSON events to Spark's socket
+    source through the SAME parse layer the Kafka path uses
+    (parse_kafka_events); every delivered row must come back typed and
+    value-exact. This exercises the network transport the reference's
+    ZMQ client embodies (client.rs:360-383), which the Kafka test can
+    only plan-build in this sandbox."""
+    import json
+    import socket
+    import threading
+    import time as _time
+
+    lines = [
+        json.dumps(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+                "user_id": i % 3,
+                "event_type": "view" if i % 2 == 0 else "click",
+                "value": round(10.0 + 0.25 * i, 2),
+                "props": "{}",
+            }
+        )
+        for i in range(20)
+    ]
+
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        # keep the connection open until the query has drained —
+        # closing early makes the socket source fail the stream
+        stop.wait(120)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    got: list = []
+    parsed = ingest.read_socket_stream(spark, "127.0.0.1", port)
+
+    def collect(batch_df, bid):
+        got.extend(batch_df.collect())
+
+    q = (
+        parsed.writeStream.foreachBatch(collect)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while len(got) < len(lines) and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+
+    assert len(got) == len(lines)
+    by_id = {r.event_id: r for r in got}
+    assert set(by_id) == set(range(20))
+    for i in range(20):
+        r = by_id[i]
+        assert r.user_id == i % 3
+        assert r.event_type == ("view" if i % 2 == 0 else "click")
+        assert abs(r.value - (10.0 + 0.25 * i)) < 1e-12
+        assert r.ts is not None and r.props == "{}"

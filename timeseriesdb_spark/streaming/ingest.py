@@ -93,6 +93,32 @@ def read_kafka_stream(
     return parse_kafka_events(raw)
 
 
+def read_socket_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """TCP-socket network source — the closest RUNNABLE analog of the
+    reference's ZMQ client (client.rs:360-383: raw frames over a
+    socket, one event per frame) available without an external broker:
+    Spark's built-in socket source delivers newline-delimited frames
+    as a `value` string column, which the SAME parse layer the Kafka
+    path uses (parse_kafka_events — JSON payload → typed event rows)
+    turns into the event schema. Everything downstream (segmenter,
+    windowed stats, rollup maintenance) composes unchanged.
+
+    Exercised END-TO-END in tests/test_streaming.py against a real
+    localhost TCP server (r12) — the network transport the Kafka path
+    could never run in this sandbox. The socket source is
+    at-most-once/non-replayable, so it is the demo/dev transport;
+    production swaps in read_kafka_stream on the identical plan."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_kafka_events(raw)
+
+
 def rate_signal_stream(spark: SparkSession, signals: int = 8, rows_per_sec: int = 1000) -> DataFrame:
     """Synthetic generator client (client.rs:258-343 normal/uniform
     generators): rate source + deterministic value mixing."""
