@@ -27,6 +27,17 @@ count (O(1) state — the streaming/smoothing.py discipline) assigns
 order (file source staged time-ordered, or a Kafka source partitioned
 by signal with in-partition ordering — the reference's arrival-order
 assumption, future_signal.rs:207).
+
+State-eviction caveat (deliberate, unlike the segmenter): the position
+carry CANNOT be timeout-evicted the way segmenter.py flushes idle
+signals — dropping a count restarts a returning signal's positions at
+0 and silently re-buckets it. State here is one int64 per signal ever
+seen (1B signals ≈ 8 GB across the whole state store — per-executor
+share is small), which is acceptable far past 100 TB of events; if the
+signal UNIVERSE itself is unbounded, the production lever is to seed
+state from a persisted per-signal high-water count (the feature store
+already carries max(seg)·SEG_ROWS + partial-chunk n per signal) on
+rehydrate, not to evict blindly.
 """
 
 from __future__ import annotations
