@@ -534,6 +534,19 @@ def q_pla_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in zip(keep[:-1], keep[1:]):
             a, b = int(a), int(b)
             y0, dy, den = int(yc[a]), int(yc[b]) - int(yc[a]), b - a
+            # int64-safe bound (the Theil-Sen THEILSEN_SPAN_CENTS
+            # discipline): |num| ≤ |dy|·den·10⁴ and the half-away
+            # rounding doubles it, so |dy|·den must stay ≤ 4·10¹⁴ or
+            # numpy would WRAP silently where the DuckDB oracle
+            # raises. LTTB geometry bounds den to ~2 bucket widths,
+            # so tripping this needs a per-gap value span past
+            # $4·10¹²/den — raise loudly instead of diverging.
+            if abs(dy) * den > 400_000_000_000_000:
+                raise ValueError(
+                    f"q_pla_recon: gap [{a},{b}] value span {dy} cents"
+                    f" x width {den} exceeds the int64-safe"
+                    " interpolation bound (4e14 cent-rows)"
+                )
             j = np.arange(a, b + 1, dtype=np.int64)
             num = (j - a) * dy * 10_000
             q = np.where(

@@ -31,13 +31,25 @@ assumption, future_signal.rs:207).
 State-eviction caveat (deliberate, unlike the segmenter): the position
 carry CANNOT be timeout-evicted the way segmenter.py flushes idle
 signals — dropping a count restarts a returning signal's positions at
-0 and silently re-buckets it. State here is one int64 per signal ever
-seen (1B signals ≈ 8 GB across the whole state store — per-executor
-share is small), which is acceptable far past 100 TB of events; if the
-signal UNIVERSE itself is unbounded, the production lever is to seed
-state from a persisted per-signal high-water count (the feature store
-already carries max(seg)·SEG_ROWS + partial-chunk n per signal) on
-rehydrate, not to evict blindly.
+0 and silently re-buckets it. State here is three int64s per signal
+ever seen (1B signals ≈ 24 GB across the whole state store —
+per-executor share is small), which is acceptable far past 100 TB of
+events; if the signal UNIVERSE itself is unbounded, the recovery lever
+is implemented below (r13, VERDICT r12 "What's wrong #1"): the carry
+REHYDRATES from the feature store's per-signal high-water count
+(signal_high_water — Σn over the store's chunk partials IS each
+signal's next position, because pos is a dense per-signal rank and
+every positioned row lands in exactly one batch partial), seeded
+through make_positioner(initial=...). Checkpoint loss against a
+non-empty store is refused loudly unless the caller declares intent
+(api.maintain_drift_feature_stream's on_fresh_checkpoint).
+
+Ordering guard (r13, ADVICE r12): position assignment assumes
+per-signal time-ordered arrival ACROSS micro-batches (sorting is only
+within a batch). The state now carries each signal's last emitted
+(ts, event_id) sort key and the positioner RAISES when a batch's
+minimum key regresses below it — an ordering violation fails the
+stream loudly instead of silently re-bucketing every later segment.
 """
 
 from __future__ import annotations
@@ -60,20 +72,42 @@ POSITIONED_SCHEMA = StructType(
     ]
 )
 
-STATE_SCHEMA = StructType([StructField("cnt", LongType())])
+STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("last_ts", LongType()),   # ns since epoch, nullable
+        StructField("last_eid", LongType()),  # nullable
+    ]
+)
 
 
-def make_positioner():
+def make_positioner(initial: dict | None = None):
     """Factory for the stateful position-assignment kernel (closure
-    ships by value — executors never import this module). State is one
-    long per signal: the count of rows already positioned."""
+    ships by value — executors never import this module). State per
+    signal: the count of rows already positioned plus the last emitted
+    (ts, event_id) sort key.
+
+    `initial` (signal → already-positioned row count) seeds the carry
+    for signals with NO state yet — the checkpoint-loss rehydrate path
+    (api.maintain_drift_feature_stream computes it from the feature
+    store via signal_high_water). A rehydrated signal has no last sort
+    key, so the ordering guard starts at its first new batch.
+
+    Ordering guard: a batch whose minimum (ts, event_id) regresses
+    below the carried last key would be assigned a too-high pos and
+    silently re-bucket every later segment for that signal — raise
+    instead (ADVICE r12)."""
+    seed = dict(initial) if initial else {}
 
     def assign(key, pdfs, state):
         import numpy as np
         import pandas as pd
 
         (uid,) = key
-        carry = state.get[0] if state.exists else 0
+        if state.exists:
+            carry, last_ts, last_eid = state.get
+        else:
+            carry, last_ts, last_eid = int(seed.get(uid, 0)), None, None
         chunks = [p for p in pdfs if len(p)]
         # Concat BEFORE sorting (the smoothing.py lesson): a per-chunk
         # sort would interleave positions out of time order whenever a
@@ -83,6 +117,22 @@ def make_positioner():
             whole = whole.sort_values(["ts", "event_id"]).reset_index(
                 drop=True
             )
+            ts_ns = whole["ts"].to_numpy(dtype="datetime64[ns]").astype(
+                np.int64
+            )
+            eid = whole["event_id"].to_numpy(dtype=np.int64)
+            if last_ts is not None and (
+                (int(ts_ns[0]), int(eid[0])) < (last_ts, last_eid)
+            ):
+                raise ValueError(
+                    f"drift position carry: signal {uid} received a "
+                    f"batch whose min sort key (ts={ts_ns[0]}ns, "
+                    f"event_id={eid[0]}) regresses below the last "
+                    f"positioned key (ts={last_ts}ns, event_id="
+                    f"{last_eid}); per-signal time-ordered arrival "
+                    "across micro-batches is a correctness contract — "
+                    "positions would silently re-bucket"
+                )
             n = len(whole)
             yield pd.DataFrame(
                 {
@@ -92,22 +142,36 @@ def make_positioner():
                 }
             )
             carry += n
-        state.update((carry,))
+            last_ts, last_eid = int(ts_ns[-1]), int(eid[-1])
+        state.update((carry, last_ts, last_eid))
 
     return assign
 
 
-def positioned_stream(events: DataFrame) -> DataFrame:
+def positioned_stream(
+    events: DataFrame, initial: dict | None = None
+) -> DataFrame:
     """events stream (user_id, event_id, ts, value) → stream of
     (user_id, pos, value) with pos = the signal's global arrival rank
     (row_number over (ts, event_id) — what the batch drift queries
-    window for)."""
+    window for). `initial` seeds per-signal carries on rehydrate."""
     return events.groupBy("user_id").applyInPandasWithState(
-        make_positioner(),
+        make_positioner(initial),
         outputStructType=POSITIONED_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def signal_high_water(partials: DataFrame) -> DataFrame:
+    """Per-signal next position from the feature store's chunk
+    partials: pos is a dense per-signal rank and every positioned row
+    contributes to exactly one batch partial's n, so Σn per signal IS
+    the count of rows already positioned — the rehydrate seed the
+    module docstring promises. Emits (user_id, hw)."""
+    return partials.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("hw")
     )
 
 
