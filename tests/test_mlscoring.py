@@ -54,7 +54,7 @@ def test_tree_model_is_deterministic_and_bounded(spark):
 FFT_FAMILIES = [
     f"q_{f}_drift_{t}"
     for f in ("kmeans", "tree", "knn", "forest")
-    for t in ("fft", "pla")
+    for t in ("fft", "pla", "grail", "rrd", "buff")
 ]
 
 
@@ -78,6 +78,53 @@ def test_fft_tier_segments_match_paa_tier(spark):
     paa = _rates(mlscoring.QUERIES["q_kmeans_drift"](spark, SF_DIR))
     fft = _rates(mlscoring.QUERIES["q_kmeans_drift_fft"](spark, SF_DIR))
     pla = _rates(mlscoring.QUERIES["q_kmeans_drift_pla"](spark, SF_DIR))
-    assert set(paa) == set(fft) == set(pla)
+    gra = _rates(mlscoring.QUERIES["q_kmeans_drift_grail"](spark, SF_DIR))
+    rrd = _rates(mlscoring.QUERIES["q_kmeans_drift_rrd"](spark, SF_DIR))
+    buf = _rates(mlscoring.QUERIES["q_kmeans_drift_buff"](spark, SF_DIR))
+    tiers = (fft, pla, gra, rrd, buf)
+    assert all(set(paa) == set(t) for t in tiers)
     for u in paa:
-        assert paa[u][0] == fft[u][0] == pla[u][0], u
+        assert all(paa[u][0] == t[u][0] for t in tiers), u
+
+
+def test_grail_dictionary_read_paths_agree(spark):
+    """The Spark pull and the DuckDB oracle read must derive
+    byte-identical segment dictionaries — the equality the oracle's
+    green hash rests on."""
+    import numpy as np
+
+    mlscoring._GRAIL_SEG_DICT_CACHE.clear()
+    spark_dict = mlscoring._grail_seg_dictionary(spark, SF_DIR)
+    ddb_dict, ids = mlscoring._grail_seg_dictionary_ddb(SF_DIR)
+    assert len(spark_dict) == len(ddb_dict) == len(ids)
+    for a, b in zip(spark_dict, ddb_dict):
+        assert np.array_equal(a, b)
+
+
+def test_grail_embedding_is_affine_invariant(spark, tmp_path):
+    """NCC — and therefore the quantized-SINK kernel and the GRAIL
+    coefficients — is invariant to positive affine maps of the values.
+    Doubling every value keeps the cents lattice exact (testdata sits
+    on the 0.01 grid), the integer images scale by exactly 2, and
+    every emitted coefficient must be BIT-identical: the structural
+    pin of the integer-lattice discipline at segment granularity."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.tables import load_table
+
+    dst = str(tmp_path / "doubled")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.withColumn("value", F.col("value") * 2).write.parquet(
+        f"{dst}/events.parquet"
+    )
+    a = sorted(
+        map(tuple, mlscoring._grail_seg_coeffs(spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, mlscoring._grail_seg_coeffs(spark, dst).collect())
+    )
+    assert a == b
+    mlscoring._GRAIL_SEG_DICT_CACHE.pop(dst, None)
+    shutil.rmtree(dst, ignore_errors=True)

@@ -295,6 +295,7 @@ def clear_trained_caches(sf_dir: str | None = None) -> None:
         mlscoring._SAMPLE_CACHE, mlscoring._ORACLE_SAMPLE_CACHE,
         mlscoring._KM_ORACLE_CACHE, mlscoring._TREE_ORACLE_CACHE,
         mlscoring._FOREST_ORACLE_CACHE, mlscoring._KNN_ORACLE_CACHE,
+        mlscoring._GRAIL_SEG_DICT_CACHE,
         langid._PROFILE_CACHE, langid._LID_ORACLE_CACHE,
         langid._CONF_ORACLE_CACHE,
         mlkernels._INT_DICT_CACHE, mlkernels._GRAIL_ORACLE_CACHE,
@@ -304,6 +305,8 @@ def clear_trained_caches(sf_dir: str | None = None) -> None:
             c.clear()
         else:
             c.pop(sf_dir, None)
+    # persisted tier feature frames need an unpersist, not a dict pop
+    mlscoring.clear_tier_feats(sf_dir)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
