@@ -100,11 +100,25 @@ def main() -> None:
 
     total = round(sum(t for t in times.values() if t > 0), 4)
     spreads = sorted(s["spread"] for s in stats.values())
+    # Contamination self-adjudication (BASELINE.md "contamination
+    # rule", r13): the probe re-times one trivial fixed query at the
+    # start / middle / end of the run; a >2x swing between its fastest
+    # and slowest sample means the box was loaded by something else
+    # mid-run (the r12 driver artifact swung 3x and produced seven
+    # spurious 2x flags). A contaminated run cannot adjudicate
+    # breaches — they are demoted to "suspect_2x" for re-measure on a
+    # clean run.
+    contaminated = bool(
+        probe_samples
+        and min(probe_samples) > 0
+        and max(probe_samples) / min(probe_samples) > 2.0
+    )
     noise = {
         "median_spread": spreads[len(spreads) // 2] if spreads else None,
         "p90_spread": spreads[int(len(spreads) * 0.9)] if spreads else None,
         "probe_query": PROBE,
         "probe_sec": probe_samples,  # start / middle / end of the run
+        "contaminated": contaminated,
     }
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -117,9 +131,6 @@ def main() -> None:
         "noise": noise,
         "sf": sf,
     }
-    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-
     # 2x gate vs the committed first-recorded baseline (per query).
     base_path = os.path.join(repo, "BENCH_BASELINE.json")
     baseline: dict[str, dict[str, float]] = {}
@@ -133,13 +144,22 @@ def main() -> None:
     for name, s in stats.items():
         b = baseline.get(name)
         if b is None:
-            baseline[name] = s  # first sighting establishes the baseline
+            if not contaminated:  # a loaded box must not set baselines
+                baseline[name] = s  # first sighting establishes it
             continue
         overlaps = s["min"] <= b["max"] and b["min"] <= s["max"]
         if s["med"] > 2.0 * b["med"] and not overlaps:
             breaches[name] = {"med": s["med"], "baseline_med": b["med"]}
     with open(base_path, "w") as f:
         json.dump(baseline, f, indent=1, sort_keys=True)
+    suspect: dict[str, dict[str, float]] = {}
+    if contaminated:
+        suspect, breaches = breaches, {}
+    full["breaches_2x"] = breaches
+    full["suspect_2x"] = suspect
+    full["contaminated"] = contaminated
+    with open(os.path.join(repo, "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
 
     slowest = dict(
         sorted(times.items(), key=lambda kv: -kv[1])[:10]
@@ -157,6 +177,8 @@ def main() -> None:
                 "errors": errors[:10],
                 "queries": slowest,  # 10 slowest; full set in BENCH_local.json
                 "breaches_2x": breaches,
+                "suspect_2x": suspect,  # demoted flags from a contaminated run
+                "contaminated": contaminated,
                 "noise": noise,
                 "full": "BENCH_local.json",
                 "baseline": "BENCH_BASELINE.json",

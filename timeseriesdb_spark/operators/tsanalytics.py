@@ -24,7 +24,12 @@ HIST_BIN_W = 25.0   # histogram bin width over `value`
 # Theil-Sen: per-signal md5-window subsample cap (bounds pair fan-out
 # at K²/2 per signal regardless of history length) and the int64-safe
 # per-pair value-span bound in cents (span·10¹⁰ must fit in int64).
-THEILSEN_SAMPLE_CAP = 32
+# 128 (ADVICE r12 — 32 was aggressive): ~8k pairs/signal keeps the
+# bound, and signals at or under the cap get the EXACT all-pairs
+# estimator (the md5 window passes everything through — at the test
+# SFs' ~66 points/signal the cap is a no-op, like KNN_TRAIN_CAP);
+# only genuinely long histories pay the subsample variance.
+THEILSEN_SAMPLE_CAP = 128
 THEILSEN_SPAN_CENTS = 900_000_000
 
 
