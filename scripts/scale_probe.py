@@ -87,6 +87,13 @@ PROBES = {
     "q_pla_recon": "LTTB kept points + piecewise-linear read-back",
     "q_kmeans_drift_fft": "FFT-tier model-drift scoring chain",
     "q_kmeans_drift_pla": "PLA-tier model-drift scoring chain",
+    # r13: the GRAIL tier embeds each complete segment against a FIXED
+    # 8-landmark dictionary (scale-invariant train, like q_grail_embed)
+    # — per-segment work is O(K * SEG_ROWS log) constant, so the curve
+    # must track the segment count (the scan). RRD/BUFF tiers are
+    # column-expression recons inside the same factory (strictly
+    # cheaper than the FFT row above) and ride its evidence.
+    "q_kmeans_drift_grail": "GRAIL-tier model-drift scoring chain",
 }
 # documents-axis probes: the dedup/text families the 100 TB story
 # leans on. Replicas rotate the ALPHABET (a bijection on characters,

@@ -451,6 +451,13 @@ class SignalEngine:
           write ABOVE the store's max batch_id (base recorded in a
           checkpoint sidecar so a crash/resume of this run keeps its
           batch-id namespace stable).
+
+        Rehydrate pulls one (signal, count) pair per signal to the
+        driver — the same cardinality as the positioner's state store
+        (driftscore.py sizes that: fine far past 100 TB of EVENTS).
+        If the SIGNAL universe itself outgrows a driver dict, the
+        production lever is a state-store bootstrap write from the
+        same high-water frame instead of this dict.
         """
         import json
         import os

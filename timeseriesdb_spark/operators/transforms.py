@@ -51,6 +51,13 @@ def packed_grouped_map(df: DataFrame, kernel, schema: str,
     At 100 TB the shape is identical to applyInPandas — one shuffle on
     the group key — with ~batch-count Python crossings per executor
     instead of ~group-count."""
+    def emit(groups):
+        # drop empty kernel outputs before concat: a group with no
+        # result rows contributes an all-NA-dtype frame that pandas'
+        # concat warns on today and will mis-type tomorrow
+        outs = [r for r in (kernel(g) for _, g in groups) if len(r)]
+        return pd.concat(outs, ignore_index=True) if outs else None
+
     def run(batches):
         carry = None
         for b in batches:
@@ -61,15 +68,13 @@ def packed_grouped_map(df: DataFrame, kernel, schema: str,
             split = cut[-1] + 1 if len(cut) else 0
             head, carry = b.iloc[:split], b.iloc[split:]
             if len(head):
-                yield pd.concat(
-                    [kernel(g) for _, g in head.groupby(key, sort=False)],
-                    ignore_index=True,
-                )
+                out = emit(head.groupby(key, sort=False))
+                if out is not None:
+                    yield out
         if carry is not None and len(carry):
-            yield pd.concat(
-                [kernel(g) for _, g in carry.groupby(key, sort=False)],
-                ignore_index=True,
-            )
+            out = emit(carry.groupby(key, sort=False))
+            if out is not None:
+                yield out
 
     return (
         df.repartition(key)
