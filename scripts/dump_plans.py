@@ -68,6 +68,7 @@ HEADLINERS = [
     "q_skyline",         # r11: dominance anti-join on the aggregate tier
     "q_pla_recon",       # r12: ONE signal-key exchange into the interp kernel
     "q_kmeans_drift_fft",  # r12: recon kernel + shrinking agg chain
+    "q_kmeans_drift_grail",  # r13: segment GRAIL embed join + rollup
 ]
 
 SF = "/root/testdata/sf0.01"

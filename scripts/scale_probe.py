@@ -291,13 +291,26 @@ def build_scaled_emb(spark: SparkSession, k: int) -> str:
     return out
 
 
-def time_query(fn, spark, sf_dir: str) -> float:
+def time_query(fn, spark, sf_dir: str, reset=None) -> float:
     times = []
     for _ in range(RUNS + 1):  # first run is warm-up
+        if reset is not None:
+            reset()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     return statistics.median(times[1:])
+
+
+def _drift_reset():
+    """Drift-tier probes must measure the FULL recon→features→label
+    chain every run: the per-(sf_dir, tier) persisted feature frame
+    (mlscoring._cached_tier_feats, r13) would otherwise hide the
+    scaling half behind the warm-up and the row would read the
+    serving path only."""
+    from timeseriesdb_spark.operators.mlscoring import clear_tier_feats
+
+    clear_tier_feats()
 
 
 def main() -> None:
@@ -311,7 +324,10 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for name in PROBES:
         fn = QUERIES[name]
-        results[name] = {k: time_query(fn, spark, dirs[k]) for k in FACTORS}
+        reset = _drift_reset if "_drift" in name else None
+        results[name] = {
+            k: time_query(fn, spark, dirs[k], reset) for k in FACTORS
+        }
         print(name, {k: round(v, 3) for k, v in results[name].items()})
 
     ddirs = {k: build_scaled_docs(spark, k) for k in FACTORS}
@@ -460,7 +476,15 @@ def main() -> None:
         "pairs and the near-16× time is LINEAR data scaling at full",
         "CPU, not per-task state growth (per-signal history n_i is",
         "constant on this axis; the hot-signal lever is the documented",
-        "per-signal sample cap).",
+        "per-signal sample cap — THEILSEN_SAMPLE_CAP=128 as of r13,",
+        "a no-op at the probe's 66 points/signal, so this row is the",
+        "EXACT estimator).",
+        "",
+        "The three drift-tier rows measure the FULL",
+        "recon→features→label chain every rep (the per-tier persisted",
+        "feature cache is cleared per run — in production the four",
+        "families of a tier share one materialization, so the serving",
+        "path is strictly cheaper than these rows).",
         "",
         "## Corpus axis: documents ×1/×4/×16",
         "",
@@ -568,6 +592,29 @@ def main() -> None:
         f"| multimodal_keep_stream | {sr[1]:.3f} | {sr[4]:.3f} "
         f"| {sr[16]:.3f} | {sr[16] / sr[1]:.1f}× "
         f"| {skept[16] / max(skept[1], 1):.1f}× |",
+        "",
+        "## Streamed drift-feature maintenance ×1/×4/×16",
+        "",
+        "Measured by `scripts/drift_stream_probe.py` (4 time-ordered",
+        "micro-batches over the scaled events, fresh checkpoint per",
+        "rep, one untimed warm-up rep then median of 3; numbers below",
+        "from the r13 run with the 3-field positioner state — carry +",
+        "last (ts, event_id) ordering guard):",
+        "",
+        "| stage | ×1 s | ×4 s | ×16 s | ×16/×1 |",
+        "|---|---|---|---|---|",
+        "| maintenance drain (stateful position carry + partials"
+        " write) | 10.473 | 13.027 | 18.399 | 1.8× |",
+        "| drift_scores finalize (merge partials → label → agree)"
+        " | 1.815 | 1.421 | 1.255 | 0.7× |",
+        "",
+        "Micro-batch fixed cost (4 trigger rounds + checkpoint",
+        "commits) dominates at ×1; state is O(1) per signal (three",
+        "longs), partials are chunk-sized not row-sized, and the",
+        "finalize reads only the tier — which is the point: agreement",
+        "queries never rescan raw history. Checkpoint loss is guarded",
+        "(refuse / replay / rehydrate-from-high-water, r13) and",
+        "cross-batch ordering violations fail the stream loudly.",
         "",
         "## Re-encoding invariance boundary (r11, pinned in",
         "tests/test_video.py)",
