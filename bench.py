@@ -76,6 +76,15 @@ def main() -> None:
                 pass
 
     probe()
+    # quarter-cadence probe marks (r13: a mid-run load burst can fall
+    # between start/middle/end probes and evade detection — the
+    # polluted r13 rerun inflated the tail alphabet while all three
+    # probes read clean)
+    marks = {
+        len(names) // 4,
+        len(names) // 2,
+        (3 * len(names)) // 4,
+    }
     for i, name in enumerate(names):
         fn = QUERIES[name]
         try:
@@ -94,7 +103,7 @@ def main() -> None:
         except Exception as exc:  # a broken query must not sink the bench
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
             times[name] = -1.0
-        if i == len(names) // 2:
+        if i in marks:
             probe()
     probe()
 
@@ -120,7 +129,7 @@ def main() -> None:
         "median_spread": spreads[len(spreads) // 2] if spreads else None,
         "p90_spread": spreads[int(len(spreads) * 0.9)] if spreads else None,
         "probe_query": PROBE,
-        "probe_sec": probe_samples,  # start / middle / end of the run
+        "probe_sec": probe_samples,  # start / quarter marks / end
         "contaminated": contaminated,
     }
 

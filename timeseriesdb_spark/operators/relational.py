@@ -137,13 +137,27 @@ def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXCEPT_NOISY_ERRORS = 10  # heavy-error threshold for the EXCEPT arm
+
+
 def q_except_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set ops (§2.6): signals with 'purchase' events EXCEPT signals
-    with 'error' events — the HashSet union/difference surface
-    (cr_predictor.rs:46) as engine set operators."""
+    """Set ops (§2.6): signals with 'purchase' events EXCEPT
+    heavy-error signals (≥ EXCEPT_NOISY_ERRORS error events) — the
+    HashSet union/difference surface (cr_predictor.rs:46) as engine
+    set operators. r13: the old plain purchase-EXCEPT-error form was
+    VACUOUSLY empty on the testdata (every purchaser also errors at
+    least once at every SF), so its green hash verified nothing; the
+    threshold keeps the identical EXCEPT plan shape while the result
+    is non-empty at sf0.001/0.01/0.1 (2/22/229 rows)."""
     ev = load_table(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= EXCEPT_NOISY_ERRORS)
+        .select("user_id")
+    )
     return purch.distinct().subtract(err.distinct())
 
 
@@ -1369,10 +1383,11 @@ ORACLES = {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    "q_except_signals": """
+    "q_except_signals": f"""
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'error'
+        GROUP BY user_id HAVING count(*) >= {EXCEPT_NOISY_ERRORS}
     """,
     "q_intersect_signals": """
         SELECT user_id FROM events WHERE event_type = 'purchase'
