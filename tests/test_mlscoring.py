@@ -128,3 +128,60 @@ def test_grail_embedding_is_affine_invariant(spark, tmp_path):
     assert a == b
     mlscoring._GRAIL_SEG_DICT_CACHE.pop(dst, None)
     shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_grail_span_guard_refuses_dictionary():
+    """ADVICE r13: a segment whose value span breaks the int64 NCC
+    bound (64³·span² ≥ 2⁶³) must raise loudly in the dictionary
+    builder — numpy would wrap silently where the oracle sums in
+    HUGEINT (and production runs with no oracle at all)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = np.zeros(mlscoring.SEG_ROWS, dtype=np.float64)
+    vals[0] = (mlscoring.GRAIL_SPAN_CENTS + 100) / 100.0
+    pdf = pd.DataFrame(
+        {
+            "user_id": 0,
+            "rn": np.arange(1, mlscoring.SEG_ROWS + 1),
+            "value": vals,
+        }
+    )
+    with pytest.raises(ValueError, match="GRAIL_SPAN_CENTS"):
+        mlscoring._seg_dict_from_pdf(pdf)
+
+
+def test_grail_span_guard_refuses_embed(spark, tmp_path):
+    """Same bound in the embed kernel itself: benign dictionary
+    signals, one scored signal spiked past the span cap — the stream
+    of coefficients must fail loudly, not wrap."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from timeseriesdb_spark.tables import load_table
+
+    dst = str(tmp_path / "spiked")
+    ev = load_table(spark, SF_DIR, "events")
+    k = mlscoring.GRAIL_DICT_K
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spiked = (
+        ev.filter(F.col("user_id") == k)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "value",
+            F.when(
+                F.col("rn") == 1,
+                F.lit((mlscoring.GRAIL_SPAN_CENTS + 100) / 100.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("rn")
+    )
+    ev.filter(F.col("user_id") < k).unionByName(spiked).write.parquet(
+        f"{dst}/events.parquet"
+    )
+    with pytest.raises(Exception, match="GRAIL_SPAN_CENTS"):
+        mlscoring._grail_seg_coeffs(spark, dst).collect()
+    mlscoring._GRAIL_SEG_DICT_CACHE.pop(dst, None)
+    shutil.rmtree(dst, ignore_errors=True)

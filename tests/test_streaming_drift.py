@@ -169,6 +169,34 @@ def test_rehydrate_after_checkpoint_loss_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_rehydrate_seed_bound_refuses(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #2: the rehydrate seed is a driver dict closed over
+    by the positioner — bounded by REHYDRATE_MAX_SIGNALS. Past the cap
+    the stream must refuse loudly (naming the state-store-bootstrap
+    lever), never silently build a multi-GB task closure."""
+    import pytest
+
+    feat = str(tmp_path / "feat")
+    eng = SignalEngine(spark, str(tmp_path / "store"))
+    schema = _stage_half(spark, str(tmp_path / "src1"), 0)
+    _stage_half(spark, str(tmp_path / "src2"), 1)
+
+    def run(src, ck, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / src))
+        )
+        eng.maintain_drift_feature_stream(
+            stream, feat, str(tmp_path / ck), **kw
+        ).awaitTermination(180)
+
+    run("src1", "ck1")
+    monkeypatch.setenv("SPARK_TSDB_REHYDRATE_MAX_SIGNALS", "1")
+    with pytest.raises(ValueError, match="REHYDRATE_MAX_SIGNALS"):
+        run("src2", "ck2", on_fresh_checkpoint="rehydrate")
+
+
 def test_out_of_order_batch_fails_loudly(spark, tmp_path):
     """ADVICE r12: a batch whose per-signal min sort key regresses
     below the carried last key must RAISE (positions would silently

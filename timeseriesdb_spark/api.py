@@ -82,6 +82,93 @@ class _LeaseHeartbeat:
         self._thread.join(timeout=5.0)
 
 
+def guard_fresh_checkpoint(
+    store_path: str,
+    checkpoint: str,
+    on_fresh_checkpoint: str = "error",
+    new_events_mode: str = "append",
+    meta_name: str = "_stream_meta.json",
+) -> int:
+    """Shared fresh-checkpoint guard for every batch_id-partitioned
+    partial writer (VERDICT r13 #1 — the r13 drift-stream guard,
+    generalized to all eleven maintain_* streams).
+
+    Every maintain_* stream writes each micro-batch's partials to its
+    OWN `{store}/batch_id={bid}` partition — idempotent under
+    foreachBatch's at-least-once replay of the SAME checkpoint. The
+    one silent-corruption path is a FRESH checkpoint (dir lost, or a
+    second ingest tranche pointed at the same store) against a
+    NON-EMPTY store: foreachBatch restarts batch ids at 0 and the new
+    tranche's partials silently overwrite the oldest stored partials,
+    corrupting every served rollup/sketch. `on_fresh_checkpoint`
+    declares intent:
+
+    - "error" (default): refuse loudly.
+    - "replay": the source replays the IDENTICAL full corpus. All
+      existing batch_id partitions are DELETED first (ADVICE r13: a
+      coarser replay — e.g. availableNow draining the corpus in one
+      batch where the original run used maxFilesPerTrigger=1 — would
+      otherwise leave stale higher-id partials behind to double-count
+      at merge). Nothing is lost: the mode's contract is that the
+      replay re-derives every partial from the same rows.
+    - `new_events_mode` ("append"; the drift stream names it
+      "rehydrate" because it additionally re-seeds position carries):
+      the source carries ONLY events not yet in the store — new
+      batches write ABOVE the store's max batch_id, with the base
+      recorded in a checkpoint sidecar so a crash/resume of this run
+      keeps its batch-id namespace stable.
+
+    Returns the base offset to ADD to every foreachBatch batch id.
+    """
+    import json
+    import os
+    import shutil
+
+    valid = ("error", "replay", new_events_mode)
+    if on_fresh_checkpoint not in valid:
+        raise ValueError(
+            f"on_fresh_checkpoint must be one of {valid}; "
+            f"got {on_fresh_checkpoint!r}"
+        )
+    existing: list[int] = []
+    if os.path.isdir(store_path):
+        existing = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_path)
+            if d.startswith("batch_id=")
+        )
+    fresh = not os.path.isdir(os.path.join(checkpoint, "offsets"))
+    meta_path = os.path.join(checkpoint, meta_name)
+    base = 0
+    if fresh and existing:
+        if on_fresh_checkpoint == "error":
+            raise ValueError(
+                f"fresh checkpoint {checkpoint!r} against a non-empty "
+                f"partial store {store_path!r}: batch_id would restart "
+                "at 0 and silently overwrite good partials. Pass "
+                "on_fresh_checkpoint='replay' if the source replays "
+                f"the identical full corpus, or {new_events_mode!r} "
+                "if it carries only new events (writes land above the "
+                "store's max batch_id)."
+            )
+        if on_fresh_checkpoint == "replay":
+            for bid in existing:
+                shutil.rmtree(
+                    os.path.join(store_path, f"batch_id={bid}"),
+                    ignore_errors=True,
+                )
+        else:
+            base = existing[-1] + 1
+    if not fresh and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            base = json.load(f)["base"]
+    if fresh:
+        os.makedirs(checkpoint, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"base": base}, f)
+    return base
+
+
 class SignalEngine:
     """A signal store at `path` + query surface over it."""
 
@@ -335,6 +422,7 @@ class SignalEngine:
         rollup_path: str,
         checkpoint: str,
         bucket: str = "1 hour",
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental AggStats maintenance from the live stream — the
         reference's daemon keeps per-segment stats at put
@@ -346,12 +434,17 @@ class SignalEngine:
         write of shared state). rollup_agg merges partials at query
         time via the associative AggStats combine; a periodic
         compaction can collapse old batch partitions whenever partial
-        count grows large."""
+        count grows large. Fresh-checkpoint collisions against a
+        non-empty store are guarded (guard_fresh_checkpoint, r14):
+        declare 'replay' or 'append' intent or get a loud refusal."""
+        base = guard_fresh_checkpoint(
+            rollup_path, checkpoint, on_fresh_checkpoint
+        )
 
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             self._partial_stats(batch_df, bucket).write.mode(
                 "overwrite"
-            ).parquet(f"{rollup_path}/batch_id={bid}")
+            ).parquet(f"{rollup_path}/batch_id={base + bid}")
 
         return (
             stream.writeStream.foreachBatch(write_partial)
@@ -361,7 +454,11 @@ class SignalEngine:
         )
 
     def maintain_distinct_stream(
-        self, stream: DataFrame, sketch_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        sketch_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental distinct-sketch maintenance — the mergeable-HLL
         twin of maintain_rollup_stream: each micro-batch writes its own
@@ -374,9 +471,13 @@ class SignalEngine:
             daily_distinct_sketches,
         )
 
+        base = guard_fresh_checkpoint(
+            sketch_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             daily_distinct_sketches(batch_df).write.mode("overwrite").parquet(
-                f"{sketch_path}/batch_id={bid}"
+                f"{sketch_path}/batch_id={base + bid}"
             )
 
         return (
@@ -387,7 +488,11 @@ class SignalEngine:
         )
 
     def maintain_hll_register_stream(
-        self, stream: DataFrame, sketch_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        sketch_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental SEEDED-md5 HLL register maintenance — the
         deterministic twin of maintain_distinct_stream (r11,
@@ -401,9 +506,13 @@ class SignalEngine:
         hash-checkable."""
         from timeseriesdb_spark.operators.chunking import _hll_registers
 
+        base = guard_fresh_checkpoint(
+            sketch_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             _hll_registers(batch_df).write.mode("overwrite").parquet(
-                f"{sketch_path}/batch_id={bid}"
+                f"{sketch_path}/batch_id={base + bid}"
             )
 
         return (
@@ -443,8 +552,11 @@ class SignalEngine:
 
         - "error" (default): refuse loudly.
         - "replay": the source replays the IDENTICAL full corpus —
-          positions restart at 0 and every batch_id partition is
-          overwritten in place (exactly-once via idempotent overwrite).
+          positions restart at 0 and every existing batch_id partition
+          is DELETED first (ADVICE r13: a coarser replay, e.g.
+          availableNow draining the corpus in one batch where the
+          original run used maxFilesPerTrigger=1, would otherwise
+          leave stale higher-id partials to double-count at merge).
         - "rehydrate": the source carries ONLY events not yet in the
           store — per-signal carries seed from the store's high-water
           (signal_high_water: Σn over chunk partials), and new batches
@@ -455,71 +567,65 @@ class SignalEngine:
         Rehydrate pulls one (signal, count) pair per signal to the
         driver — the same cardinality as the positioner's state store
         (driftscore.py sizes that: fine far past 100 TB of EVENTS).
-        If the SIGNAL universe itself outgrows a driver dict, the
-        production lever is a state-store bootstrap write from the
-        same high-water frame instead of this dict.
-        """
-        import json
-        import os
+        The pull is BOUNDED (r14, VERDICT r13 #2): more than
+        REHYDRATE_MAX_SIGNALS distinct signals (default 1,000,000 ≈
+        low-hundreds-MB task closure; env
+        SPARK_TSDB_REHYDRATE_MAX_SIGNALS) refuses loudly — past that,
+        the production lever is a state-store bootstrap write from the
+        same high-water frame instead of a broadcast dict.
 
+        Checkpoint compatibility (ADVICE r13): r13 widened the
+        positioner's STATE_SCHEMA from 1 long to 3 (cnt, last_ts,
+        last_eid) — a drift checkpoint written BEFORE that change
+        cannot be resumed (Spark fails with a state-schema-
+        incompatibility error). Discard the old checkpoint and recover
+        through this guard: on_fresh_checkpoint='rehydrate' re-seeds
+        the carries from the feature store's high-water with no raw
+        re-scan (or 'replay' if the full corpus is still available).
+        """
         from timeseriesdb_spark.streaming.driftscore import (
             chunk_feature_partials,
             positioned_stream,
             signal_high_water,
         )
 
-        if on_fresh_checkpoint not in ("error", "replay", "rehydrate"):
-            raise ValueError(
-                "on_fresh_checkpoint must be one of 'error', 'replay',"
-                f" 'rehydrate'; got {on_fresh_checkpoint!r}"
-            )
-
-        def _existing_batch_ids() -> list[int]:
-            if not os.path.isdir(feature_path):
-                return []
-            return sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(feature_path)
-                if d.startswith("batch_id=")
-            )
-
-        fresh = not os.path.isdir(os.path.join(checkpoint, "offsets"))
-        meta_path = os.path.join(checkpoint, "_drift_stream_meta.json")
-        existing = _existing_batch_ids()
-        base, initial = 0, None
-        if fresh and existing:
-            if on_fresh_checkpoint == "error":
-                raise ValueError(
-                    f"fresh checkpoint {checkpoint!r} against a "
-                    f"non-empty feature store {feature_path!r} "
-                    "(position carries lost): positions would "
-                    "silently restart at 0 and batch_id=0.. would "
-                    "overwrite good partials. Pass on_fresh_checkpoint"
-                    "='replay' if the source replays the identical "
-                    "full corpus, or 'rehydrate' if it carries only "
-                    "new events (carries re-seed from the store's "
-                    "high-water)."
-                )
-            if on_fresh_checkpoint == "rehydrate":
-                base = existing[-1] + 1
-        if not fresh and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                base = json.load(f)["base"]
+        base = guard_fresh_checkpoint(
+            feature_path,
+            checkpoint,
+            on_fresh_checkpoint,
+            new_events_mode="rehydrate",
+            meta_name="_drift_stream_meta.json",
+        )
+        initial = None
         if base > 0:
+            import os
+
             # carries from PRIOR runs only (batch_id < base) — this
             # run's own writes must not inflate the seed on resume
-            initial = {
-                r["user_id"]: r["hw"]
-                for r in signal_high_water(
-                    self.spark.read.parquet(feature_path).where(
-                        F.col("batch_id") < base
-                    )
-                ).collect()
-            }
-        if fresh:
-            os.makedirs(checkpoint, exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump({"base": base}, f)
+            hw = signal_high_water(
+                self.spark.read.parquet(feature_path).where(
+                    F.col("batch_id") < base
+                )
+            )
+            cap = int(
+                os.environ.get(
+                    "SPARK_TSDB_REHYDRATE_MAX_SIGNALS", "1000000"
+                )
+            )
+            n_signals = hw.count()
+            if n_signals > cap:
+                raise ValueError(
+                    f"rehydrate seed would carry {n_signals} signals "
+                    f"(> REHYDRATE_MAX_SIGNALS={cap}) in a driver dict "
+                    "closed over by the positioner — refusing to build "
+                    "a multi-GB task closure. Raise "
+                    "SPARK_TSDB_REHYDRATE_MAX_SIGNALS if the closure "
+                    "size is acceptable, or bootstrap the positioner's "
+                    "state store from the same signal_high_water frame "
+                    "(the production lever for an unbounded signal "
+                    "universe)."
+                )
+            initial = {r["user_id"]: r["hw"] for r in hw.collect()}
 
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             chunk_feature_partials(batch_df).write.mode(
@@ -635,7 +741,11 @@ class SignalEngine:
         )
 
     def maintain_frequency_stream(
-        self, stream: DataFrame, sketch_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        sketch_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental frequency-sketch maintenance — the Count-Min
         twin of maintain_distinct_stream: each micro-batch writes its
@@ -648,9 +758,13 @@ class SignalEngine:
         (tests/test_streaming_sketches.py)."""
         from timeseriesdb_spark.operators.aggregates import _cm_counters
 
+        base = guard_fresh_checkpoint(
+            sketch_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             _cm_counters(batch_df).write.mode("overwrite").parquet(
-                f"{sketch_path}/batch_id={bid}"
+                f"{sketch_path}/batch_id={base + bid}"
             )
 
         return (
@@ -661,7 +775,11 @@ class SignalEngine:
         )
 
     def maintain_ohlc_stream(
-        self, stream: DataFrame, bars_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        bars_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental OHLC candlestick maintenance — the endpoint
         (first/last) twin of maintain_rollup_stream: each micro-batch
@@ -673,9 +791,13 @@ class SignalEngine:
         (tests/test_streaming_ohlc.py)."""
         from timeseriesdb_spark.operators.tsanalytics import ohlc_partials
 
+        base = guard_fresh_checkpoint(
+            bars_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             ohlc_partials(batch_df).write.mode("overwrite").parquet(
-                f"{bars_path}/batch_id={bid}"
+                f"{bars_path}/batch_id={base + bid}"
             )
 
         return (
@@ -726,7 +848,11 @@ class SignalEngine:
     }
 
     def maintain_histogram_stream(
-        self, stream: DataFrame, hist_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        hist_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental histogram maintenance — the distribution twin
         of maintain_frequency_stream: per-(signal, day, bin) count
@@ -737,9 +863,13 @@ class SignalEngine:
         any later distribution query from the store."""
         from timeseriesdb_spark.operators.tsanalytics import hist_partials
 
+        base = guard_fresh_checkpoint(
+            hist_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             hist_partials(batch_df).write.mode("overwrite").parquet(
-                f"{hist_path}/batch_id={bid}"
+                f"{hist_path}/batch_id={base + bid}"
             )
 
         return (
@@ -758,7 +888,11 @@ class SignalEngine:
         )
 
     def maintain_quantile_stream(
-        self, stream: DataFrame, qsk_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        qsk_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental quantile-sketch maintenance — the rank twin of
         maintain_histogram_stream: each micro-batch writes its
@@ -771,9 +905,13 @@ class SignalEngine:
             qsk_day_buckets,
         )
 
+        base = guard_fresh_checkpoint(
+            qsk_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             qsk_day_buckets(batch_df).write.mode("overwrite").parquet(
-                f"{qsk_path}/batch_id={bid}"
+                f"{qsk_path}/batch_id={base + bid}"
             )
 
         return (
@@ -798,7 +936,11 @@ class SignalEngine:
         return quantiles_from_buckets(merged)
 
     def maintain_event_ngrams_stream(
-        self, stream: DataFrame, tier_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        tier_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental sequence-mining tier — q_event_ngrams maintained
         on a stream: the stateful trigram operator (two-event tail per
@@ -814,11 +956,16 @@ class SignalEngine:
         )
 
         tri = event_trigram_stream(stream)
+        base = guard_fresh_checkpoint(
+            tier_path, checkpoint, on_fresh_checkpoint
+        )
 
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             batch_df.groupBy("e1", "e2", "e3", "user_id").agg(
                 F.count("*").alias("n")
-            ).write.mode("overwrite").parquet(f"{tier_path}/batch_id={bid}")
+            ).write.mode("overwrite").parquet(
+                f"{tier_path}/batch_id={base + bid}"
+            )
 
         return (
             tri.writeStream.foreachBatch(write_partial)
@@ -846,7 +993,11 @@ class SignalEngine:
         return rank_trigram_counts(counts)
 
     def maintain_heavyhitters_stream(
-        self, stream: DataFrame, hh_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        hh_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental heavy-hitter tier maintenance — the candidate-
         enumeration twin of maintain_frequency_stream (Count-Min can
@@ -860,9 +1011,13 @@ class SignalEngine:
         (tests/test_streaming_sketches.py)."""
         from timeseriesdb_spark.operators.aggregates import hh_day_counts
 
+        base = guard_fresh_checkpoint(
+            hh_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             hh_day_counts(batch_df).write.mode("overwrite").parquet(
-                f"{hh_path}/batch_id={bid}"
+                f"{hh_path}/batch_id={base + bid}"
             )
 
         return (
@@ -1370,7 +1525,11 @@ class CorpusEngine:
         return chunk_documents(self.docs())
 
     def maintain_trending_terms_stream(
-        self, stream: DataFrame, tier_path: str, checkpoint: str
+        self,
+        stream: DataFrame,
+        tier_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
     ):
         """Incremental trending-terms tier — the text twin of
         SignalEngine.maintain_heavyhitters_stream: each micro-batch of
@@ -1382,9 +1541,13 @@ class CorpusEngine:
         (tests/test_streaming_trending.py)."""
         from timeseriesdb_spark.operators.text import term_source_counts
 
+        base = guard_fresh_checkpoint(
+            tier_path, checkpoint, on_fresh_checkpoint
+        )
+
         def write_partial(batch_df: DataFrame, bid: int) -> None:
             term_source_counts(batch_df).write.mode("overwrite").parquet(
-                f"{tier_path}/batch_id={bid}"
+                f"{tier_path}/batch_id={base + bid}"
             )
 
         return (
@@ -1556,7 +1719,7 @@ class CorpusEngine:
     def ann_probe_stream(
         self, stream: DataFrame, index_path: str, out_path: str,
         checkpoint: str, k: int | None = None, nprobe: int | None = None,
-        trigger: dict | None = None,
+        trigger: dict | None = None, on_fresh_checkpoint: str = "error",
     ):
         """Continuous top-k retrieval: a query-vector stream probes the
         stored index (streaming/annprobe.py — stateless cell-pruned
@@ -1564,6 +1727,11 @@ class CorpusEngine:
         land EXACTLY-ONCE under ``out_path/batch_id=<id>`` — a
         replayed micro-batch overwrites its own partition, never
         duplicates rows; readers see a ``batch_id`` partition column.
+        The fresh-checkpoint collision (a NEW checkpoint over a
+        non-empty result log would restart batch ids at 0 and
+        overwrite earlier queries' results) is guarded like the
+        maintenance sinks (guard_fresh_checkpoint, r14): pass
+        ``on_fresh_checkpoint='append'`` for a second query tranche.
         ``trigger`` passes through to
         ``writeStream.trigger`` — default drains what's available and
         stops (availableNow); a live serving deployment passes e.g.
@@ -1572,6 +1740,9 @@ class CorpusEngine:
         from timeseriesdb_spark.operators import similarity as sim
         from timeseriesdb_spark.streaming import annprobe
 
+        base = guard_fresh_checkpoint(
+            out_path, checkpoint, on_fresh_checkpoint
+        )
         fb = annprobe.make_probe_foreach_batch(
             self.spark, index_path, self._load_centroids(index_path),
             out_path,
@@ -1579,7 +1750,9 @@ class CorpusEngine:
             k=k if k is not None else sim.TOP_K,
         )
         return (
-            stream.writeStream.foreachBatch(fb)
+            stream.writeStream.foreachBatch(
+                lambda batch_df, bid: fb(batch_df, base + bid)
+            )
             .option("checkpointLocation", checkpoint)
             .trigger(**(trigger if trigger is not None else {"availableNow": True}))
             .start()

@@ -719,6 +719,26 @@ _RECON_SQL = {
 
 GRAIL_DICT_K = 8  # landmark signals; each contributes its first segment
 
+# int64-safe per-segment value span (ADVICE r13, the THEILSEN_SPAN_CENTS
+# discipline): the affine image y = SEG_ROWS·xi − Σxi has |y| ≤
+# SEG_ROWS·span, so np.dot(y,y) and every np.correlate lag sum are
+# bounded by SEG_ROWS³·span² = 64³·span². numpy WRAPS silently past
+# 2⁶³ where the DuckDB oracle sums exactly in HUGEINT — and in
+# production no oracle runs at all. 64³·(5·10⁶)² ≈ 6.6·10¹⁸ < 2⁶³,
+# so a $50k span is the loud ceiling.
+GRAIL_SPAN_CENTS = 5_000_000
+
+
+def _check_grail_span(xi: "np.ndarray", where: str) -> None:
+    span = int(xi.max()) - int(xi.min())
+    if span > GRAIL_SPAN_CENTS:
+        raise ValueError(
+            f"GRAIL {where}: segment value span {span} cents exceeds "
+            f"the int64-safe NCC bound (GRAIL_SPAN_CENTS="
+            f"{GRAIL_SPAN_CENTS}; 64³·span² must stay below 2⁶³) — "
+            "the exact-integer cross-correlation would wrap silently"
+        )
+
 
 _GRAIL_SEG_DICT_CACHE: dict[str, list] = {}
 
@@ -762,6 +782,7 @@ def _seg_dict_from_pdf(pdf: "pd.DataFrame") -> list:
         xi = np.floor(
             g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5
         ).astype(np.int64)
+        _check_grail_span(xi, "dictionary")
         out.append(SEG_ROWS * xi - xi.sum())
     return out
 
@@ -788,6 +809,7 @@ def _grail_seg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((int_dict, proj, e1, e2))
     qscale = 4096.0  # GRAIL_Q inline (closure rule)
     seg_rows = SEG_ROWS
+    span_cap = GRAIL_SPAN_CENTS
 
     def embed(pdf: pd.DataFrame) -> pd.DataFrame:
         dseries, pmat, t1, t2 = bc.value
@@ -797,6 +819,14 @@ def _grail_seg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         for s in range(0, len(xi_all) - seg_rows + 1, seg_rows):
             xi = xi_all[s : s + seg_rows]
+            span = int(xi.max()) - int(xi.min())
+            if span > span_cap:  # int64 NCC bound (closure-inlined)
+                raise ValueError(
+                    f"GRAIL embed: signal {uid} segment at row {s} has "
+                    f"value span {span} cents > GRAIL_SPAN_CENTS="
+                    f"{span_cap} — the exact-integer cross-correlation "
+                    "(64³·span² ≥ 2⁶³) would wrap silently"
+                )
             y = seg_rows * xi - xi.sum()
             sy = int(np.dot(y, y))
             kv = []
