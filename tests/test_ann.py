@@ -650,3 +650,20 @@ def test_dedup_graph_stats_empty_graph_is_zero_not_null(spark, tmp_path):
     assert row["n_edges"] == 0
     assert row["n_wedges"] == 0 and row["n_wedges"] is not None
     assert row["global_cc_ppm"] == 0
+
+
+def test_sem_bits_adaptive():
+    """r14: the semantic-cell width grows with the corpus so the
+    within-cell pair work stays O(n·SEM_CELL_TARGET) — the sf1 curve
+    measured the fixed 4-bit fence at a 110x slope on 10x data. The
+    driver (sf0.01) and bench (sf0.1) scales keep the historical 4
+    bits, so hashes and baselines are unchanged."""
+    from timeseriesdb_spark.operators.similarity import (
+        SEM_BITS,
+        _sem_bits,
+    )
+
+    assert _sem_bits(200) == SEM_BITS
+    assert _sem_bits(2_000) == SEM_BITS
+    assert _sem_bits(20_000) == 8
+    assert _sem_bits(10**9) == 16  # hard cap

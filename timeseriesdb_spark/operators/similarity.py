@@ -967,6 +967,25 @@ def semantic_scores_kernel(eids, emat, enorm, thr: int):
 
 
 SEM_BITS = 4  # sign-bit bucketing width → 2^SEM_BITS semantic cells
+SEM_CELL_TARGET = 128  # grow bits past SEM_BITS once cells outgrow this
+
+
+def _sem_bits(n_vecs: int) -> int:
+    """Adaptive semantic-cell width — the SemDeDup scale lever the
+    q_semdedup docstring names ("at 100 TB you grow SEM_BITS"),
+    actually pulled (r14: the sf1 scale curve measured the fixed
+    4-bit fence at a 110x slope on 10x data — quadratic): add sign
+    bits until the EXPECTED cell population n/2^bits falls to
+    SEM_CELL_TARGET, so within-cell pair work stays O(n·target)
+    instead of O(n²/2^SEM_BITS). Derived from the corpus row count
+    alone (one metadata-cheap count; the oracle factory replays the
+    identical derivation from the same parquet), capped at 16 bits /
+    DIM sign dimensions. sf0.01/sf0.1 land at the historical 4 bits —
+    existing hashes and baselines are unchanged."""
+    bits = SEM_BITS
+    while (n_vecs >> bits) > SEM_CELL_TARGET and bits < min(DIM, 16):
+        bits += 1
+    return bits
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,25 +995,31 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup threshold. Emits a total keep/drop decision (one row per
     vector) like dedup_clusters does for text.
 
-    The cell key is the sign pattern of the first SEM_BITS dimensions
-    — an axis-aligned random-hyperplane hash that both engines compute
-    exactly (no trained quantizer in the key path, so the whole
-    operator is oracle-checkable end to end; the kmeans-cell variant
-    of the same shape is the IVF path, q_ann_ivf/write_ivf_store).
+    The cell key is the sign pattern of the first _sem_bits(n)
+    dimensions — an axis-aligned random-hyperplane hash that both
+    engines compute exactly (no trained quantizer in the key path, so
+    the whole operator is oracle-checkable end to end; the
+    kmeans-cell variant of the same shape is the IVF path,
+    q_ann_ivf/write_ivf_store).
 
     Scale shape: the quadratic work is fenced per cell — the
     self-join is an equi-join on cell, so pairs never form across
-    cells and cost is O(n · cell_size), not O(n²). At 100 TB you grow
-    SEM_BITS so cell_size stays bounded (2^bits cells), exactly how
-    SemDeDup scales by increasing k; hot cells split via AQE skew
-    handling. No Python anywhere in the plan."""
+    cells and cost is O(n · cell_size), not O(n²) — and the cell
+    WIDTH adapts to the corpus (r14, _sem_bits: the sf1 curve
+    measured the fixed 4-bit fence at 110x on 10x data; adaptive
+    bits keep the expected cell population ≤ SEM_CELL_TARGET, exactly
+    how SemDeDup scales by increasing k). Hot cells split via AQE
+    skew handling. No Python anywhere in the plan; the lazy oracle
+    (_semdedup_oracle) re-derives the same bit width from the same
+    row count."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bits = _sem_bits(load_table(spark, sf_dir, "embeddings").count())
     cell = sum(
         (
             F.when(
-                F.element_at(F.col("e"), k + 1) >= 0, F.lit(1 << (SEM_BITS - 1 - k))
+                F.element_at(F.col("e"), k + 1) >= 0, F.lit(1 << (bits - 1 - k))
             ).otherwise(F.lit(0))
-            for k in range(SEM_BITS)
+            for k in range(bits)
         ),
         start=F.lit(0),
     ).cast("int")
@@ -1372,10 +1397,14 @@ _DOT_PAIRS_SQL = f"""
     GROUP BY a.vec_id, b.vec_id
 """
 
-_CELL_SQL = "(" + " + ".join(
-    f"CASE WHEN embedding[{k + 1}] >= 0 THEN {1 << (SEM_BITS - 1 - k)} ELSE 0 END"
-    for k in range(SEM_BITS)
-) + ")"
+def _cell_sql(bits: int) -> str:
+    """The q_semdedup sign-pattern cell key as DuckDB SQL for a given
+    bit width (must mirror the F.when chain in q_semdedup exactly)."""
+    return "(" + " + ".join(
+        f"CASE WHEN embedding[{k + 1}] >= 0 THEN {1 << (bits - 1 - k)}"
+        " ELSE 0 END"
+        for k in range(bits)
+    ) + ")"
 
 def _dk(x) -> str:
     """A Python float as an exact DuckDB DOUBLE literal: exponent
@@ -1741,10 +1770,60 @@ def _ann_pq_oracle(sf_dir: str | None = None) -> str:
     return sql
 
 
+def _semdedup_oracle() -> str:
+    """Lazy because the cell bit width is corpus-size-adaptive
+    (_sem_bits, r14): the factory counts the embeddings under
+    SPARK_TSDB_TEST_SF and emits the SQL with the identical width the
+    Spark query derives from the identical parquet. At the driver's
+    sf0.01 (and the sf0.1 bench) this is the historical 4-bit SQL
+    verbatim."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    bits = _sem_bits(int(n))
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST({_cell_sql(bits)} AS INT) AS cell
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id,
+                   sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE))) AS norm
+            FROM embeddings, range(1, {DIM + 1}) t(i) GROUP BY vec_id
+        ), pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   sum(CAST(ea.embedding[i] AS DOUBLE)
+                       * CAST(eb.embedding[i] AS DOUBLE)) AS dot
+            FROM base a JOIN base b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id,
+                 range(1, {DIM + 1}) t(i)
+            GROUP BY 1, 2
+        ), dropped AS (
+            SELECT DISTINCT vb AS vec_id
+            FROM pairs
+            JOIN norms na ON na.vec_id = va
+            JOIN norms nb ON nb.vec_id = vb
+            WHERE round(dot / (na.norm * nb.norm), 4) >= {NEARDUP_COS}
+        )
+        SELECT b.vec_id, b.cell,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM base b LEFT JOIN dropped d USING (vec_id)
+    """
+
+
 LAZY_ORACLES = {
     "q_ann_recall": _ann_recall_oracle,
     "q_ann_ivf": _ann_ivf_oracle,
     "q_ann_pq": _ann_pq_oracle,
+    "q_semdedup": _semdedup_oracle,
 }
 
 
@@ -1848,36 +1927,6 @@ ORACLES = {
             WHERE sel.rank < {MMR_K}
         )
         SELECT rank, vec_id, rel, mmr_score FROM sel ORDER BY rank
-    """,
-    "q_semdedup": f"""
-        WITH base AS (
-            SELECT vec_id, CAST({_CELL_SQL} AS INT) AS cell FROM embeddings
-        ), norms AS (
-            SELECT vec_id,
-                   sqrt(sum(CAST(embedding[i] AS DOUBLE)
-                            * CAST(embedding[i] AS DOUBLE))) AS norm
-            FROM embeddings, range(1, {DIM + 1}) t(i) GROUP BY vec_id
-        ), pairs AS (
-            SELECT a.vec_id AS va, b.vec_id AS vb,
-                   sum(CAST(ea.embedding[i] AS DOUBLE)
-                       * CAST(eb.embedding[i] AS DOUBLE)) AS dot
-            FROM base a JOIN base b
-              ON a.cell = b.cell AND a.vec_id < b.vec_id
-            JOIN embeddings ea ON ea.vec_id = a.vec_id
-            JOIN embeddings eb ON eb.vec_id = b.vec_id,
-                 range(1, {DIM + 1}) t(i)
-            GROUP BY 1, 2
-        ), dropped AS (
-            SELECT DISTINCT vb AS vec_id
-            FROM pairs
-            JOIN norms na ON na.vec_id = va
-            JOIN norms nb ON nb.vec_id = vb
-            WHERE round(dot / (na.norm * nb.norm), 4) >= {NEARDUP_COS}
-        )
-        SELECT b.vec_id, b.cell,
-               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
-                   AS keep
-        FROM base b LEFT JOIN dropped d USING (vec_id)
     """,
     "q_label_centroids": f"""
         SELECT label, dim, n_vecs,
