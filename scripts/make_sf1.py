@@ -12,9 +12,21 @@ instead of skewing. Replica 0 is byte-identical to sf0.1.
 
 Two columns are perturbed per replica (k > 0) so corpus semantics
 scale honestly rather than becoming 10x literal duplicates:
-- documents.text: words rotated by 7k positions (unigram stats, token
-  counts and lengths preserved; shingle sets broken, so dedup sees a
-  bigger corpus, not one 10x-duplicated corpus); n_chars recomputed.
+- documents.text: words PERMUTED by a per-replica stride coprime to
+  the word count (unigram stats, token counts and lengths preserved;
+  n_chars recomputed). The first cut used a plain rotation, which
+  preserves every interior 3-shingle — each replica was a
+  shingle-space near-copy of its source doc. Stride permutation
+  places consecutive output words stride-s apart in the original, so
+  each replica carries a fresh shingle set. NOTE the measured limit:
+  the driver corpus has a 31-word vocabulary, so the trigram universe
+  (31^3 ~ 29.8k) is already 91% saturated at sf0.1 (27,213 distinct
+  shingles) and 99% at sf1 (29,437). Shingle DF therefore grows
+  ~linearly with the corpus (median 9 -> 95, postings exactly 10.0x)
+  under ANY permutation scheme — and the ngram-overlap pair count
+  grows ~quadratically as a property of the corpus itself, not of the
+  generator. See SCALING.md's sf1 section for the output-bound
+  adjudication of q_ngram_containment/q_ngram_jaccard.
 - embeddings.embedding[0]: += k/1024 (exact in float32) — distinct
   vectors, no rank ties from 10 identical copies.
 
@@ -69,18 +81,26 @@ TABLES = {
 }
 
 
+_STRIDES = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41]
+
+
 def _doc_transform(tk: pa.Table, k: int) -> pa.Table:
+    from math import gcd
+
     pdf = tk.to_pandas()
-    r = 7 * k
+    base = _STRIDES[(k - 1) % len(_STRIDES)]
 
-    def rot(s: str) -> str:
+    def perm(s: str) -> str:
         w = s.split(" ")
-        if len(w) < 2:
+        n = len(w)
+        if n < 2:
             return s
-        q = r % len(w)
-        return " ".join(w[q:] + w[:q])
+        stride = base
+        while gcd(stride, n) != 1:  # bijection needs gcd(stride, n) == 1
+            stride += 1
+        return " ".join(w[(j * stride + k) % n] for j in range(n))
 
-    pdf["text"] = pdf["text"].map(rot)
+    pdf["text"] = pdf["text"].map(perm)
     pdf["n_chars"] = pdf["text"].str.len().astype("int64")
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
