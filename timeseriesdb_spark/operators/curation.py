@@ -251,7 +251,18 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on bin + interval key with the range predicate as a
     residual filter. Fan-out is bounded 2×, so the plan survives any
     interval-side cardinality; here the interval side is additionally
-    broadcast because it is dimension-sized."""
+    broadcast because it is dimension-sized.
+
+    Eager aggregation (r14): the per-interval aggregates are sums over
+    probe rows and the range predicate depends only on the probe's
+    DATE — so the probe collapses to per-date partials (cnt, qty)
+    BEFORE the join. The join matches |distinct ship dates| rows
+    instead of |lineitem| rows, and the final aggregates are sums of
+    integer partials — bit-identical output. Dense temporal-overlap
+    joins are density-quadratic (per-bin work = probe_rows ×
+    intervals, both growing with corpus); pre-aggregation pins the
+    probe side at the date-domain cardinality, which is fixed by the
+    schema's date range, not by corpus size."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     start = F.col("o_orderdate").cast("date")
@@ -277,23 +288,34 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    probe = li.select(
-        F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
-    ).withColumn("bin", (day(F.col("ship_d")) / INTERVAL_DAYS).cast("bigint"))
+    probe = (
+        li.select(
+            F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
+        )
+        .groupBy("ship_d")
+        .agg(
+            F.count("*").alias("d_cnt"),
+            # l_quantity is integral by TPC-H contract (1..50): a
+            # bigint sum is exact and ~2.5x cheaper than the
+            # decimal(38,6) route reserved for fractional monetary
+            # columns (operators/common.py)
+            F.sum(F.col("l_quantity").cast("bigint")).alias("d_qty"),
+        )
+        .withColumn(
+            "bin", (day(F.col("ship_d")) / INTERVAL_DAYS).cast("bigint")
+        )
+    )
     joined = probe.join(
         F.broadcast(iv_binned),
         (probe.bin == iv_binned.bin)
         & (F.col("ship_d") >= F.col("iv_start"))
         & (F.col("ship_d") < F.col("iv_end")),
     )
-    return joined.groupBy("iv_key", F.col("iv_start").cast("timestamp").alias("iv_start")).agg(
-        F.count("*").alias("n_shipments"),
-        # l_quantity is integral by TPC-H contract (1..50): a bigint
-        # sum is exact and ~2.5x cheaper than the decimal(38,6) route
-        # reserved for fractional monetary columns (operators/common.py)
-        F.sum(F.col("l_quantity").cast("bigint"))
-        .cast("double")
-        .alias("total_qty"),
+    return joined.groupBy(
+        "iv_key", F.col("iv_start").cast("timestamp").alias("iv_start")
+    ).agg(
+        F.sum("d_cnt").alias("n_shipments"),
+        F.sum("d_qty").cast("double").alias("total_qty"),
     )
 
 

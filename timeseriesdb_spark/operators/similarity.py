@@ -1770,10 +1770,11 @@ def _ann_pq_oracle(sf_dir: str | None = None) -> str:
     return sql
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(sf_dir: str | None = None) -> str:
     """Lazy because the cell bit width is corpus-size-adaptive
     (_sem_bits, r14): the factory counts the embeddings under
-    SPARK_TSDB_TEST_SF and emits the SQL with the identical width the
+    sf_dir (default SPARK_TSDB_TEST_SF — the registry resolves
+    factories arg-less) and emits the SQL with the identical width the
     Spark query derives from the identical parquet. At the driver's
     sf0.01 (and the sf0.1 bench) this is the historical 4-bit SQL
     verbatim."""
@@ -1781,7 +1782,9 @@ def _semdedup_oracle() -> str:
 
     import duckdb
 
-    sf = os.environ.get("SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01")
+    sf = sf_dir or os.environ.get(
+        "SPARK_TSDB_TEST_SF", "/root/testdata/sf0.01"
+    )
     n = duckdb.sql(
         f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
     ).fetchone()[0]
