@@ -69,6 +69,7 @@ HEADLINERS = [
     "q_pla_recon",       # r12: ONE signal-key exchange into the interp kernel
     "q_kmeans_drift_fft",  # r12: recon kernel + shrinking agg chain
     "q_kmeans_drift_grail",  # r13: segment GRAIL embed join + rollup
+    "q_interval_join",   # r14: per-date eager agg + binned broadcast range join
 ]
 
 SF = "/root/testdata/sf0.01"
