@@ -140,7 +140,16 @@ def test_interval_join_is_equi_join(spark):
     plan = checks.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
-    assert checks.exchange_count(df) <= 1, plan
+    # r14 eager aggregation: the probe side must collapse to per-date
+    # partials BEFORE the join (dense temporal overlap is density-
+    # quadratic on raw rows — SCALING.md sf1 tail (3)), so the plan
+    # carries exactly two exchanges: the date partial-agg shuffle and
+    # the final per-interval agg shuffle. A HashAggregate must appear
+    # below the join in the tree (probe-side pre-agg), not only above.
+    assert checks.exchange_count(df) == 2, plan
+    join_at = plan.index("BroadcastHashJoin")
+    assert "HashAggregate" in plan[join_at:], plan  # below the join
+    assert "HashAggregate" in plan[:join_at], plan  # final agg above
 
 
 def test_regional_revenue_broadcasts_every_dim(spark):
