@@ -48,6 +48,12 @@ def _documents(spark):
     )
 
 
+def _lineitem(spark):
+    return load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+
+
 def _merged(spark, path, keys, aggs):
     return spark.read.parquet(path).groupBy(*keys).agg(*aggs)
 
@@ -106,6 +112,11 @@ SPECS = {
         "corpus", "documents", "doc_id", "maintain_trending_terms_stream",
         lambda spark, eng, p: eng.trending_terms(p),
     ),
+    # r14: materialized-view maintenance of the interval-join aggregate
+    "shipdate": (
+        "signal", "lineitem", "l_orderkey", "maintain_shipdate_stream",
+        lambda spark, eng, p: eng.interval_join_from_store(p, SF_DIR),
+    ),
 }
 
 
@@ -136,7 +147,11 @@ def test_guarded_maintenance_refuse_and_append(spark, tmp_path, family):
     src_a = str(tmp_path / "src_a")
     src_b = str(tmp_path / "src_b")
 
-    rows = _events(spark) if source == "events" else _documents(spark)
+    rows = {
+        "events": _events,
+        "documents": _documents,
+        "lineitem": _lineitem,
+    }[source](spark)
     even = F.pmod(F.xxhash64(F.col(split_col)), F.lit(2)) == 0
     rows.coalesce(1).write.parquet(src_full)
     rows.filter(even).coalesce(1).write.parquet(src_a)

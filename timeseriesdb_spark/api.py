@@ -453,6 +453,65 @@ class SignalEngine:
             .start()
         )
 
+    def maintain_shipdate_stream(
+        self,
+        stream: DataFrame,
+        store_path: str,
+        checkpoint: str,
+        on_fresh_checkpoint: str = "error",
+    ):
+        """Incremental materialized-view maintenance for the
+        interval-join aggregate (r14): q_interval_join's eager
+        aggregation collapses the probe side to per-date integer
+        partials (curation.daily_shipments) — and those partials ARE
+        streaming state. Each lineitem micro-batch writes its own
+        (ship_d, d_cnt, d_qty) frame to its batch_id partition
+        (idempotent under replay, same discipline as
+        maintain_rollup_stream); interval_join_from_store then serves
+        the exact batch answer with NO lineitem rescan. Fresh-
+        checkpoint collisions are guarded (guard_fresh_checkpoint)."""
+        from timeseriesdb_spark.operators.curation import daily_shipments
+
+        base = guard_fresh_checkpoint(
+            store_path, checkpoint, on_fresh_checkpoint
+        )
+
+        def write_partial(batch_df: DataFrame, bid: int) -> None:
+            daily_shipments(batch_df).write.mode("overwrite").parquet(
+                f"{store_path}/batch_id={base + bid}"
+            )
+
+        return (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def interval_join_from_store(
+        self, store_path: str, sf_dir: str
+    ) -> DataFrame:
+        """q_interval_join answered FROM the maintained shipdate store:
+        merge the per-batch partials by date (associative integer
+        sums), then the identical binned broadcast range join + final
+        agg (curation.interval_agg_from_daily) — equal to the batch
+        query exactly when the partials cover the same lineitem rows."""
+        from timeseriesdb_spark.operators.curation import (
+            interval_agg_from_daily,
+        )
+        from timeseriesdb_spark.tables import load_table
+
+        daily = (
+            self.spark.read.parquet(store_path)
+            .groupBy("ship_d")
+            .agg(
+                F.sum("d_cnt").alias("d_cnt"),
+                F.sum("d_qty").alias("d_qty"),
+            )
+        )
+        orders = load_table(self.spark, sf_dir, "orders")
+        return interval_agg_from_daily(daily, orders)
+
     def maintain_distinct_stream(
         self,
         stream: DataFrame,

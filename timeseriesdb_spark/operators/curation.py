@@ -262,9 +262,43 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are density-quadratic (per-bin work = probe_rows ×
     intervals, both growing with corpus); pre-aggregation pins the
     probe side at the date-domain cardinality, which is fixed by the
-    schema's date range, not by corpus size."""
+    schema's date range, not by corpus size.
+
+    The two halves are exposed separately because the per-date
+    partials double as STREAMING STATE: daily_shipments is what
+    SignalEngine.maintain_shipdate_stream writes per micro-batch, and
+    interval_agg_from_daily is the shared serve path (api.py
+    interval_join_from_store) — incremental materialized-view
+    maintenance of a range-join aggregate with no lineitem rescan."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    return interval_agg_from_daily(daily_shipments(li), orders)
+
+
+def daily_shipments(li: DataFrame) -> DataFrame:
+    """Per-ship-date integer partials (d_cnt, d_qty) — associative
+    under per-date summation, so partials from arbitrary row subsets
+    (micro-batches) merge to the exact full-scan frame."""
+    return (
+        li.select(
+            F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
+        )
+        .groupBy("ship_d")
+        .agg(
+            F.count("*").alias("d_cnt"),
+            # l_quantity is integral by TPC-H contract (1..50): a
+            # bigint sum is exact and ~2.5x cheaper than the
+            # decimal(38,6) route reserved for fractional monetary
+            # columns (operators/common.py)
+            F.sum(F.col("l_quantity").cast("bigint")).alias("d_qty"),
+        )
+    )
+
+
+def interval_agg_from_daily(daily: DataFrame, orders: DataFrame) -> DataFrame:
+    """Binned broadcast range join + final agg over a per-date
+    (ship_d, d_cnt, d_qty) frame — the shared serve path of
+    q_interval_join and the streamed shipdate store."""
     start = F.col("o_orderdate").cast("date")
     iv = (
         orders.where(F.col("o_orderkey") % INTERVAL_KEY_MOD == 0)
@@ -288,22 +322,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    probe = (
-        li.select(
-            F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
-        )
-        .groupBy("ship_d")
-        .agg(
-            F.count("*").alias("d_cnt"),
-            # l_quantity is integral by TPC-H contract (1..50): a
-            # bigint sum is exact and ~2.5x cheaper than the
-            # decimal(38,6) route reserved for fractional monetary
-            # columns (operators/common.py)
-            F.sum(F.col("l_quantity").cast("bigint")).alias("d_qty"),
-        )
-        .withColumn(
-            "bin", (day(F.col("ship_d")) / INTERVAL_DAYS).cast("bigint")
-        )
+    probe = daily.withColumn(
+        "bin", (day(F.col("ship_d")) / INTERVAL_DAYS).cast("bigint")
     )
     joined = probe.join(
         F.broadcast(iv_binned),
