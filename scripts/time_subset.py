@@ -28,6 +28,14 @@ def main() -> None:
     names = sys.argv[1:]
     assert names, "pass query names"
     spark = get_spark(app_name="time-subset")
+    # A/B hook: SPARK_TSDB_EXTRA_CONF="k=v;k2=v2" applies on top of the
+    # bench session so a candidate config is measured with everything
+    # else identical.
+    extra = os.environ.get("SPARK_TSDB_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, v = kv.split("=", 1)
+        spark.conf.set(k, v)
+        print(f"conf {k}={v}")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         fn = QUERIES[name]

@@ -1149,45 +1149,47 @@ def q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def trim_spans_frame(doc: DataFrame) -> DataFrame:
     """q_trim_spans over any (doc_id, text) frame — derives the spans
-    from the same frame so locate and trim share one lineage."""
+    from the same frame so locate and trim share one lineage.
+
+    r14 optimization-round shape (guide §8 "decide with small rows,
+    move big rows once" + §2.4): the spans are the DECISION FRAME —
+    collected per affected doc into one array column (no exchange: the
+    span aggregate reuses the doc_id partitioning its own derivation
+    established), joined back to the corpus by doc_id, and the rebuild
+    is a single map-side higher-order expression — filter the split
+    word array by "position not inside any span". The earlier form
+    posexploded EVERY word of every document into rows, shuffled them
+    through a covered-distinct, an anti-join, a collect_list rebuild
+    and a totals aggregate (5 corpus-sized exchanges carrying word
+    rows); the text now moves ONCE, as whole strings, through the one
+    doc_id join. Values are bit-identical: same 0-based positions,
+    same word order (array filter preserves order), same n_kept /
+    n_removed integers."""
     spans = dup_spans_frame(doc)
-    words = doc.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    covered = (
-        words.join(spans, "doc_id")
-        .where(
-            (F.col("pos") >= F.col("span_start"))
-            & (F.col("pos") <= F.col("span_end"))
-        )
-        .select("doc_id", "pos")
-        .distinct()
+    words = F.split(F.col("text"), " ")
+    kept_arr = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
     )
-    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("trimmed_text"),
-    )
-    totals = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    # only docs that actually had spans are interesting output; docs
-    # fully covered by spans (everything removed) emit n_kept = 0
-    affected = spans.select("doc_id").distinct()
     return (
-        affected.join(totals, "doc_id")
-        .join(rebuilt, "doc_id", "left")
+        doc.join(per_doc, "doc_id")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+            F.size(words).alias("n_words"),
+            F.size(kept_arr).alias("n_kept"),
+            F.array_join(kept_arr, " ").alias("trimmed_text"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            (F.col("n_words") - F.col("n_kept")).alias("n_removed"),
+            "trimmed_text",
         )
     )
 
