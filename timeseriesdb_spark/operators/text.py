@@ -332,13 +332,21 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     w_ng = Window.partitionBy("ng")
+    # r14: ONE exchange builds the inverted index, not two. The global
+    # (source, ng) dedup runs as dropDuplicates ON the ng-partitioned
+    # frame — hashpartitioning(ng) satisfies the (source, ng)
+    # clustering requirement (partition keys ⊆ group keys), so the
+    # dedup, the cap window and the downstream self-join all reuse the
+    # single repartition("ng") shuffle. The earlier .distinct() before
+    # the repartition exchanged every exploded corpus n-gram a second
+    # time for nothing (guide §2.4).
     ngrams = (
         doc.select(
             "source",
             F.explode(F.array_distinct(array_ngrams(warr, OVERLAP_N))).alias("ng"),
         )
-        .distinct()
         .repartition("ng")
+        .dropDuplicates(["source", "ng"])
         .withColumn("_nsrc", F.count("*").over(w_ng))
         .where(F.col("_nsrc") <= OVERLAP_SRC_CAP)
         .drop("_nsrc")
