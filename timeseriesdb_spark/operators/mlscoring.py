@@ -307,48 +307,35 @@ def _features_from_chunks(chunks: DataFrame) -> DataFrame:
     )
 
 
-# (sf_dir, tier) → (SparkSession, persisted feature frame). The
-# reconstruction feature frame of a tier is FAMILY-INVARIANT — the
-# four families of a tier label the identical (raw, degraded) feature
-# rows — yet each q_*_drift_* cell used to rebuild it (the four FFT
-# cells each re-ran the integer DFT; VERDICT r12 efficiency target).
-# Cache the per-tier frame persisted MEMORY_AND_DISK (it is tiny:
-# one 10-double row per complete segment), keyed by session identity
-# so a restarted SparkSession rebuilds instead of touching a dead
-# persist; registered in similarity.clear_trained_caches. Identical
-# hashes by construction: persist stores the same computed rows the
-# plan would produce.
-_TIER_FEATS_CACHE: dict[tuple, tuple] = {}
+# r14 OPTIMIZATION-ROUND REMOVAL: r13 persisted the per-(sf_dir, tier)
+# reconstruction feature frame MEMORY_AND_DISK in a module-level cache
+# (the four families of a tier label identical rows, so the frame was
+# shared across the q_*_drift_* cells — a VERDICT r12 efficiency
+# target). Under the optimization-round rules that persist is
+# cross-invocation result caching: a TIMED bench run of a drift cell
+# must recompute its tier's reconstruction (PAA read-back, integer
+# DFT, GRAIL embedding) from the parquet inputs, not read rows its
+# warm-up persisted. Every cell now rebuilds its tier frame per
+# invocation; the bench medians honestly include the reconstruction
+# work the query claims to measure. (Driver-side trained-model
+# parameters — centroids, tree thresholds — are NOT results but query
+# constants the DuckDB oracles embed as literals; see
+# OPTIMIZATION_r14.md "Caching audit".)
 
 
 def _cached_tier_feats(
     spark: SparkSession, sf_dir: str, tier: str, build
 ) -> DataFrame:
-    from pyspark import StorageLevel
-
-    key = (sf_dir, tier)
-    ent = _TIER_FEATS_CACHE.get(key)
-    if ent is not None and ent[0] is spark:
-        return ent[1]
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _TIER_FEATS_CACHE[key] = (spark, df)
-    return df
+    """Build the tier's feature frame per invocation (name kept so the
+    call sites read as 'the shared tier frame'; no state survives the
+    call — see the removal note above)."""
+    return build()
 
 
 def clear_tier_feats(sf_dir: str | None = None) -> None:
-    """Unpersist + drop cached tier feature frames (the
-    clear_trained_caches hook body for this cache — DataFrame values
-    need an unpersist, not just a dict clear)."""
-    for key in [
-        k
-        for k in _TIER_FEATS_CACHE
-        if sf_dir is None or k[0] == sf_dir
-    ]:
-        _, df = _TIER_FEATS_CACHE.pop(key)
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+    """No-op since the r14 cross-invocation persist removal; retained
+    so existing invalidation hooks (clear_trained_caches, probes,
+    tests) need no signature change."""
 
 
 def _drift_result(
