@@ -708,10 +708,19 @@ def _cluster_labels(
     only — the hybrid driver-union-find / distributed-min-label core
     shared by cluster_pairs (which adds singletons + sizes) and
     neardup_dropped_ids (which needs only comp != node)."""
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # r14: checkpoint ONE direction and derive the reverse from the
+    # checkpointed rows. Checkpointing the 2-branch union materialized
+    # the pair pipeline's final aggregation stage twice (exchange reuse
+    # covers only the subtree below the shuffle) and wrote 2x the rows;
+    # the swap is now a narrow projection over already-materialized
+    # edges (guide §2.4 — don't recompute what a checkpoint already
+    # holds).
+    fwd = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
     # Size the loop's input partitioning to the EDGE count, not the
     # corpus scan that produced it: the checkpoint inherits the pair
     # pipeline's partitioning (32 map slots of a handful of rows at
@@ -725,12 +734,9 @@ def _cluster_labels(
     n_edges = edges.count()
     bound = CC_DRIVER_BOUND if driver_bound is None else driver_bound
     if n_edges <= bound:
-        # collect from the MATERIALIZED checkpoint (one direction is
-        # enough) — collecting `fwd` would recompute the entire pair
-        # pipeline from scratch
-        return _driver_labels(
-            spark, edges.where(F.col("src") < F.col("dst"))
-        )
+        # collect the MATERIALIZED forward checkpoint directly (pairs
+        # are emitted doc_a < doc_b, so fwd IS the src<dst direction)
+        return _driver_labels(spark, fwd)
     target = max(1, min(n_parts, n_edges // CC_EDGES_PER_PART + 1))
     if target < n_parts:
         edges = edges.coalesce(target)
