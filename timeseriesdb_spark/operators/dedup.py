@@ -1225,14 +1225,15 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint rule): degrees, wedges and the three-way triangle
     # join all reread these few rows instead of re-running the whole
     # LSH pair pipeline per consumer (measured 37 → ~8 exchanges).
-    e = (
-        pairs.select(
-            F.least("doc_a", "doc_b").alias("a"),
-            F.greatest("doc_a", "doc_b").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # r14: lsh_pairs CONTRACTUALLY emits doc_a < doc_b with one row per
+    # pair (the band join's a.doc_id < b.doc_id condition + trailing
+    # distinct), so the old least/greatest normalization and the
+    # re-distinct exchanged the pair frame once more to recompute an
+    # identity (guide §2.4 "a distinct on data that is already
+    # unique").
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint()
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
