@@ -193,20 +193,43 @@ def ngram_containment_pairs(doc: DataFrame) -> DataFrame:
     shingles contained in doc_b, a ≠ b both directions) over the same
     stop-shingle-capped inverted-index shuffle join as
     ngram_jaccard_pairs — candidate pairs only ever form on shared
-    non-boilerplate shingles."""
+    non-boilerplate shingles.
+
+    The candidate join runs in the HALF-SPACE doc_a < doc_b and the
+    aggregated counts are mirrored afterwards (r15, §2.3 "shuffle
+    fewer bytes"): |A∩B| is symmetric, so the `!=` join emitted every
+    shared-shingle instance TWICE — 2× the join probe output, 2× the
+    pair-partial shuffle and 2× the aggregate groups (the dominant
+    cost at 10× data: 225M directed pair rows at sf1). Mirroring rides
+    the SAME aggregate output via an inline generator (one struct
+    array per row — a union of two agg branches would run the final
+    aggregate twice; exchange reuse only covers the shuffle below it);
+    the directional result set is identical row-for-row."""
     sh = capped_shingles(doc)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    half = (
         a.hint("shuffle_hash")
         .join(b, (F.col("a.shingle") == F.col("b.shingle"))
-              & (F.col("a.doc_id") != F.col("b.doc_id")))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    inter = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a"), F.col("doc_b")),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                ),
+            )
+        ).alias("p"),
+        "n_inter",
+    ).select("p.doc_a", "p.doc_b", "n_inter")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     return (
         inter.join(sa, "doc_a")
