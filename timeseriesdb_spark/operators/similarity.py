@@ -66,6 +66,27 @@ def _lit_vec(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _vec_sql(v) -> str:
+    """array(...) SQL literal for a float vector — the exact doubles
+    F.lit would embed (repr is shortest-round-trip; Java's parseDouble
+    recovers the identical IEEE value)."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
+
+
+def _dot_lit(col: str, v) -> Column:
+    """_dot(F.col(col), _lit_vec(v)) composed as ONE parsed SQL string
+    (r15): the same left-fold aggregate/zip_with tree with the same
+    0.0 seed — bit-identical runtime semantics and oracle parity — but
+    one py4j round trip instead of ~DIM of them per vector.
+    pq_code_columns' measured expr() lesson applied to the HOF dots
+    (building the 16 literal-vector dots through py4j cost ~1.2 s of
+    every q_ann_recall invocation's plan build)."""
+    return F.expr(
+        f"aggregate(zip_with({col}, {_vec_sql(v)}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     e = _as_double(F.col("embedding"))
     return df.withColumn("e", e).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
@@ -256,7 +277,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     planes = _srp_planes()
     bits = [
-        F.when(_dot(F.col("e"), _lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_dot_lit("e", p) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
     ]
     return (
@@ -395,7 +416,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax over dot(e, C_k): scale-invariant, so the un-normalized
     # embedding works; array_position picks the FIRST max (numpy
     # argmax tie-break). 0-based cell index.
-    dots = F.array(*[_dot(F.col("e"), _lit_vec(C[k])) for k in range(IVF_CELLS)])
+    dots = F.array(*[_dot_lit("e", C[k]) for k in range(IVF_CELLS)])
     qnorm = float(np.linalg.norm(qv))
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -407,7 +428,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Integer rank key — see q_ann_topk (ADVICE r9: two-arg
             # round() is engine-specific at rank boundaries).
             F.round(
-                _dot(F.col("e"), _lit_vec(qv))
+                _dot_lit("e", qv)
                 / (F.col("norm") * F.lit(qnorm))
                 * F.lit(10_000.0)
             )
@@ -423,7 +444,7 @@ def ivf_cell_column(C) -> Column:
     """cell = argmax_k dot(e, centroid_k) as a pure JVM expression
     (the q_ann_ivf step-1 assignment; requires the `e` double-array
     column from _with_norm). Scale-invariant, first-max tie-break."""
-    dots = F.array(*[_dot(F.col("e"), _lit_vec(C[k])) for k in range(len(C))])
+    dots = F.array(*[_dot_lit("e", C[k]) for k in range(len(C))])
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -473,7 +494,7 @@ def ivf_probe_stored(
             "vec_id",
             "label",
             F.round(
-                _dot(F.col("e"), _lit_vec(qv))
+                _dot_lit("e", qv)
                 / (F.col("norm") * F.lit(qnorm))
                 * F.lit(10_000.0)
             )
@@ -1169,12 +1190,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bits = [
-        F.when(_dot(F.col("e"), _lit_vec(p)) >= 0, F.lit("1")).otherwise(
+        F.when(_dot_lit("e", p) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for p in _srp_planes()
     ]
-    dots = F.array(*[_dot(F.col("e"), _lit_vec(C[k])) for k in range(IVF_CELLS)])
+    dots = F.array(*[_dot_lit("e", C[k]) for k in range(IVF_CELLS)])
     ann = emb.select(
         "vec_id",
         "e",
