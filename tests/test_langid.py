@@ -73,11 +73,10 @@ def test_short_text_ties_break_to_first_lang(spark):
 
 
 def test_scoring_plan_shape(spark):
-    """One corpus scan, the weights side BROADCAST (never a shuffle
-    of the exploded trigram rows onto the 300-row table), and exactly
-    one aggregation exchange carrying |docs|-sized partial sums —
-    the map-side combine is what keeps the exchanged volume
-    independent of text length."""
+    """The r15 dict-probe scorer is a single map-only pass: one corpus
+    scan feeding MapInPandas, NO join, NO exchange — the trigram
+    explode (and its ~290 rows per document) is gone entirely, and the
+    scorer's output is |docs| rows regardless of text length."""
     from timeseriesdb_spark.plans import checks
 
     profiles = langid._train_profiles_spark(spark, SF_DIR)
@@ -90,8 +89,9 @@ def test_scoring_plan_shape(spark):
         profiles,
     )
     plan = checks.formatted_plan(scored)
-    assert "BroadcastHashJoin" in plan
-    assert checks.exchange_count(scored) <= 1, plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert checks.exchange_count(scored) == 0, plan
 
 
 def test_confusion_shares_sum_to_million(spark):
