@@ -21,10 +21,12 @@ whose medians are noise-dominated), same JVM/session. Results are fully
 materialized via the noop sink (all columns computed JVM-side; no
 driver collect). r14 cold-window fix (VERDICT r13 #3): the first
 ~decile of the alphabet runs once DISCARDED before timing starts and
-is RE-TIMED at run end keeping the better median — the post-start
+is RE-TIMED at run end, keeping the RE-TIMED median (r15 — the earlier
+keep-the-better rule was a min-of-two-medians bias) — the post-start
 cold/contended window otherwise lands on whichever queries sort first
 and breaches them spuriously (three rounds running); median_spread >
-0.20 now also marks the run contaminated.
+0.20 also marks the run contaminated, and probes run at eighth cadence
+(r15) so a tail load burst cannot fall between marks.
 
 Breach rule (BASELINE.md): med > 2x baseline med AND the [min, max]
 interval does not overlap the baseline's — overlap is weather, not
@@ -112,15 +114,13 @@ def main() -> None:
             materialize(QUERIES[name](spark, sf_dir))
         except Exception:
             pass  # the timed loop will report it
-    # quarter-cadence probe marks (r13: a mid-run load burst can fall
-    # between start/middle/end probes and evade detection — the
-    # polluted r13 rerun inflated the tail alphabet while all three
-    # probes read clean)
-    marks = {
-        len(names) // 4,
-        len(names) // 2,
-        (3 * len(names)) // 4,
-    }
+    # eighth-cadence probe marks (r15, VERDICT r14 #6 — was quarter
+    # cadence): the r14 driver run's tail load burst (the contiguous
+    # q_promo_*→q_vocab_* breach block) fell entirely BETWEEN the 3/4
+    # mark and the end probe and both read clean. Denser marks bound
+    # the largest unprobed window to ~1/8 of the run. Additions only:
+    # same probe query, same predicate, same output contract.
+    marks = {(i * len(names)) // 8 for i in range(1, 8)}
     for i, name in enumerate(names):
         try:
             s = _query_stats(QUERIES[name])
@@ -132,9 +132,11 @@ def main() -> None:
         if i in marks:
             probe()
     # Second half of the r14 cold-window fix: re-time the first decile
-    # at run END (box fully warm) and keep the better median per query
-    # — any residual cold-window inflation on the early alphabet is
-    # replaced by a warm measurement instead of breaching the 2x gate.
+    # at run END (box fully warm) and KEEP THE RE-TIMED median (r15,
+    # VERDICT r14 #6 — keeping the better of the two medians was a
+    # min-of-two-medians, a small systematic downward bias on the ~26
+    # first-decile queries; the end-of-run measurement is the one taken
+    # under the same warm conditions as the rest of the alphabet).
     for name in names[:n_decile]:
         if times.get(name, -1.0) < 0:
             continue
@@ -142,9 +144,8 @@ def main() -> None:
             s = _query_stats(QUERIES[name])
         except Exception:
             continue
-        if s["med"] < stats[name]["med"]:
-            times[name] = s["med"]
-            stats[name] = s
+        times[name] = s["med"]
+        stats[name] = s
     probe()
 
     total = round(sum(t for t in times.values() if t > 0), 4)
