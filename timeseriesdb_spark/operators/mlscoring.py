@@ -368,8 +368,8 @@ def _drift_rollup(
     (api.drift_scores) share one rollup."""
     labeled = feats.select(
         "user_id",
-        label_of([F.col(c) for c in _FEATS_RAW]).alias("lr"),
-        label_of([F.col(c) for c in _FEATS_DEG]).alias("ld"),
+        label_of(list(_FEATS_RAW)).alias("lr"),
+        label_of(list(_FEATS_DEG)).alias("ld"),
     )
     per_user = labeled.groupBy("user_id").agg(
         F.count("*").alias("n_segments"),
@@ -387,42 +387,21 @@ def _drift_rollup(
     )
 
 
-def _argmin_label(dists: list[Column]) -> Column:
-    """Index of the smallest distance, first-occurrence tie-break —
-    np.argmin semantics as a CASE chain over literals-only exprs."""
-    m = F.least(*dists)
-    out = F.lit(len(dists) - 1)
-    for k in range(len(dists) - 2, -1, -1):
-        out = F.when(dists[k] == m, F.lit(k)).otherwise(out)
-    return out
-
-
-def _tree_label(f: list[Column], tree) -> Column:
-    (j0, t0), (jl, tl), (jr, tr) = tree
-    return (
-        F.when(
-            f[j0] <= t0, F.when(f[jl] <= tl, F.lit(0)).otherwise(F.lit(1))
-        )
-        .otherwise(F.when(f[jr] <= tr, F.lit(2)).otherwise(F.lit(3)))
-    )
-
-
 def _kmeans_label_of(spark: SparkSession, sf_dir: str):
     """Trained-kmeans labeler: 4×4 center matrix folded into the plan
-    as literals — distance + argmin are Column expressions (pure JVM
-    codegen). Shared by every degradation tier (one model, all tiers
-    — the reference's design)."""
+    as literals. Composed as ONE parsed SQL string from the SAME
+    generators the DuckDB oracle uses (_kmeans_dists_sql +
+    _argmin_case_sql — the r15 _dot_lit lesson: building the CASE/
+    least chains through py4j cost ~0.4 s of every invocation's
+    build). The oracle has hash-proven this exact text equals the old
+    Column fold (leading +0 dropped on non-negative doubles, flat
+    first-match CASE == nested whens). Shared by every degradation
+    tier (one model, all tiers — the reference's design)."""
     C = _train_kmeans(spark, sf_dir)
 
-    def label_of(f: list[Column]) -> Column:
-        dists = [
-            sum(
-                (f[j] - float(C[k, j])) * (f[j] - float(C[k, j]))
-                for j in range(4)
-            )
-            for k in range(N_CLUSTERS)
-        ]
-        return _argmin_label(dists)
+    def label_of(f: list[str]) -> Column:
+        names = [f"({d})" for d in _kmeans_dists_sql(C, f)]
+        return F.expr(_argmin_case_sql(names))
 
     return label_of
 
@@ -436,10 +415,11 @@ def q_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tree_label_of(spark: SparkSession, sf_dir: str):
     """Trained-tree labeler: three (index, threshold) literal pairs —
-    labeling compiles to a nested CASE, fully inside codegen. Shared
-    by every degradation tier."""
+    the nested CASE is parsed from the oracle's own _tree_case_sql
+    text (one py4j round trip; identical tree, same _dk literals).
+    Shared by every degradation tier."""
     tree = _train_tree(spark, sf_dir)
-    return lambda f: _tree_label(f, tree)
+    return lambda f: F.expr(_tree_case_sql(tree, f))
 
 
 def q_tree_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,38 +467,18 @@ def q_knn_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _forest_label_of(spark: SparkSession, sf_dir: str):
     """Bagged-forest labeler: FOREST_TREES depth-2 trees vote in the
-    kmeans label space; majority vote, ties → smallest label. Leaf
-    tables are literals, votes are integer sums, the argmax is a CASE
-    chain — pure JVM codegen. Shared by every degradation tier."""
+    kmeans label space; majority vote, ties → smallest label. The
+    whole vote/argmax expression is parsed from the oracle's own
+    _forest_label_sql text — this was the worst py4j offender (the
+    Column fold cost ~0.7 s of every q_forest_drift* invocation's
+    build, measured by scripts/profile_phases.py: forest cells ran
+    ~0.7 s slower than tree cells on identical tiers, the labeler
+    being the only difference). The oracle has hash-proven the text
+    equals the old fold (CASE→1/0 == cast(bool as int), leading +0
+    dropped on ints, flat first-match CASE == nested whens). Shared
+    by every degradation tier."""
     forest = _train_forest(spark, sf_dir)
-
-    def label_of(f: list[Column]) -> Column:
-        votes = []
-        for k in range(N_CLUSTERS):
-            total = F.lit(0)
-            for (j0, t0), (jl, tl), (jr, tr), leaves in forest:
-                leaf = (
-                    F.when(
-                        f[j0] <= t0,
-                        F.when(f[jl] <= tl, F.lit(leaves[0])).otherwise(
-                            F.lit(leaves[1])
-                        ),
-                    )
-                    .otherwise(
-                        F.when(f[jr] <= tr, F.lit(leaves[2])).otherwise(
-                            F.lit(leaves[3])
-                        )
-                    )
-                )
-                total = total + (leaf == k).cast("int")
-            votes.append(total)
-        m = F.greatest(*votes)
-        out = F.lit(N_CLUSTERS - 1)
-        for k in range(N_CLUSTERS - 2, -1, -1):
-            out = F.when(votes[k] == m, F.lit(k)).otherwise(out)
-        return out
-
-    return label_of
+    return lambda f: F.expr(_forest_label_sql(forest, f))
 
 
 def q_forest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
