@@ -87,11 +87,17 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg. See q_bm25 for the scoring/determinism discipline."""
     doc = load_table(spark, sf_dir, "documents")
     nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    # N and avgdl as a 1-row broadcast CROSS JOIN — the oracle's own
+    # shape — instead of a collect() at plan build (r15): the collect
+    # serialized a full corpus tokenize pass BEFORE the main job could
+    # start; in-plan the scalar subtree runs inside the one job. Value
+    # parity is exact: cast(bigint as double) is the same conversion
+    # float() did, and the division/idf chains keep the identical
+    # left-associative IEEE order the Python-literal form compiled to.
     corpus = doc.agg(
-        F.count("*").alias("n"),
-        F.sum(F.size(nonempty)).alias("total"),
-    ).collect()[0]
-    n_docs, avgdl = corpus["n"], corpus["total"] / corpus["n"]
+        F.count("*").alias("_n"),
+        F.sum(F.size(nonempty)).alias("_total"),
+    )
 
     words = _words(doc)
     dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -102,8 +108,10 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
 
+    nd = F.col("_n").cast("double")
+    avgdl = F.col("_total").cast("double") / nd
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        (nd - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
@@ -112,7 +120,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(BM25_K1)
         * (
             F.lit(1.0 - BM25_B)
-            + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+            + F.lit(BM25_B) * F.col("dl") / avgdl
         )
     )
     term_score = F.round(idf * tf_part, 6).cast("decimal(38,6)")
@@ -120,6 +128,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(df_, "w")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score_d"))
     )
