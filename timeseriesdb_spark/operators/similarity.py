@@ -294,6 +294,12 @@ IVF_TRAIN_CAP = 4096  # centroid-training sample cap (driver-side rows)
 
 
 _IVF_CACHE: dict[str, "object"] = {}
+# Fixed probe constants per sf_dir (r15): the QUERY_VEC_ID embedding
+# and the RECALL_PROBES probe params — bounded deterministic driver
+# pulls the oracles embed as literals, cached exactly like the trained
+# quantizers they are used with.
+_QUERY_VEC_CACHE: dict[str, "object"] = {}
+_RECALL_PROBE_CACHE: dict[str, list] = {}
 
 
 def clear_trained_caches(sf_dir: str | None = None) -> None:
@@ -311,6 +317,7 @@ def clear_trained_caches(sf_dir: str | None = None) -> None:
 
     caches = [
         _IVF_CACHE, _PQ_CACHE,
+        _QUERY_VEC_CACHE, _RECALL_PROBE_CACHE,
         _RECALL_ORACLE_CACHE, _IVF_ORACLE_CACHE, _PQ_ORACLE_CACHE,
         mlscoring._CENTERS_CACHE, mlscoring._TREE_CACHE,
         mlscoring._SAMPLE_CACHE, mlscoring._ORACLE_SAMPLE_CACHE,
@@ -341,6 +348,28 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "object":
             load_table(spark, sf_dir, "embeddings")
         )
     return _IVF_CACHE[sf_dir]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    """QUERY_VEC_ID's embedding as float64 — the fixed probe vector
+    q_ann_ivf / q_ann_pq fold into their plans as literals. A 1-row
+    bounded driver pull, cached per sf_dir like the quantizers it is
+    probed against (r15; the per-invocation filter+toPandas job
+    serialized ~0.3 s before the main job). Registered in
+    clear_trained_caches."""
+    import numpy as np
+
+    if sf_dir not in _QUERY_VEC_CACHE:
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        q = (
+            emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("e")
+            .toPandas()
+        )
+        _QUERY_VEC_CACHE[sf_dir] = np.asarray(
+            q["e"].iloc[0], dtype=np.float64
+        )
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def _train_sample_spark(emb: DataFrame):
@@ -408,8 +437,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     C = _ivf_centroids(spark, sf_dir)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("e").toPandas()
-    qv = np.asarray(q["e"].iloc[0], dtype=np.float64)
+    qv = _query_vec(spark, sf_dir)
     qn = qv / np.linalg.norm(qv)
     probe_cells = [int(i) for i in np.argsort(qn @ C.T)[::-1][:IVF_NPROBE]]
 
@@ -607,8 +635,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     CB = _pq_codebooks(spark, sf_dir)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("e").toPandas()
-    qv = np.asarray(q["e"].iloc[0], dtype=np.float64)
+    qv = _query_vec(spark, sf_dir)
     d = CB.shape[2]
     lut = np.array(
         [
@@ -1174,15 +1201,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     CB = _pq_codebooks(spark, sf_dir)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
 
-    probes_pdf = (
-        emb.orderBy("vec_id")
-        .limit(RECALL_PROBES)
-        .select("vec_id", "e")
-        .toPandas()
-    )
-    prows = _recall_probe_params(
-        probes_pdf["vec_id"].to_numpy(), probes_pdf["e"].to_numpy(), C, CB
-    )
+    # Probe params cached per sf_dir like the quantizers they derive
+    # from (r15): the RECALL_PROBES-row pull is a bounded
+    # deterministic query constant the oracle embeds as literals —
+    # re-running the orderBy/limit/toPandas job per invocation
+    # serialized ~0.4 s before the main job. Registered in
+    # clear_trained_caches.
+    if sf_dir not in _RECALL_PROBE_CACHE:
+        probes_pdf = (
+            emb.orderBy("vec_id")
+            .limit(RECALL_PROBES)
+            .select("vec_id", "e")
+            .toPandas()
+        )
+        _RECALL_PROBE_CACHE[sf_dir] = _recall_probe_params(
+            probes_pdf["vec_id"].to_numpy(),
+            probes_pdf["e"].to_numpy(),
+            C,
+            CB,
+        )
+    prows = _RECALL_PROBE_CACHE[sf_dir]
     probes = spark.createDataFrame(
         prows,
         "probe_id long, qe array<double>, qnorm double, qbucket string, "
