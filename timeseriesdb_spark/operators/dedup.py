@@ -267,14 +267,19 @@ def _sig_cols():
 
 
 def minhash_signatures(doc: DataFrame) -> DataFrame:
-    """k=16 MinHash signature matrix for any documents-shaped frame."""
+    """k=16 MinHash signature matrix for any documents-shaped frame.
+
+    The 16 lane aggregates parse from SQL text (r15 build-time pass:
+    ~80 py4j Column ops → 16 expr() parses; the lanes are the exact
+    oracle text, and the shared md5 per seed dedups in codegen's
+    subexpression elimination exactly as the shared Column object
+    did)."""
     sh = _shingles(doc)
-    digests = {
-        seed: F.md5(F.concat(F.lit(seed), F.col("shingle")))
-        for _, seed, _ in _sig_cols()
-    }
     aggs = [
-        F.min(F.substring(digests[seed], off, 8)).alias(name)
+        F.expr(
+            f"min(substring(md5(concat('{seed}', shingle)), {off}, 8))"
+            f" AS {name}"
+        )
         for name, seed, off in _sig_cols()
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -364,32 +369,25 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     band_key) so later batches probe it without recomputing corpus
     signatures."""
     names = [n for n, _, _ in _sig_cols()]
+    keys = ", ".join(
+        f"concat('b{b}:', md5(concat_ws('|', "
+        + ", ".join(names[b * LSH_ROWS : (b + 1) * LSH_ROWS])
+        + ")))"
+        for b in range(LSH_BANDS)
+    )
     return sig.select(
         "doc_id",
         *names,
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"b{b}:"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *names[b * LSH_ROWS : (b + 1) * LSH_ROWS]
-                            )
-                        ),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band_key"),
+        F.expr(f"explode(array({keys}))").alias("band_key"),
     )
 
 
 def _est_jaccard() -> Column:
     names = [n for n, _, _ in _sig_cols()]
-    return sum(
-        F.when(F.col(f"a.{n}") == F.col(f"b.{n}"), 1).otherwise(0) for n in names
-    ) / F.lit(float(MINHASH_K))
+    hits = " + ".join(
+        f"(CASE WHEN a.{n} = b.{n} THEN 1 ELSE 0 END)" for n in names
+    )
+    return F.expr(f"({hits}) / {float(MINHASH_K)!r}D")
 
 
 def lsh_pairs(doc: DataFrame) -> DataFrame:

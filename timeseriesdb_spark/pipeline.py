@@ -39,31 +39,13 @@ class CurationPipeline:
 
     def quality_filter(self, docs: DataFrame) -> DataFrame:
         """Gopher-rule keep set (curation.q_gopher_rules semantics,
-        recomputed inline so the pipeline works on any frame)."""
-        t = F.col("text")
-        padded = F.concat(F.lit(" "), t, F.lit(" "))
-        n_spaces = curation._n_occurrences(t, " ")
-        n_words = n_spaces + F.lit(1.0)
-        mean_wl = (F.length(t) - n_spaces) / n_words
-        n_symbols = curation._n_occurrences(t, "#") + curation._n_occurrences(
-            t, "..."
-        )
-        stop_hits = sum(
-            (
-                curation._n_occurrences(padded, f" {w} ")
-                for w in curation.STOPWORDS
-            ),
-            start=F.lit(0),
-        )
-        keep = (
-            (n_words >= curation.MIN_WORDS)
-            & (n_words <= curation.MAX_WORDS)
-            & (mean_wl >= curation.MIN_MEAN_WL)
-            & (mean_wl <= curation.MAX_MEAN_WL)
-            & (n_symbols / n_words <= curation.MAX_SYMBOL_RATIO)
-            & (stop_hits >= curation.MIN_STOPWORD_HITS)
-        )
-        return docs.where(keep)
+        recomputed inline so the pipeline works on any frame). The
+        predicate parses from curation.KEEP_SQL — the SAME text the
+        full-pipeline oracle filters with (r15 build-time pass: the
+        Column fold was ~50 py4j round trips per invocation; Spark
+        parses the identical length/replace arithmetic, and dropping
+        the fold's leading +0 on non-negative doubles is exact)."""
+        return docs.where(F.expr(curation.KEEP_SQL))
 
     def exact_dedup(self, docs: DataFrame) -> DataFrame:
         """Keep the min-doc_id survivor per whitespace-normalized
