@@ -576,7 +576,10 @@ def simhash_fingerprints(doc: DataFrame) -> DataFrame:
     # those attributes) — nibble j's high bit is bit (7-j%8)*4+3 of
     # chunk j//8. Same bits, same fingerprints as the substring/isin
     # form, ~2× faster at sf0.1.
-    h = F.md5("w")
+    # All three expression tiers parse from SQL text (r15 build-time
+    # pass: the 4 conv lanes + 32 bit sums + 32 majority cases were
+    # ~300 py4j round trips per invocation; the parsed trees are
+    # operator-identical — & == bitwiseAND, CASE == when/otherwise).
     words = (
         doc.select(
             "doc_id",
@@ -586,29 +589,29 @@ def simhash_fingerprints(doc: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             *[
-                F.conv(F.substring(h, 8 * c + 1, 8), 16, 10)
-                .cast("long")
-                .alias(f"v{c}")
+                F.expr(
+                    f"cast(conv(substring(md5(w), {8 * c + 1}, 8), 16, 10)"
+                    f" as bigint) AS v{c}"
+                )
                 for c in range(SIMHASH_BITS // 8)
             ],
         )
     )
     bit_sums = [
-        F.sum(
-            F.shiftright(F.col(f"v{j // 8}"), (7 - j % 8) * 4 + 3).bitwiseAND(
-                F.lit(1)
-            )
-        ).alias(f"c{j:02d}")
+        F.expr(
+            f"sum(shiftright(v{j // 8}, {(7 - j % 8) * 4 + 3}) & 1)"
+            f" AS c{j:02d}"
+        )
         for j in range(SIMHASH_BITS)
     ]
     agg = words.groupBy("doc_id").agg(F.count("*").alias("n_w"), *bit_sums)
-    fp = F.concat(
-        *[
-            F.when(F.col(f"c{j:02d}") * 2 >= F.col("n_w"), F.lit("1")).otherwise(
-                F.lit("0")
-            )
+    fp = F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN c{j:02d} * 2 >= n_w THEN '1' ELSE '0' END"
             for j in range(SIMHASH_BITS)
-        ]
+        )
+        + ")"
     )
     return agg.select("doc_id", fp.alias("simhash"))
 

@@ -135,9 +135,13 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("report_day"),
     )
-    span = pairs.agg(F.max("day").alias("d1")).first()
+    # span in-plan as a 1-row broadcast (r15, the q_bm25 treatment):
+    # the first() job ran the pairs distinct shuffle serialized before
+    # the main job; the clip comparison sees the identical max(day)
+    span = pairs.agg(F.max("day").alias("_d1"))
     wau = (
-        contrib.filter(F.col("report_day") <= F.lit(span["d1"]))
+        contrib.crossJoin(F.broadcast(span))
+        .filter(F.col("report_day") <= F.col("_d1"))
         .groupBy("report_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )

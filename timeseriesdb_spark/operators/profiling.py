@@ -352,44 +352,54 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 6 pairwise Pearson r's are single IEEE expressions over those
     exact sums — engine-identical, nothing rounded but the output."""
     li = load_table(spark, sf_dir, "lineitem")
-    units = {c: F.round(F.col(c) * 100).cast("long") for c in CORR_COLS}
-    d0 = "decimal(38,0)"
-    aggs = [F.count("*").alias("n")]
+    # r15: aggregates and the 6 Pearson expressions parse from SQL
+    # text (the Column fold was ~200 py4j round trips), and the 6
+    # per-pair rows EXPLODE from the single 1-row moment aggregate
+    # instead of a 6-branch union — same values row for row, one
+    # aggregate subtree in the plan instead of six (the branches only
+    # converged again at runtime via exchange reuse; the explode form
+    # doesn't need the rescue).
+    units = {
+        c: f"cast(round({c} * 100) as bigint)" for c in CORR_COLS
+    }
+    aggs = [F.expr("count(*) AS n")]
     for c in CORR_COLS:
-        aggs.append(F.sum(units[c].cast(d0)).alias(f"s_{c}"))
+        aggs.append(
+            F.expr(f"sum(cast({units[c]} as decimal(38,0))) AS s_{c}")
+        )
     pairs = [
         (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
     ]
     for a, b in pairs + [(c, c) for c in CORR_COLS]:
         aggs.append(
-            F.sum((units[a] * units[b]).cast(d0)).alias(f"p_{a}_{b}")
+            F.expr(
+                f"sum(cast(({units[a]} * {units[b]}) as decimal(38,0)))"
+                f" AS p_{a}_{b}"
+            )
         )
     m = li.agg(*aggs)
 
-    def corr(a: str, b: str):
-        n = F.col("n").cast("double")
-        sa = F.col(f"s_{a}").cast("double")
-        sb = F.col(f"s_{b}").cast("double")
-        sab = F.col(f"p_{a}_{b}").cast("double")
-        saa = F.col(f"p_{a}_{a}").cast("double")
-        sbb = F.col(f"p_{b}_{b}").cast("double")
-        return (n * sab - sa * sb) / (
-            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    def corr(a: str, b: str) -> str:
+        n = "cast(n as double)"
+        sa = f"cast(s_{a} as double)"
+        sb = f"cast(s_{b} as double)"
+        sab = f"cast(p_{a}_{b} as double)"
+        saa = f"cast(p_{a}_{a} as double)"
+        sbb = f"cast(p_{b}_{b} as double)"
+        return (
+            f"({n} * {sab} - {sa} * {sb}) / "
+            f"(sqrt({n} * {saa} - {sa} * {sa})"
+            f" * sqrt({n} * {sbb} - {sb} * {sb}))"
         )
 
-    rows = [
-        m.select(
-            F.lit(a).alias("col_x"),
-            F.lit(b).alias("col_y"),
-            F.col("n").alias("n"),
-            F.round(corr(a, b), 6).alias("pearson_r"),
-        )
+    structs = ", ".join(
+        f"named_struct('col_x', '{a}', 'col_y', '{b}', "
+        f"'pearson_r', round({corr(a, b)}, 6))"
         for a, b in pairs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    )
+    return m.select(
+        F.expr(f"explode(array({structs}))").alias("e"), "n"
+    ).select("e.col_x", "e.col_y", "n", "e.pearson_r")
 
 
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:

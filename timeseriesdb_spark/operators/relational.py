@@ -85,9 +85,15 @@ def q_outlier_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = li.groupBy(F.col("l_quantity").alias("qty")).agg(
         F.count("*").alias("cnt")
     )
-    total = li.count()  # scalar; computed once, folded as a literal
-    return counts.select(
-        "qty", "cnt", F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share")
+    # total in-plan as a 1-row broadcast (r15, the q_bm25 treatment —
+    # the count() job serialized before the main job; cast == float())
+    totals = li.agg(F.count("*").alias("_total"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "qty",
+        "cnt",
+        F.round(
+            F.col("cnt") / F.col("_total").cast("double"), 6
+        ).alias("share"),
     )
 
 

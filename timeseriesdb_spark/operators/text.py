@@ -155,7 +155,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact. Two shuffles total: term stats, then the per-doc
     rank."""
     doc = load_table(spark, sf_dir, "documents")
-    n_docs = doc.count()  # scalar literal (like q_outlier_majority)
+    # N in-plan as a 1-row broadcast (r15, the q_bm25 treatment — the
+    # count() job serialized before the main job; cast == float())
+    totals = doc.agg(F.count("*").alias("_n_docs"))
     words = doc.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") > 0)
@@ -165,10 +167,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         tf.join(df_, "w")
+        .crossJoin(F.broadcast(totals))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf")
+                * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+                6,
             )
             + F.lit(0.0),
         )
@@ -230,8 +235,18 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = doc.select(
         F.explode(array_ngrams(warr, 2)).alias("bg")
     )
-    n_uni = float(words.count())
-    n_bi = float(bigrams.count())
+    # Both corpus totals in ONE in-plan broadcast aggregate (r15, the
+    # q_bm25 treatment): the two count() jobs each re-tokenized the
+    # whole corpus and ran serialized before the main job.
+    # sum(size(...)) counts exactly what count-after-explode counted,
+    # and cast(bigint as double) is the conversion float() performed,
+    # so the pmi doubles are bit-identical.
+    totals = doc.agg(
+        F.sum(F.size(warr)).alias("_n_uni"),
+        F.sum(F.size(array_ngrams(warr, 2))).alias("_n_bi"),
+    )
+    n_uni = F.col("_n_uni").cast("double")
+    n_bi = F.col("_n_bi").cast("double")
     uni = words.groupBy("w").agg(F.count("*").alias("c"))
     bi = bigrams.groupBy("bg").agg(F.count("*").alias("c_ab")).where(
         F.col("c_ab") >= PMI_MIN_PAIR
@@ -241,12 +256,13 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     pmi = F.log(
-        (F.col("c_ab") / F.lit(n_bi))
-        / ((F.col("c_a") / F.lit(n_uni)) * (F.col("c_b") / F.lit(n_uni)))
+        (F.col("c_ab") / n_bi)
+        / ((F.col("c_a") / n_uni) * (F.col("c_b") / n_uni))
     )
     return (
         bi.join(ca, "w1")
         .join(cb, "w2")
+        .crossJoin(F.broadcast(totals))
         .select(
             "bg",
             "c_ab",
@@ -421,17 +437,23 @@ def q_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so accumulation order cannot flip the hash. Two shuffles
     (term df, per-doc mean); N folds as a literal like tfidf."""
     doc = load_table(spark, sf_dir, "documents")
-    n_docs = doc.count()
+    # N in-plan as a 1-row broadcast (r15, the q_bm25 treatment): the
+    # count() job serialized before the main job; cast(bigint as
+    # double) is the conversion float() performed, so idf is bit-equal
+    totals = doc.agg(F.count("*").alias("_n_docs"))
     words = doc.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).where(F.length("w") > 0)
     df_ = words.groupBy("w").agg(F.count("*").alias("df"))
-    ridf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    ridf = F.round(
+        F.log(F.col("_n_docs").cast("double") / F.col("df")), 6
+    )
     # integer-exact half-up mean (the q_label_centroids lesson: engine
     # round(double/count, 6) can disagree at half-way boundaries); idf
     # is non-negative so no sign branch
     agg = (
         words.join(df_, "w")
+        .crossJoin(F.broadcast(totals))
         .select("doc_id", ridf.alias("idf"))
         .groupBy("doc_id")
         .agg(
@@ -471,13 +493,22 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = doc.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") > 0)
-    n_total = words.count()
+    # N in-plan (r15, the q_pmi_bigrams treatment): the count() job
+    # re-tokenized the corpus serialized before the main job;
+    # sum(size(filter(...))) counts the same nonempty tokens and
+    # cast(bigint as double) is float()'s conversion — bit-equal p.
+    warr = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    totals = doc.agg(F.sum(F.size(warr)).alias("_n_total"))
     tf = words.groupBy("w").agg(F.count("*").alias("tf"))
     logp = F.round(
-        F.log10(F.col("tf").cast("double") / F.lit(float(n_total))), 6
+        F.log10(
+            F.col("tf").cast("double") / F.col("_n_total").cast("double")
+        ),
+        6,
     )
     agg = (
         words.join(F.broadcast(tf), "w")
+        .crossJoin(F.broadcast(totals))
         .select("doc_id", logp.alias("lp"))
         .groupBy("doc_id")
         .agg(
