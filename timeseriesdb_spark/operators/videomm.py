@@ -529,12 +529,23 @@ def q_multimodal_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("keep_text", F.lit(1))
     )
-    img = q_image_dedup(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_image")
-    )
-    vid = q_video_dedup(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_video")
-    )
+    # The image and video branches each run an EAGER decode-checkpoint
+    # job when constructed; submit them from two driver threads so the
+    # independent jobs overlap instead of serializing (guide §2.6 —
+    # the second job's tasks back-fill executors the first job's tail
+    # leaves idle). Same plans, same checkpoints, same results — only
+    # the submission order changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fimg = pool.submit(q_image_dedup, spark, sf_dir)
+        fvid = pool.submit(q_video_dedup, spark, sf_dir)
+        img = fimg.result().select(
+            "doc_id", F.col("keep").alias("keep_image")
+        )
+        vid = fvid.result().select(
+            "doc_id", F.col("keep").alias("keep_video")
+        )
     return (
         doc.select("doc_id")
         .join(text_survivor, "doc_id", "left")
