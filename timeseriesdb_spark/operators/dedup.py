@@ -754,13 +754,15 @@ def _cluster_labels(
     # bounds the loop's fixed cost by ~CC_EDGES_PER_PART rows per
     # task. At 100 TB millions of edges keep their parallelism — this
     # only collapses partitions that are nearly empty.
-    n_parts = edges.rdd.getNumPartitions()
     n_edges = edges.count()
     bound = CC_DRIVER_BOUND if driver_bound is None else driver_bound
     if n_edges <= bound:
         # collect the MATERIALIZED forward checkpoint directly (pairs
         # are emitted doc_a < doc_b, so fwd IS the src<dst direction)
         return _driver_labels(spark, fwd)
+    # .rdd forces plan→RDD conversion (~50 ms even on a checkpoint);
+    # only the distributed branch needs the partition count (r15)
+    n_parts = edges.rdd.getNumPartitions()
     target = max(1, min(n_parts, n_edges // CC_EDGES_PER_PART + 1))
     if target < n_parts:
         edges = edges.coalesce(target)
