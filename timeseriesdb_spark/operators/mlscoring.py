@@ -233,14 +233,18 @@ def _chunks_frame(ev: DataFrame) -> DataFrame:
     the feature math, shared with the streamed maintenance path
     (streaming/driftscore.py writes these same columns per micro-batch
     and merges them at read)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    rn = F.row_number().over(w) - 1
-    v = F.col("value").cast(DEC).cast("double")
     base = ev.select(
         "user_id",
-        v.alias("v"),
-        F.floor(rn / SEG_ROWS).alias("seg"),
-        F.floor(rn / PAA_CHUNK).alias("chunk"),
+        "value",
+        F.expr(
+            "row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) - 1 AS rn"
+        ),
+    ).select(
+        "user_id",
+        F.expr(f"cast(cast(value as {DEC}) as double) AS v"),
+        F.expr(f"floor(rn / {SEG_ROWS}) AS seg"),
+        F.expr(f"floor(rn / {PAA_CHUNK}) AS chunk"),
     )
     return chunk_feature_agg(base)
 
@@ -250,14 +254,17 @@ def chunk_feature_agg(base: DataFrame) -> DataFrame:
     frame — one definition shared by the batch path above and the
     streamed maintenance path (streaming/driftscore.py), so the
     stream==batch bit-parity invariant cannot drift apart in two
-    copies (r12 review fix)."""
-    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
+    copies (r12 review fix). Aggregates parse from SQL text (r15
+    build-time pass — operator-identical trees, ~0.1 s of py4j per
+    invocation across the 24 drift cells)."""
     return base.groupBy("user_id", "seg", "chunk").agg(
-        units(F.sum(F.col("v").cast(DEC))).alias("s_u"),
-        units(F.sum((F.col("v") * F.col("v")).cast(DEC))).alias("ss_u"),
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count("*").alias("n"),
+        F.expr(f"cast(sum(cast(v as {DEC})) * 1000000 as long) AS s_u"),
+        F.expr(
+            f"cast(sum(cast(v * v as {DEC})) * 1000000 as long) AS ss_u"
+        ),
+        F.expr("min(v) AS mn"),
+        F.expr("max(v) AS mx"),
+        F.expr("count(*) AS n"),
     )
 
 
@@ -265,43 +272,49 @@ def _features_from_chunks(chunks: DataFrame) -> DataFrame:
     """chunk rows → per-segment feature rows: the NON-mergeable
     finalize (half-up chunk-mean division, segment sums, std) on the
     exact integers."""
-    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
-    # chunk mean in exact 1e-6 units: half-up integer division
-    q = F.expr("(2 * abs(s_u) + n) div (2 * n)")
-    cm_u = F.when(F.col("s_u") < 0, -q).otherwise(q)
-    cm = cm_u.cast("double") / F.lit(1_000_000.0)
+    # chunk mean in exact 1e-6 units: half-up integer division. All
+    # expression tiers parse from SQL text (r15 build-time pass) —
+    # the same ops the Column fold compiled to, with explicit D
+    # suffixes so 1000000.0 stays a DOUBLE literal.
+    q = "((2 * abs(s_u) + n) div (2 * n))"
+    cm_u = f"(CASE WHEN s_u < 0 THEN -{q} ELSE {q} END)"
+    cm = f"(cast({cm_u} as double) / 1000000.0D)"
     segs = (
         chunks.groupBy("user_id", "seg")
         .agg(
-            F.sum("s_u").alias("su"),
-            F.sum("ss_u").alias("ssu"),
-            F.min("mn").alias("f_min"),
-            F.max("mx").alias("f_max"),
-            F.sum("n").alias("nn"),
-            F.sum(cm_u).alias("cs_u"),
-            units(F.sum((cm * cm).cast(DEC))).alias("css_u"),
-            F.min(cm).alias("d_min"),
-            F.max(cm).alias("d_max"),
-            F.count("*").alias("n_chunks"),
+            F.expr("sum(s_u) AS su"),
+            F.expr("sum(ss_u) AS ssu"),
+            F.expr("min(mn) AS f_min"),
+            F.expr("max(mx) AS f_max"),
+            F.expr("sum(n) AS nn"),
+            F.expr(f"sum({cm_u}) AS cs_u"),
+            F.expr(
+                f"cast(sum(cast({cm} * {cm} as {DEC})) * 1000000"
+                " as long) AS css_u"
+            ),
+            F.expr(f"min({cm}) AS d_min"),
+            F.expr(f"max({cm}) AS d_max"),
+            F.expr("count(*) AS n_chunks"),
         )
         .where(F.col("nn") == SEG_ROWS)
     )
-    mega = F.lit(1_000_000.0)
-    mean = F.col("su").cast("double") / F.col("nn") / mega
-    m2 = F.col("ssu").cast("double") / F.col("nn") / mega
-    dmean = F.col("cs_u").cast("double") / F.col("n_chunks") / mega
-    dm2 = F.col("css_u").cast("double") / F.col("n_chunks") / mega
-    std = F.sqrt(F.greatest(m2 - mean * mean, F.lit(0.0)))
-    dstd = F.sqrt(F.greatest(dm2 - dmean * dmean, F.lit(0.0)))
+    mean = "(cast(su as double) / nn / 1000000.0D)"
+    m2 = "(cast(ssu as double) / nn / 1000000.0D)"
+    dmean = "(cast(cs_u as double) / n_chunks / 1000000.0D)"
+    dm2 = "(cast(css_u as double) / n_chunks / 1000000.0D)"
     return segs.select(
         "user_id",
         "seg",
-        mean.alias("f_mean"),
-        std.alias("f_std"),
+        F.expr(f"{mean} AS f_mean"),
+        F.expr(
+            f"sqrt(greatest({m2} - {mean} * {mean}, 0.0D)) AS f_std"
+        ),
         F.col("f_min"),
         F.col("f_max"),
-        dmean.alias("d_mean"),
-        dstd.alias("d_std"),
+        F.expr(f"{dmean} AS d_mean"),
+        F.expr(
+            f"sqrt(greatest({dm2} - {dmean} * {dmean}, 0.0D)) AS d_std"
+        ),
         F.col("d_min"),
         F.col("d_max"),
     )
@@ -518,48 +531,57 @@ def _fft_segment_features(
 
         recon_fn = q_fft_recon
     rec = recon_fn(spark, sf_dir)
-    v = F.col("value").cast(DEC).cast("double")
-    rv = F.col("recon").cast(DEC).cast("double")
     base = rec.select(
         "user_id",
-        v.alias("v"),
-        rv.alias("rv"),
-        F.floor(F.col("pos") / SEG_ROWS).alias("seg"),
+        F.expr(f"cast(cast(value as {DEC}) as double) AS v"),
+        F.expr(f"cast(cast(recon as {DEC}) as double) AS rv"),
+        F.expr(f"floor(pos / {SEG_ROWS}) AS seg"),
     )
-    units = lambda c: (c * F.lit(1_000_000)).cast("long")  # noqa: E731
+    # aggregates + finalize parse from SQL text (r15 build-time pass;
+    # the same ops the Column fold compiled to, D suffixes keep the
+    # 1e6 divisors DOUBLE literals)
     segs = (
         base.groupBy("user_id", "seg")
         .agg(
-            units(F.sum(F.col("v").cast(DEC))).alias("su"),
-            units(F.sum((F.col("v") * F.col("v")).cast(DEC))).alias("ssu"),
-            F.min("v").alias("f_min"),
-            F.max("v").alias("f_max"),
-            units(F.sum(F.col("rv").cast(DEC))).alias("rsu"),
-            units(F.sum((F.col("rv") * F.col("rv")).cast(DEC))).alias(
-                "rssu"
+            F.expr(
+                f"cast(sum(cast(v as {DEC})) * 1000000 as long) AS su"
             ),
-            F.min("rv").alias("d_min"),
-            F.max("rv").alias("d_max"),
-            F.count("*").alias("nn"),
+            F.expr(
+                f"cast(sum(cast(v * v as {DEC})) * 1000000 as long)"
+                " AS ssu"
+            ),
+            F.expr("min(v) AS f_min"),
+            F.expr("max(v) AS f_max"),
+            F.expr(
+                f"cast(sum(cast(rv as {DEC})) * 1000000 as long) AS rsu"
+            ),
+            F.expr(
+                f"cast(sum(cast(rv * rv as {DEC})) * 1000000 as long)"
+                " AS rssu"
+            ),
+            F.expr("min(rv) AS d_min"),
+            F.expr("max(rv) AS d_max"),
+            F.expr("count(*) AS nn"),
         )
         .where(F.col("nn") == SEG_ROWS)
     )
-    mega = F.lit(1_000_000.0)
-    mean = F.col("su").cast("double") / F.col("nn") / mega
-    m2 = F.col("ssu").cast("double") / F.col("nn") / mega
-    dmean = F.col("rsu").cast("double") / F.col("nn") / mega
-    dm2 = F.col("rssu").cast("double") / F.col("nn") / mega
-    std = F.sqrt(F.greatest(m2 - mean * mean, F.lit(0.0)))
-    dstd = F.sqrt(F.greatest(dm2 - dmean * dmean, F.lit(0.0)))
+    mean = "(cast(su as double) / nn / 1000000.0D)"
+    m2 = "(cast(ssu as double) / nn / 1000000.0D)"
+    dmean = "(cast(rsu as double) / nn / 1000000.0D)"
+    dm2 = "(cast(rssu as double) / nn / 1000000.0D)"
     return segs.select(
         "user_id",
         "seg",
-        mean.alias("f_mean"),
-        std.alias("f_std"),
+        F.expr(f"{mean} AS f_mean"),
+        F.expr(
+            f"sqrt(greatest({m2} - {mean} * {mean}, 0.0D)) AS f_std"
+        ),
         F.col("f_min"),
         F.col("f_max"),
-        dmean.alias("d_mean"),
-        dstd.alias("d_std"),
+        F.expr(f"{dmean} AS d_mean"),
+        F.expr(
+            f"sqrt(greatest({dm2} - {dmean} * {dmean}, 0.0D)) AS d_std"
+        ),
         F.col("d_min"),
         F.col("d_max"),
     )
